@@ -1,0 +1,221 @@
+"""Deterministic synthetic WAL/binlog generator for transcript change events.
+
+Produces ordered parquet "segments" (one file ≈ one WAL segment), mirroring
+the reference's replay fixtures
+(base-normalization/integration_tests/resources/test_simple_streams/data_input/
+messages.txt / messages_incremental.txt / messages_schema_change.txt) scaled
+up and parameterized:
+
+* inserts, updates (higher LSN wins), deletes (``_ab_cdc_deleted_at`` set)
+* exact duplicate events (same pk+lsn re-emitted — at-least-once feed)
+* late events: a lower-LSN event delivered *after* a higher-LSN event for the
+  same key was already applied (the id=5 "vw" case in
+  messages_incremental.txt) — must not resurrect old text
+* hot-conversation skew (one conv_id receives ``hot_fraction`` of updates)
+* optional schema epoch 2 (adds ``tool_version``, FIXTURES.md F4/E2)
+
+Everything is numpy-seeded; same params + seed => byte-identical feed.
+The generator is driver-side tooling (like the reference's fixture files),
+not part of the engine hot path.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "tool", "system"])
+TOOLS = np.array([None, "search", "python", "browser", "calculator"], dtype=object)
+
+_BASE_TS = pd.Timestamp("2025-01-01 00:00:00")
+
+
+@dataclass
+class FeedSpec:
+    n_convs: int = 100
+    turns_per_conv: int = 8
+    n_updates: int = 400
+    n_deletes: int = 40
+    dup_rate: float = 0.05
+    late_rate: float = 0.05
+    hot_fraction: float = 0.10  # share of updates hitting conv 0
+    n_segments: int = 4
+    seed: int = 42
+    schema_epoch: int = 1  # 2 => include tool_version column
+
+
+def _text(conv: np.ndarray, turn: np.ndarray, version: np.ndarray, rng) -> np.ndarray:
+    """Deterministic per-(key,version) text with canonicalizer-exercising junk."""
+    n = len(conv)
+    junk = np.where(
+        rng.random(n) < 0.15,
+        np.array(["  spéçiäl\x00 ", "\ttabs\t and  runs ", " trailing ", "ünïcode—dash "])[
+            rng.integers(0, 4, n)
+        ],
+        "",
+    )
+    return np.char.add(
+        np.char.add(
+            np.char.add("turn text c", conv.astype(str)),
+            np.char.add(" t", turn.astype(str)),
+        ),
+        np.char.add(np.char.add(" v", version.astype(str)), junk.astype(str)),
+    )
+
+
+def generate_feed(out_dir: str, spec: FeedSpec) -> pd.DataFrame:
+    """Write segment parquet files under ``out_dir``; return the full event
+    frame (in delivery order) for oracle use."""
+    rng = np.random.default_rng(spec.seed)
+
+    # --- inserts: every (conv, turn) once, conv-major order ----------------
+    conv = np.repeat(np.arange(spec.n_convs), spec.turns_per_conv)
+    turn = np.tile(np.arange(spec.turns_per_conv), spec.n_convs)
+    ins = pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", conv.astype(str)),
+            "turn_idx": turn.astype("int32"),
+            "op": "I",
+            "version": 0,
+        }
+    )
+
+    # --- updates: skewed toward conv 0 -------------------------------------
+    n_hot = int(spec.n_updates * spec.hot_fraction)
+    upd_conv = np.concatenate(
+        [np.zeros(n_hot, dtype=np.int64), rng.integers(0, spec.n_convs, spec.n_updates - n_hot)]
+    )
+    upd_turn = rng.integers(0, spec.turns_per_conv, spec.n_updates)
+    upd = pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", upd_conv.astype(str)),
+            "turn_idx": upd_turn.astype("int32"),
+            "op": "U",
+            "version": 0,  # filled below (per-key running count)
+        }
+    )
+
+    # --- deletes ------------------------------------------------------------
+    del_conv = rng.integers(0, spec.n_convs, spec.n_deletes)
+    del_turn = rng.integers(0, spec.turns_per_conv, spec.n_deletes)
+    dels = pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", del_conv.astype(str)),
+            "turn_idx": del_turn.astype("int32"),
+            "op": "D",
+            "version": 0,
+        }
+    )
+
+    tail = pd.concat([upd, dels], ignore_index=True)
+    tail = tail.sample(frac=1.0, random_state=spec.seed).reset_index(drop=True)
+    ev = pd.concat([ins, tail], ignore_index=True)
+
+    # per-key version counter (0 for the insert, 1.. for later changes)
+    ev["version"] = ev.groupby(["conv_id", "turn_idx"]).cumcount().astype("int64")
+
+    n = len(ev)
+    ev["_ab_cdc_lsn"] = np.arange(1, n + 1, dtype="int64")
+    convs_num = ev["conv_id"].str.removeprefix("conv-").astype(np.int64).to_numpy()
+    ev["role"] = ROLES[(convs_num + ev["turn_idx"].to_numpy()) % len(ROLES)]
+    ev["tool"] = TOOLS[(ev["turn_idx"].to_numpy() * 7 + ev["version"].to_numpy()) % len(TOOLS)]
+    ev["text"] = _text(
+        convs_num, ev["turn_idx"].to_numpy(), ev["version"].to_numpy(), rng
+    )
+    ev.loc[ev["op"] == "D", ["role", "text", "tool"]] = None
+
+    ev["ts"] = _BASE_TS + pd.to_timedelta(ev["turn_idx"].to_numpy() * 60, unit="s")
+    ev["_ab_cdc_updated_at"] = _BASE_TS + pd.to_timedelta(ev["_ab_cdc_lsn"], unit="s")
+    ev["_ab_cdc_deleted_at"] = ev["_ab_cdc_updated_at"].where(ev["op"] == "D", pd.NaT)
+    ev["_airbyte_emitted_at"] = ev["_ab_cdc_updated_at"] + pd.to_timedelta(2, unit="s")
+
+    # --- duplicates: re-emit a random earlier event verbatim ----------------
+    n_dup = int(n * spec.dup_rate)
+    if n_dup:
+        dup_rows = ev.iloc[rng.integers(0, n, n_dup)].copy()
+        ev = pd.concat([ev, dup_rows], ignore_index=True)
+
+    # --- deliver in LSN order, then displace "late" events further down -----
+    ev = ev.sort_values(["_ab_cdc_lsn"], kind="stable").reset_index(drop=True)
+    m = len(ev)
+    n_late = int(m * spec.late_rate)
+    if n_late:
+        late_idx = rng.choice(m - 1, size=n_late, replace=False)
+        order = np.arange(m, dtype="float64")
+        # push each late event past ~5% of the feed; stamp older emitted_at
+        order[late_idx] += m * 0.05 + rng.integers(1, 50, n_late)
+        ev.loc[late_idx, "_airbyte_emitted_at"] = (
+            ev.loc[late_idx, "_airbyte_emitted_at"] - pd.to_timedelta(3600, unit="s")
+        )
+        ev = ev.iloc[np.argsort(order, kind="stable")].reset_index(drop=True)
+
+    if spec.schema_epoch >= 2:
+        ev["tool_version"] = np.where(
+            ev["tool"].notna(), "v" + (ev["_ab_cdc_lsn"] % 3 + 1).astype(str), None
+        )
+
+    _write_segments(ev.drop(columns=["op", "version"]), out_dir, spec.n_segments)
+    return ev
+
+
+_ARROW_FIELDS = [
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("_ab_cdc_lsn", pa.int64()),
+    ("_ab_cdc_updated_at", pa.timestamp("us")),
+    ("_ab_cdc_deleted_at", pa.timestamp("us")),
+    ("_airbyte_emitted_at", pa.timestamp("us")),
+]
+
+
+def _write_segments(ev: pd.DataFrame, out_dir: str, n_segments: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    fields = list(_ARROW_FIELDS)
+    if "tool_version" in ev.columns:
+        fields = fields[:6] + [("tool_version", pa.string())] + fields[6:]
+    schema = pa.schema(fields)
+    cols = [name for name, _ in fields]
+    splits = np.array_split(np.arange(len(ev)), n_segments)
+    for i, idx in enumerate(splits):
+        seg = ev.iloc[idx][cols]
+        tbl = pa.Table.from_pandas(seg, schema=schema, preserve_index=False)
+        pq.write_table(tbl, os.path.join(out_dir, f"segment-{i:05d}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Pandas oracle: reference replay semantics (D1-D8) in one pass
+# ---------------------------------------------------------------------------
+
+
+def oracle_final_state(ev: pd.DataFrame, canonicalize=None) -> pd.DataFrame:
+    """Final table per the reference's SCD ordering (stream_processor.py:876-891):
+    per (conv_id, turn_idx) the row with max (lsn, updated_at, emitted_at) wins;
+    if that row is a delete, the key is absent. Late/duplicate events fall out
+    of the ordering naturally — exactly how the reference's window dedup
+    treats them."""
+    df = ev.copy()
+    df["_rank"] = np.arange(len(df))
+    df = df.sort_values(
+        ["_ab_cdc_lsn", "_ab_cdc_updated_at", "_airbyte_emitted_at", "_rank"],
+        kind="stable",
+    )
+    # drop_duplicates keep='last' (NOT groupby().last(), which skips NaNs
+    # per-column and would smear old values into delete rows)
+    last = df.drop_duplicates(subset=["conv_id", "turn_idx"], keep="last")
+    alive = last[last["_ab_cdc_deleted_at"].isna()].copy()
+    out_cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if "tool_version" in alive.columns:
+        out_cols.append("tool_version")
+    out = alive[out_cols].reset_index(drop=True)
+    if canonicalize is not None:
+        out["text"] = canonicalize(out["text"])
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)

@@ -1,0 +1,155 @@
+"""Copy-on-write MERGE with LSN conflict resolution and commit fencing.
+
+The Spark-first replacement for the reference's incremental SCD chain
+(stream_processor.py:892-942 union of new data with re-opened active rows,
+plus the post-hook delete stream_processor.py:1192-1258) and for the
+destination's committed-state contract (BufferedStreamConsumer.java:178-203):
+
+    MERGE INTO target t USING batch s ON pk
+      WHEN MATCHED AND s.lsn > t.__lsn AND s.deleted IS NOT NULL THEN "DELETE"
+      WHEN MATCHED AND s.lsn > t.__lsn THEN UPDATE
+      WHEN NOT MATCHED AND s.deleted IS NULL THEN INSERT
+
+"DELETE" writes a tombstone (pk, __lsn, __deleted=true) rather than removing
+the row, so late lower-LSN events cannot resurrect the key across batches.
+
+Scale shape (the part that must survive 100 TB):
+1. The batch is first collapsed to ONE row per key via ``latest_per_key``
+   (hash agg with map-side combine — no window sort).
+2. Touched buckets are computed from the batch keys (≤ n_buckets values);
+   only those buckets' files are read and rewritten. A micro-batch touching
+   B of N buckets costs O(B/N) of the table, not O(table).
+3. The join runs target-LEFT-OUTER-batch? No — full outer on pk, but only
+   over touched buckets; AQE turns it into a broadcast join whenever the
+   deduped batch is small (the common CDC case). Skewed conv_ids are immune
+   here because the join/agg key is the full (conv_id, turn_idx) pk, and
+   AQE skew-join handles residual imbalance.
+4. Fence + adds/removes + lineage land in ONE atomic commit; a replayed
+   batch_id is a no-op BEFORE any compute happens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import latest_per_key
+from .table import LakeTable, META_DELETED, META_LSN, Snapshot
+
+
+@dataclass
+class MergeStats:
+    skipped: bool
+    version: Optional[int] = None
+    rows_in: int = 0
+    touched_buckets: int = 0
+
+
+def merge_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    order_cols: Sequence[str],
+    cursor: str = "_ab_cdc_lsn",
+    deleted_col: str = "_ab_cdc_deleted_at",
+    app_id: str = "default",
+    batch_id: int = 0,
+    epoch: Optional[int] = None,
+    snap: Optional[Snapshot] = None,
+) -> MergeStats:
+    snap = snap or table.snapshot()
+    last = snap.fences.get(app_id)
+    if last is not None and batch_id <= last:
+        return MergeStats(skipped=True)  # fenced: already committed
+
+    pk = snap.primary_key
+
+    # 1. collapse the (at-least-once, possibly duplicated) batch to the
+    #    winning event per key — D1-D3 in one hash aggregate
+    src = latest_per_key(batch, pk, order_cols)
+    src = src.withColumn(META_LSN, F.col(cursor).cast("long")).withColumn(
+        "_src_deleted", F.col(deleted_col).isNotNull()
+    )
+    src = src.withColumn("_b", table.bucket_expr(snap)).persist()
+    try:
+        rows_in = src.count()  # also materializes the persist
+        if rows_in == 0:
+            version = table.commit(
+                snap, [], [], fence=(app_id, batch_id),
+                lineage=_lineage(app_id, batch_id, 0, 0, 0, None, epoch),
+                op="merge",
+            )
+            return MergeStats(skipped=False, version=version, rows_in=0)
+
+        # 2. bucket pruning
+        touched = [r["_b"] for r in src.select("_b").distinct().collect()]
+        old_files = [
+            p for p, m in snap.files.items() if m["bucket"] in set(touched)
+        ]
+        target = table.read(
+            buckets=touched, include_meta=True, include_deleted=True, snap=snap
+        ).withColumn("_b", table.bucket_expr(snap))
+
+        # 3. resolve: full outer on pk, source wins iff strictly newer LSN
+        payload = [f.name for f in snap.schema.fields if f.name not in pk]
+        t = target.alias("t")
+        s = src.alias("s")
+        joined = t.join(s, on=pk, how="full_outer")
+        use_src = F.col(f"t.{META_LSN}").isNull() | (
+            F.col(f"s.{META_LSN}").isNotNull()
+            & (F.col(f"s.{META_LSN}") > F.col(f"t.{META_LSN}"))
+        )
+        out_cols = [F.col(c) for c in pk]
+        for c in payload:
+            out_cols.append(
+                F.when(use_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        out_cols.append(
+            F.when(use_src, F.col(f"s.{META_LSN}"))
+            .otherwise(F.col(f"t.{META_LSN}"))
+            .alias(META_LSN)
+        )
+        out_cols.append(
+            F.when(use_src, F.col("s._src_deleted"))
+            .otherwise(F.col(f"t.{META_DELETED}"))
+            .alias(META_DELETED)
+        )
+        out_cols.append(F.coalesce(F.col("t._b"), F.col("s._b")).alias("_b"))
+        result = joined.select(*out_cols)
+
+        # 4. rewrite touched buckets + atomic fenced commit
+        adds = table.write_data_files(snap, result, n_out_partitions=len(touched))
+        max_lsn, n_del = src.agg(
+            F.max(META_LSN), F.sum(F.col("_src_deleted").cast("long"))
+        ).collect()[0]
+        version = table.commit(
+            snap,
+            adds,
+            old_files,
+            fence=(app_id, batch_id),
+            lineage=_lineage(
+                app_id, batch_id, rows_in,
+                sum(a["rows"] for a in adds), n_del, max_lsn, epoch,
+            ),
+            op="merge",
+        )
+        return MergeStats(
+            skipped=False, version=version, rows_in=rows_in,
+            touched_buckets=len(touched),
+        )
+    finally:
+        src.unpersist()
+
+
+def _lineage(app_id, batch_id, rows_in, rows_upserted, rows_deleted, max_lsn, epoch):
+    return {
+        "app_id": app_id,
+        "batch_id": batch_id,
+        "rows_in": rows_in,
+        "rows_upserted": rows_upserted,
+        "rows_deleted": rows_deleted,
+        "max_lsn": max_lsn,
+        "epoch": epoch,
+    }

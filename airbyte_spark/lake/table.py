@@ -1,0 +1,364 @@
+"""LakeTable — a from-scratch ACID parquet + JSON-commit-log table format.
+
+The sandbox ships no Iceberg/Delta runtime, so the engine brings its own
+minimal lakehouse layer with exactly the properties the CDC sink needs
+(the same properties the reference gets from its destination warehouse +
+committed-state contract, BufferedStreamConsumer.java:178-203):
+
+* **Atomic commits / snapshot isolation** — a commit is one JSON file in
+  ``_log/`` named by monotonically increasing version; it lists data files
+  added/removed, an optional fence, lineage, and schema changes. Publication
+  is ``os.link`` (fail-if-exists) — atomic on a local/POSIX filesystem; a
+  production deployment would swap this single function for a real catalog
+  (Hive/Glue/Nessie) commit, nothing else changes.
+* **Commit fencing (exactly-once)** — each commit may carry
+  ``(app_id, batch_id)``; replaying an already-committed micro-batch is a
+  no-op because the fence check and the data files land in the SAME commit
+  (the Spark analog of "destination echoes STATE only after commit").
+* **Bucket partitioning** — data files live under ``_b=<k>`` computed as
+  ``pmod(hash(bucket_cols), n_buckets)``; MERGE prunes to touched buckets,
+  so an upsert of B buckets rewrites only those files (copy-on-write). At
+  1000-executor scale, n_buckets is sized so one bucket ≈ one task's worth
+  of data.
+* **Schema evolution without rewrite** — every data file records the
+  ``schema_id`` it was written under; schemas carry stable field uids
+  (catalog.py). Readers project each file group onto the CURRENT schema by
+  uid: renamed columns re-alias, widened columns cast, added columns
+  null-pad, removed columns drop. Equivalent to Iceberg field-id resolution
+  + the reference's ``star_intersect`` union (star_intersect.sql:9-46).
+* **Tombstones** — deletes keep ``(pk, __lsn, __deleted=true)`` rows so a
+  late lower-LSN update cannot resurrect a deleted key (SURVEY §7 risk
+  "late data older than applied LSN"); ``read()`` filters them.
+* **Lineage** — per-commit row counts / cursor high-watermark / epoch kept
+  in the log and queryable as a DataFrame (reference O2 MessageTracker).
+
+Single-writer by design (one streaming query owns a table), like one Airbyte
+connection owning its destination tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import TableSchema, FieldTransform, apply_transforms
+
+META_LSN = "__lsn"
+META_DELETED = "__deleted"
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schemas: dict[int, TableSchema]
+    current_schema_id: int
+    #: path -> {"bucket": int, "schema_id": int, "rows": int}
+    files: dict[str, dict]
+    #: app_id -> last committed batch_id
+    fences: dict[str, int]
+    n_buckets: int
+    bucket_cols: list[str]
+    primary_key: list[str]
+    lineage: list[dict] = field(default_factory=list)
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.schemas[self.current_schema_id]
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ DDL
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: TableSchema,
+        primary_key: Sequence[str],
+        bucket_cols: Optional[Sequence[str]] = None,
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=False)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+        t = LakeTable(spark, path)
+        t._write_commit(
+            0,
+            {
+                "op": "create",
+                "schema": schema.to_json(),
+                "n_buckets": n_buckets,
+                "bucket_cols": list(bucket_cols or primary_key[:1]),
+                "primary_key": list(primary_key),
+            },
+        )
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, _LOG_DIR))
+
+    # ------------------------------------------------------------ log layer
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"{version:020d}.json")
+
+    def _write_commit(self, version: int, entry: dict) -> None:
+        """Atomic publish: write temp, hard-link to the version file
+        (fails if that version was already committed), unlink temp."""
+        tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        dest = self._log_path(version)
+        try:
+            os.link(tmp, dest)
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def snapshot(self) -> Snapshot:
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        versions = sorted(
+            int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
+        )
+        if not versions:
+            raise FileNotFoundError(f"no lake table at {self.path}")
+        schemas: dict[int, TableSchema] = {}
+        files: dict[str, dict] = {}
+        fences: dict[str, int] = {}
+        lineage: list[dict] = []
+        n_buckets, bucket_cols, pk, cur_sid = 32, [], [], 0
+        for v in versions:
+            with open(self._log_path(v)) as f:
+                e = json.load(f)
+            if "schema" in e:
+                ts = TableSchema.from_json(e["schema"])
+                schemas[ts.schema_id] = ts
+                cur_sid = ts.schema_id
+            if e.get("op") == "create":
+                n_buckets = e["n_buckets"]
+                bucket_cols = e["bucket_cols"]
+                pk = e["primary_key"]
+            for rm in e.get("removes", []):
+                files.pop(rm, None)
+            for ad in e.get("adds", []):
+                files[ad["path"]] = {
+                    "bucket": ad["bucket"],
+                    "schema_id": ad["schema_id"],
+                    "rows": ad["rows"],
+                }
+            if "fence" in e:
+                fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
+            if "lineage" in e:
+                lineage.append({"version": v, **e["lineage"]})
+        return Snapshot(
+            version=versions[-1],
+            schemas=schemas,
+            current_schema_id=cur_sid,
+            files=files,
+            fences=fences,
+            n_buckets=n_buckets,
+            bucket_cols=bucket_cols,
+            primary_key=pk,
+            lineage=lineage,
+        )
+
+    def commit(
+        self,
+        snap: Snapshot,
+        adds: list[dict],
+        removes: list[str],
+        fence: Optional[tuple[str, int]] = None,
+        lineage: Optional[dict] = None,
+        new_schema: Optional[TableSchema] = None,
+        op: str = "merge",
+    ) -> int:
+        entry: dict = {"op": op}
+        if adds:
+            entry["adds"] = adds
+        if removes:
+            entry["removes"] = removes
+        if fence is not None:
+            entry["fence"] = {"app_id": fence[0], "batch_id": fence[1]}
+        if lineage is not None:
+            entry["lineage"] = lineage
+        if new_schema is not None:
+            entry["schema"] = new_schema.to_json()
+        version = snap.version + 1
+        self._write_commit(version, entry)
+        return version
+
+    # ---------------------------------------------------------- evolution
+
+    def evolve(self, transforms: list[FieldTransform]) -> TableSchema:
+        """Apply a catalog diff as a metadata-only commit (no file rewrite)."""
+        snap = self.snapshot()
+        new_schema = apply_transforms(snap.schema, transforms)
+        self.commit(snap, adds=[], removes=[], new_schema=new_schema, op="evolve")
+        return new_schema
+
+    # ------------------------------------------------------------- writes
+
+    def bucket_expr(self, snap: Snapshot):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in snap.bucket_cols]), F.lit(snap.n_buckets)
+        )
+
+    def write_data_files(
+        self, snap: Snapshot, df: DataFrame, n_out_partitions: Optional[int] = None
+    ) -> list[dict]:
+        """Write rows (payload + meta cols, with ``_b`` bucket col already
+        attached) under a fresh commit subdir; return add-entries. Row counts
+        come from parquet footers (no extra Spark job)."""
+        sub = uuid.uuid4().hex
+        out = os.path.join(self.path, _DATA_DIR, sub)
+        writer = df
+        if n_out_partitions:
+            writer = df.repartition(n_out_partitions, "_b")
+        writer.write.partitionBy("_b").parquet(out, compression="zstd")
+        adds = []
+        for root, _dirs, names in os.walk(out):
+            for nm in names:
+                if not nm.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, nm)
+                bucket = int(os.path.basename(root).split("=")[1])
+                rows = pq.ParquetFile(p).metadata.num_rows
+                rel = os.path.relpath(p, self.path)
+                adds.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "schema_id": snap.current_schema_id,
+                        "rows": rows,
+                    }
+                )
+        return adds
+
+    def append(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
+        """Blind append (bronze / destination_sync_mode=append, K7)."""
+        snap = self.snapshot()
+        prepared = self._conform(df, snap).withColumn("_b", self.bucket_expr(snap))
+        prepared = prepared.withColumn(
+            META_LSN,
+            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
+        ).withColumn(META_DELETED, F.lit(False))
+        adds = self.write_data_files(snap, prepared)
+        return self.commit(snap, adds, [], op="append")
+
+    def overwrite(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
+        """Full-refresh overwrite (D9): replace all files in one commit."""
+        snap = self.snapshot()
+        prepared = self._conform(df, snap).withColumn("_b", self.bucket_expr(snap))
+        prepared = prepared.withColumn(
+            META_LSN,
+            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
+        ).withColumn(META_DELETED, F.lit(False))
+        adds = self.write_data_files(snap, prepared)
+        return self.commit(snap, adds, list(snap.files), op="overwrite")
+
+    def _conform(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        """Project/cast a frame onto the current schema (null-pad missing)."""
+        cols = []
+        for fs in snap.schema.fields:
+            if fs.name in df.columns:
+                cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
+            else:
+                cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+        return df.select(*cols)
+
+    # -------------------------------------------------------------- reads
+
+    def read(
+        self,
+        buckets: Optional[Sequence[int]] = None,
+        include_meta: bool = False,
+        include_deleted: bool = False,
+        snap: Optional[Snapshot] = None,
+    ) -> DataFrame:
+        """Current-snapshot scan. Old-schema file groups are projected onto
+        the current schema by field uid (rename/widen/null-pad), then
+        union-by-name'd — the scan stays fully columnar/JVM-side."""
+        snap = snap or self.snapshot()
+        cur = snap.schema
+        groups: dict[int, list[str]] = {}
+        for path, meta in snap.files.items():
+            if buckets is not None and meta["bucket"] not in buckets:
+                continue
+            groups.setdefault(meta["schema_id"], []).append(
+                os.path.join(self.path, path)
+            )
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(groups.items()):
+            file_schema = snap.schemas[sid]
+            struct = file_schema.to_struct()
+            # meta cols are physical in every data file
+            read_struct = struct.add(META_LSN, "long").add(META_DELETED, "boolean")
+            raw = self.spark.read.schema(read_struct).parquet(*paths)
+            by_uid = file_schema.by_uid()
+            cols = []
+            for fs in cur.fields:
+                src = by_uid.get(fs.uid)
+                if src is None:
+                    cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+                elif src.dtype == fs.dtype and src.name == fs.name:
+                    cols.append(F.col(fs.name))
+                else:
+                    cols.append(F.col(src.name).cast(fs.dtype).alias(fs.name))
+            cols += [F.col(META_LSN), F.col(META_DELETED)]
+            parts.append(raw.select(*cols))
+        if not parts:
+            struct = cur.to_struct().add(META_LSN, "long").add(META_DELETED, "boolean")
+            parts = [self.spark.createDataFrame([], struct)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if not include_deleted:
+            df = df.filter(~F.col(META_DELETED))
+        if not include_meta:
+            df = df.drop(META_LSN, META_DELETED)
+        return df
+
+    # ------------------------------------------------------------ lineage
+
+    def lineage_df(self) -> DataFrame:
+        snap = self.snapshot()
+        if not snap.lineage:
+            return self.spark.createDataFrame(
+                [],
+                "version long, app_id string, batch_id long, rows_in long, "
+                "rows_upserted long, rows_deleted long, max_lsn long, epoch long",
+            )
+        rows = [
+            {
+                "version": x.get("version"),
+                "app_id": x.get("app_id"),
+                "batch_id": x.get("batch_id"),
+                "rows_in": x.get("rows_in"),
+                "rows_upserted": x.get("rows_upserted"),
+                "rows_deleted": x.get("rows_deleted"),
+                "max_lsn": x.get("max_lsn"),
+                "epoch": x.get("epoch"),
+            }
+            for x in snap.lineage
+        ]
+        return self.spark.createDataFrame(rows)

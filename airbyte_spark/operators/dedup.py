@@ -1,0 +1,139 @@
+"""Dedup / SCD operators — the reference's core "aggregation" (SURVEY §2.3).
+
+Reference semantics being re-expressed (not translated):
+
+* D1 cursor resolution order: configured cursor, else ``_ab_cdc_updated_at``,
+  else ``_airbyte_emitted_at`` (stream_processor.py:1005-1029).
+* D2 SCD2 window: ``lag(cursor) over (partition by pk order by cursor desc,
+  _ab_cdc_updated_at desc, _airbyte_emitted_at desc)`` -> end_at;
+  ``row_number()=1 and _ab_cdc_deleted_at is null`` -> active_row
+  (stream_processor.py:876-891).
+* D3 intra-batch exact-dup elimination (stream_processor.py:965-1003).
+* D4 final-table projection: active rows only (stream_processor.py:297-314).
+
+Scale notes (100 TB design point):
+* ``latest_per_key`` deliberately uses ``max_by`` aggregation instead of a
+  row_number window: hash aggregation gets a map-side partial combine, so the
+  shuffle carries at most one row per (key, mapper) instead of every change
+  event — on a 10^10-event feed with heavy update skew this is the difference
+  between shuffling 10^10 rows and ~10^8. A window would sort entire hot
+  partitions.
+* ``scd2`` keeps the window form because history (lag/end_at) genuinely needs
+  per-key ordering; it is only used for SCD2 outputs, never on the hot
+  upsert path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resolve_order_cols(df: DataFrame, cursor: Optional[str]) -> list[str]:
+    """D1: cursor fallback chain (stream_processor.py:1005-1029)."""
+    cols: list[str] = []
+    if cursor and cursor in df.columns:
+        cols.append(cursor)
+    for c in ("_ab_cdc_updated_at", "_ab_cdc_log_pos", "_airbyte_emitted_at"):
+        if c in df.columns and c not in cols:
+            cols.append(c)
+    if not cols:
+        raise ValueError("no usable ordering column for dedup")
+    return cols
+
+
+def _order_struct(df: DataFrame, order_cols: Sequence[str]) -> Column:
+    # Coalesce nulls low so struct comparison is total (matches the
+    # reference's null-first DESC ordering: nulls lose).
+    parts = []
+    for c in order_cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt.startswith("timestamp"):
+            parts.append(F.coalesce(F.col(c), F.to_timestamp(F.lit("1900-01-01"))))
+        elif dt in ("bigint", "int", "smallint", "tinyint", "double", "float"):
+            parts.append(F.coalesce(F.col(c), F.lit(-(2 ** 62)).cast(df.schema[c].dataType)))
+        else:
+            parts.append(F.coalesce(F.col(c), F.lit("")))
+    return F.struct(*parts)
+
+
+def latest_per_key(
+    df: DataFrame,
+    pk: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keep the single highest-(order_cols) row per pk.
+
+    Implemented as ``max_by(struct(payload), struct(order))`` groupBy — a hash
+    aggregate with map-side partial combine (see module docstring), NOT a
+    window sort. Ties beyond order_cols are impossible in a WAL (LSN is
+    unique); exact duplicate (pk, lsn) rows are identical, so max_by is
+    deterministic for them.
+    """
+    payload_cols = [c for c in (payload_cols or df.columns) if c not in pk]
+    ord_struct = _order_struct(df, order_cols)
+    agg = df.groupBy(*pk).agg(
+        F.max_by(F.struct(*payload_cols), ord_struct).alias("_top")
+    )
+    return agg.select(*pk, *[F.col(f"_top.{c}").alias(c) for c in payload_cols])
+
+
+def intra_batch_dedup(df: DataFrame, pk: Sequence[str], cursor: str) -> DataFrame:
+    """D3: drop exact duplicate (pk, cursor) events (at-least-once feed)."""
+    return df.dropDuplicates([*pk, cursor])
+
+
+def scd2(
+    df: DataFrame,
+    pk: Sequence[str],
+    cursor: str,
+    deleted_col: str = "_ab_cdc_deleted_at",
+    emitted_col: str = "_airbyte_emitted_at",
+) -> DataFrame:
+    """D2/D3: full SCD Type-2 projection with Airbyte's metadata columns.
+
+    Output adds: _airbyte_unique_key (md5 of pks), _airbyte_start_at,
+    _airbyte_end_at, _airbyte_active_row — exactly the reference's column set
+    (stream_processor.py:815-848).
+    """
+    order = [F.col(cursor).desc_nulls_last()]
+    if "_ab_cdc_updated_at" in df.columns and cursor != "_ab_cdc_updated_at":
+        order.append(F.col("_ab_cdc_updated_at").desc_nulls_last())
+    if emitted_col in df.columns:
+        order.append(F.col(emitted_col).desc_nulls_last())
+    w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order)
+
+    uk = F.md5(
+        F.concat_ws("-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk])
+    )
+    out = (
+        df.withColumn("_airbyte_unique_key", uk)
+        .withColumn("_airbyte_start_at", F.col(cursor))
+        .withColumn("_airbyte_end_at", F.lag(F.col(cursor)).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    active = (F.col("_rn") == 1) & (
+        F.col(deleted_col).isNull() if deleted_col in df.columns else F.lit(True)
+    )
+    return out.withColumn("_airbyte_active_row", active.cast("int")).drop("_rn")
+
+
+def final_table(scd: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
+    """D4: active rows only, payload columns."""
+    return scd.filter(F.col("_airbyte_active_row") == 1).select(*payload_cols)
+
+
+def surrogate_hash_id(df: DataFrame, cols: Sequence[str], out: str) -> DataFrame:
+    """P7: md5(concat_ws over coalesced casts) — dbt_utils.surrogate_key
+    semantics (stream_processor.py:667-696)."""
+    return df.withColumn(
+        out,
+        F.md5(
+            F.concat_ws(
+                "-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+            )
+        ),
+    )
