@@ -267,13 +267,16 @@ def diff_schemas(
         else:
             ofs = old_by_name[f.name]
             if ofs.dtype != f.dataType:
-                if f.name in protected:
+                widen = is_widening(ofs.dtype, f.dataType)
+                # lossless widens of pk/cursor are fine (FIXTURES.md E3 widens
+                # the pk member turn_idx); anything lossy on them breaks
+                if f.name in protected and not widen:
                     raise BreakingChangeError(
                         f"type change of pk/cursor field '{f.name}' "
                         f"({ofs.dtype.simpleString()} -> {f.dataType.simpleString()}) "
                         "breaks the stream"
                     )
-                kind = "widen" if is_widening(ofs.dtype, f.dataType) else "incompatible"
+                kind = "widen" if widen else "incompatible"
                 transforms.append(
                     FieldTransform(kind, f.name, old_type=ofs.dtype, new_type=f.dataType)
                 )

@@ -340,25 +340,24 @@ class LakeTable:
 
     # ------------------------------------------------------------ lineage
 
+    _LINEAGE_SCHEMA = (
+        "version long, app_id string, batch_id long, rows_in long, "
+        "rows_upserted long, rows_deleted long, max_lsn long, epoch long"
+    )
+
     def lineage_df(self) -> DataFrame:
         snap = self.snapshot()
-        if not snap.lineage:
-            return self.spark.createDataFrame(
-                [],
-                "version long, app_id string, batch_id long, rows_in long, "
-                "rows_upserted long, rows_deleted long, max_lsn long, epoch long",
-            )
         rows = [
-            {
-                "version": x.get("version"),
-                "app_id": x.get("app_id"),
-                "batch_id": x.get("batch_id"),
-                "rows_in": x.get("rows_in"),
-                "rows_upserted": x.get("rows_upserted"),
-                "rows_deleted": x.get("rows_deleted"),
-                "max_lsn": x.get("max_lsn"),
-                "epoch": x.get("epoch"),
-            }
+            (
+                x.get("version"),
+                x.get("app_id"),
+                x.get("batch_id"),
+                x.get("rows_in"),
+                x.get("rows_upserted"),
+                x.get("rows_deleted"),
+                x.get("max_lsn"),
+                x.get("epoch"),
+            )
             for x in snap.lineage
         ]
-        return self.spark.createDataFrame(rows)
+        return self.spark.createDataFrame(rows, self._LINEAGE_SCHEMA)

@@ -1,0 +1,58 @@
+"""Batch replay plan — the whole normalization chain as ONE DataFrame expression.
+
+Equivalent of the reference's EP3 dbt chain (SURVEY §3):
+``from_json/cast -> canonicalize -> window-dedup -> final table`` collapsed
+into a single Catalyst plan, used (a) as the single-shot oracle path against
+which streaming replay is verified and (b) as the bulk-backfill entry point
+(initial CDC snapshot, S4).
+
+At 100 TB this is one scan + one hash aggregation: the ``latest_per_key``
+map-side combine means the shuffle carries ~|keys| rows, not |events| rows,
+and the parquet scan prunes to the selected columns (check with
+``.explain``: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import canonicalize_udf
+from ..operators.dedup import latest_per_key
+from ..schemas import CHANGE_STRUCT, ORDER_COLS, PK
+
+
+def prepare_changes(df: DataFrame, canonicalize: bool = True) -> DataFrame:
+    """P4/P5/P6 for the change feed: typed columns are already parquet-typed;
+    canonicalize the text payload (vectorized pandas UDF — the only Python)."""
+    if canonicalize and "text" in df.columns:
+        df = df.withColumn("text", canonicalize_udf(F.col("text")))
+    return df
+
+
+def batch_replay(
+    spark: SparkSession,
+    feed_dir: str,
+    payload_cols: Optional[Sequence[str]] = None,
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Replay an entire feed directory in one batch; returns the final table
+    (deleted keys excluded), sorted-free (caller orders)."""
+    raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{feed_dir}/*.parquet")
+    return replay_df(raw, payload_cols=payload_cols, canonicalize=canonicalize)
+
+
+def replay_df(
+    raw: DataFrame,
+    payload_cols: Optional[Sequence[str]] = None,
+    canonicalize: bool = True,
+) -> DataFrame:
+    prepared = prepare_changes(raw, canonicalize=canonicalize)
+    top = latest_per_key(prepared, PK, ORDER_COLS)
+    alive = top.filter(F.col("_ab_cdc_deleted_at").isNull())
+    cols = payload_cols or [
+        c for c in prepared.columns if not c.startswith("_ab_") and c != "_airbyte_emitted_at"
+    ]
+    return alive.select(*cols)

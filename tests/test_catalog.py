@@ -117,16 +117,26 @@ def test_breaking_changes_rejected():
     new = T.StructType([T.StructField("conv_id", T.StringType())])
     with pytest.raises(BreakingChangeError):
         diff_schemas(old, new, primary_key=["conv_id", "turn_idx"])
-    # retyping the cursor breaks
+    # losslessly widening the cursor is allowed (FIXTURES.md E3)
     new2 = T.StructType(
         [
             T.StructField("conv_id", T.StringType()),
-            T.StructField("turn_idx", T.DoubleType()),
+            T.StructField("turn_idx", T.LongType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+    ts = diff_schemas(old, new2, primary_key=["conv_id"], cursor_field="turn_idx")
+    assert [(t.kind, t.name) for t in ts] == [("widen", "turn_idx")]
+    # a LOSSY retype of a pk member breaks
+    new3 = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),  # string -> long: lossy
+            T.StructField("turn_idx", T.IntegerType()),
             T.StructField("tool", T.StringType()),
         ]
     )
     with pytest.raises(BreakingChangeError):
-        diff_schemas(old, new2, primary_key=["conv_id"], cursor_field="turn_idx")
+        diff_schemas(old, new3, primary_key=["conv_id"])
 
 
 def test_schema_json_roundtrip():
