@@ -79,7 +79,7 @@ def bootstrap_table(
 def _process_batch(table: LakeTable, cfg: ReplayConfig):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = prepare_changes(batch_df, canonicalize=cfg.canonicalize)
-        merge_batch(
+        stats = merge_batch(
             table,
             batch,
             ORDER_COLS,
@@ -87,6 +87,11 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig):
             batch_id=batch_id,
             epoch=cfg.epoch,
         )
+        if stats.skipped:
+            # fenced re-delivery: still drain every partition so the upstream
+            # stateful operator (dropDuplicatesWithinWatermark) can commit its
+            # state stores — Spark validates this since 4.x
+            batch_df.write.format("noop").mode("overwrite").save()
         if cfg.fault is not None:
             cfg.fault(batch_id)
 
