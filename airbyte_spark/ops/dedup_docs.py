@@ -1,0 +1,201 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the standard pretraining-corpus dedup ladder.
+
+Design for 100 TB:
+* Exact dedup groups on ``md5(text)`` (16-byte key), never on raw text — the
+  shuffle carries hashes, not documents, and map-side partial aggregation
+  collapses per-mapper duplicates before the exchange.
+* Jaccard runs shingle-inverted-index style (explode distinct shingles,
+  equi-join on shingle, count per pair) — the classic "similarity join via
+  inverted index"; no cross join anywhere.
+* MinHash+LSH replaces the quadratic candidate space with band-bucket
+  equi-joins: k=12 signatures, 6 bands of width 2; only pairs sharing a band
+  ever meet in a shuffle. This is the only approach that survives 10^9 docs.
+* SimHash reduces every document to one int64; candidate pairing is a
+  bit_count(xor) over a (optionally band-bucketed) join.
+* All hashing is md5-based (see hashing.py) so a SQL oracle can reproduce
+  results exactly.
+
+No Python UDFs anywhere — every operator is built-in column expressions, so
+the whole path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60
+
+MINHASH_K = 12
+MINHASH_BAND_WIDTH = 2
+SIMHASH_BITS = 60
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Group identical texts; keep the smallest doc_id as canonical.
+
+    Returns (text_md5, keep_doc_id, dup_cnt) — one row per distinct text.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count("*").cast("long").alias("dup_cnt"),
+        )
+    )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a *materialized* token-array column.
+
+    Takes the token array (not raw text) so the split runs once per row —
+    an expression inside the transform lambda would be re-evaluated per
+    sequence element, turning shingling O(tokens) into O(tokens²)."""
+    n = F.size(toks) - (k - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded inverted-index input."""
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim("text"), r"\s+").alias("_toks"),
+    )
+    return toked.select(
+        "doc_id", F.explode(word_shingles(F.col("_toks"), k)).alias("sh")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold.
+
+    Inverted-index similarity join: pairs that share zero shingles never
+    materialize. Output (doc_a, doc_b, common, jaccard).
+    """
+    sh = shingle_table(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    j = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "common", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k MinHash values per doc: sig_j = min over shingles of H(j ':' shingle).
+
+    One groupBy with k min() aggregates — a single shuffle with map-side
+    combine; the j-salted md5 plays the role of k independent hash functions
+    and is reproducible in any engine with md5.
+    """
+    sh = shingle_table(docs)
+    aggs = [
+        F.min(h60(F.concat_ws(":", F.lit(str(j)), F.col("sh")))).alias(f"s{j}")
+        for j in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = MINHASH_K, band_width: int = MINHASH_BAND_WIDTH
+) -> DataFrame:
+    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
+
+    Output (doc_a, doc_b, shared_bands). At scale this is the whole point of
+    MinHash: the join key is (band_idx, band_key) — a bounded-fanout
+    equi-join, never O(n²).
+    """
+    sig = minhash_signatures(docs, k)
+    n_bands = k // band_width
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"s{b * band_width + r}") for r in range(band_width)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+    return (
+        bt.alias("a")
+        .join(
+            bt.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens.
+
+    bit b of the signature = 1 iff more token-hashes have bit b set than not.
+    Expressed as explode(token) × explode(bit) → two hash aggregations —
+    shuffles carry (doc_id, bit) longs only, never text.
+    """
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("t"),
+    ).withColumn("h", h60(F.col("t")))
+    bitrows = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).withColumn("v", F.expr("(shiftright(h, b) & 1) * 2 - 1"))
+    per_bit = bitrows.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+
+    Local/small-corpus form uses a self-join on the signature table (one
+    int64 per doc, so even 10^8 docs is ~1 GB broadcastable state); the
+    10^10-doc path would band the 60 bits into 4 × 15-bit prefixes and
+    equi-join on band value (any pair within hamming 3 shares ≥1 exact band
+    — pigeonhole), reusing minhash_lsh_candidates' shape.
+    """
+    sig = simhash_signatures(docs, bits)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, mirroring how a real 100 TB ANN pipeline is built:
+
+* ``cosine_topk`` — brute-force baseline: broadcast the (small) query set,
+  score every corpus vector, window-topk per query. Exact; the corpus side
+  is a map-only scan so it scales linearly with executors; the only shuffle
+  is the per-query top-k (tiny: k rows per query per partition after the
+  partial sort).
+* ``label_blocked_near_dup`` — IVF-style: vectors are pre-assigned to a
+  coarse cluster (here the `label` column stands in for the IVF cell id);
+  candidate pairs only form within a cell, turning O(n²) into
+  Σ_cell O(|cell|²).
+* ``sign_lsh_buckets`` / ``sign_lsh_near_dup`` — random-hyperplane-LSH
+  family member using axis-aligned hyperplanes (sign of coordinate j): a
+  16-bit bucket id per vector, candidates meet only inside a bucket.
+
+All arithmetic folds the array left-to-right in double precision via
+``F.zip_with``/``F.aggregate`` (built-in higher-order functions, JVM-side),
+which makes the scores reproducible bit-for-bit in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first `n_queries` vectors.
+
+    Query side is broadcast (it is tiny by construction); ranking is on the
+    6-dp-rounded score with vec_id as total tiebreak so results are
+    engine-independent.
+    """
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    targets = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("t"))
+    scored = (
+        targets.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q"), F.col("t")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def label_blocked_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """IVF-style near-duplicate pairs: candidates only within the same
+    coarse cluster (`label`), verified by exact cosine ≥ threshold."""
+    v = emb.select("vec_id", "label", "embedding")
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").cast("long").alias("label"),
+            "cos",
+        )
+    )
+
+
+def sign_bucket(emb_col: Column, n_bits: int = 16) -> Column:
+    """Axis-aligned hyperplane LSH bucket: bit j = sign(v[j] > 0)."""
+    bucket = F.lit(0).cast("long")
+    for j in range(n_bits):
+        bucket = bucket + F.when(emb_col[j] > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def sign_lsh_buckets(emb: DataFrame, n_bits: int = 16) -> DataFrame:
+    """(vec_id, bucket) assignment table."""
+    return emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"),
+    )
+
+
+def sign_lsh_near_dup(emb: DataFrame, n_bits: int = 8, threshold: float = 0.3) -> DataFrame:
+    """LSH-bucketed near-dup: candidates share a sign-bucket (equi-join on
+    bucket id — the scale path), verified by exact cosine."""
+    v = emb.select("vec_id", "embedding").withColumn(
+        "bucket", sign_bucket(F.col("embedding"), n_bits)
+    )
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            "cos",
+        )
+    )

@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data curation over a `documents`
+table (doc_id, text, ...): language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything is built from JVM-side ``pyspark.sql.functions`` (split / filter /
+transform / regexp) — zero Python in the data path, so the whole stage stays
+inside whole-stage codegen and scales linearly with input bytes. At 100 TB
+these are embarrassingly parallel map-only stages: no shuffle at all (the
+plans are scan → project), so they scale with executor count by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import h60
+
+# Marker stopwords per language for the n-gram/stopword language heuristic.
+# Tiny by design: the heuristic must be decidable and portable (the same CASE
+# chain runs in the DuckDB oracle), not a real langid model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "und", "die", "das"],
+    "fr": ["le", "et", "les", "la"],
+    "es": ["el", "y", "los", "que"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+# Kept RE2-compatible (no lookarounds) so the oracle regex is identical.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of a trimmed string column."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def count_token(toks: Column, word: str) -> Column:
+    """How many tokens equal `word` (exact match, case-sensitive)."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("long")
+
+
+def marker_counts(toks: Column) -> dict[str, Column]:
+    """Per-language marker-stopword hit counts."""
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        c = None
+        for w in words:
+            cc = count_token(toks, w)
+            c = cc if c is None else c + cc
+        out[lang] = c.alias(f"{lang}_cnt")
+    return out
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """doc_id, per-language marker counts, lang_guess.
+
+    The token array and per-language counts are materialized in nested
+    selects so each is evaluated once per row (lambda bodies can't share
+    subexpressions with the outer projection)."""
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), tokens(F.col("text")).alias("_toks")
+    )
+    counts = marker_counts(F.col("_toks"))
+    counted = toked.select(
+        "doc_id", *[counts[k].alias(f"{k}_cnt") for k in ("en", "de", "fr", "es")]
+    )
+    en, de, fr, es = [F.col(f"{k}_cnt") for k in ("en", "de", "fr", "es")]
+    guess = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return counted.select(
+        "doc_id", "en_cnt", "de_cnt", "fr_cnt", "es_cnt", guess.alias("lang_guess")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / alpha-ratio / stopword-ratio quality features + composite.
+
+    Mirrors the usual pretraining-corpus quality filters (C4/Gopher-style
+    length+symbol heuristics) as pure column expressions; raw counts are
+    materialized once, ratios derive from the materialized columns.
+    """
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    stop = None
+    for w in EN_STOPWORDS:
+        c = count_token(F.col("_toks"), w)
+        stop = c if stop is None else stop + c
+    base = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long").alias("_alpha"),
+        stop.alias("_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("_alpha") / F.col("n_chars"), 6).alias("alpha_ratio"),
+        F.round(F.col("_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.round(
+            F.col("_alpha") / F.col("n_chars") * 0.5
+            + F.col("_stop") / F.col("n_tokens") * 0.3
+            + F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(BPE_REGEX)).cast("long").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprint: the minimum 60-bit
+    hash over all `window`-char shingles. Robust to local edits (a single
+    edit only perturbs `window` shingles), unlike a whole-document md5."""
+    n = F.greatest(F.length("text") - (window - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: h60(F.col("text").substr(i, F.lit(window))),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_min(sh).alias("fingerprint"),
+    )

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline CDC replay + pipeline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "replay_events_per_sec": ..., "replay_events": ...}
+
+The headline is the end-to-end CDC replay: a generated WAL feed
+(~1M change events at sf0.1, scaled by sf) -> canonicalize (pandas UDF)
+-> latest-per-key dedup -> final-table parquet sink. Feed generation is
+cached under /tmp and excluded from timing.
+
+Scaling evidence (local[8] vs local[32]) lives in tools/scaling_bench.py
+-> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+try:
+    SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
+except ValueError:
+    SF = 0.1
+
+# WAL feed sized so sf0.1 replays ~1M change events.
+FEED_CONVS = max(int(600_000 * SF), 500)
+FEED_UPDATES = max(int(4_000_000 * SF), 2_000)
+FEED_DELETES = FEED_UPDATES // 20
+
+HEADLINE_QUERIES = [
+    "cdc_latest_per_key",
+    "cdc_replay_final_state",
+    "cdc_scd2_history",
+    "cdc_surrogate_hash",
+    "text_token_count",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "multimodal_meta",
+]
+
+
+def get_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName(f"airbyte-spark-bench-{cpus}")
+        .getOrCreate()
+    )
+
+
+def ensure_feed() -> tuple[str, int]:
+    """Generate (once) the deterministic WAL feed for this sf; return
+    (dir, n_events)."""
+    from airbyte_spark.feedgen import FeedSpec, generate_feed
+
+    spec = FeedSpec(
+        n_convs=FEED_CONVS,
+        turns_per_conv=8,
+        n_updates=FEED_UPDATES,
+        n_deletes=FEED_DELETES,
+        dup_rate=0.02,
+        late_rate=0.02,
+        hot_fraction=0.05,
+        n_segments=max(CPUS, 8),
+        seed=42,
+    )
+    feed_dir = f"/tmp/airbyte_spark_bench/feed_c{spec.n_convs}_u{spec.n_updates}"
+    marker = os.path.join(feed_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return feed_dir, int(f.read().strip())
+    shutil.rmtree(feed_dir, ignore_errors=True)
+    ev = generate_feed(feed_dir, spec)
+    with open(marker, "w") as f:
+        f.write(str(len(ev)))
+    return feed_dir, len(ev)
+
+
+def run_replay(spark, feed_dir: str) -> float:
+    """End-to-end batch CDC replay -> parquet sink; returns wall seconds."""
+    from airbyte_spark.plans.replay import batch_replay
+
+    out = "/tmp/airbyte_spark_bench/replay_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    batch_replay(spark, feed_dir).write.mode("overwrite").parquet(out)
+    return time.time() - t0
+
+
+def force(df) -> int:
+    """Fully evaluate a DataFrame (hash every column so nothing is pruned)."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.count_if(F.xxhash64(*df.columns) % 2 == 0)).collect()
+    return 0
+
+
+def main():
+    import __spark_entry__ as entry_mod
+
+    replay_only = "--replay-only" in sys.argv
+
+    feed_dir, n_events = ensure_feed()
+    spark = get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    replay_sec = run_replay(spark, feed_dir)
+    if replay_only:
+        # second, timed-only run on the warmed JVM (scaling measurements)
+        replay_sec = run_replay(spark, feed_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_replay",
+                    "value": round(replay_sec, 3),
+                    "unit": "sec",
+                    "sf": SF,
+                    "replay_events": n_events,
+                    "replay_events_per_sec": round(n_events / replay_sec, 1),
+                    "cpus": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = replay_sec
+    for name in HEADLINE_QUERIES:
+        t0 = time.time()
+        force(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        total += timings[name]
+    timings["cdc_replay"] = round(replay_sec, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_pipeline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "replay_events": n_events,
+                "replay_events_per_sec": round(n_events / replay_sec, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Tests for the training-data pipeline operators (airbyte_spark/ops/*).
+
+Strategy mirrors the repo's oracle-first approach: small in-memory corpora
+with hand-computable expected values; cross-engine hash portability is
+asserted against known md5 digests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
+from airbyte_spark.ops.hashing import h60
+from airbyte_spark.ops.multimodal import attach_fake_payload, decode_image, extract_media_meta
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat sat on the mat"),  # exact dup of 1
+    (3, "the cat sat on the big mat"),  # near dup of 1
+    (4, "der hund und die katze und das haus"),
+    (5, "completely different words entirely here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_h60_matches_md5(spark):
+    row = spark.range(1).select(h60(F.lit("abc")).alias("h")).collect()[0]
+    expected = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert row.h == expected == 648541476951500027
+
+
+def test_exact_dedup(docs):
+    out = {r.text_md5: r for r in dedup_docs.exact_dedup(docs).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup pair
+    dup = out[hashlib.md5(b"the cat sat on the mat").hexdigest()]
+    assert dup.keep_doc_id == 1 and dup.dup_cnt == 2
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_docs.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {
+        (r.doc_a, r.doc_b): r.shared_bands
+        for r in dedup_docs.minhash_lsh_candidates(docs).collect()
+    }
+    assert cands[(1, 2)] == 6  # identical docs share every band
+    assert (4, 5) not in cands  # dissimilar docs never become candidates
+
+
+def test_simhash_hamming(docs):
+    sig = {r.doc_id: r.simhash for r in dedup_docs.simhash_signatures(docs).collect()}
+    assert sig[1] == sig[2]  # identical text -> identical signature
+    assert 0 <= bin(sig[1] ^ sig[3]).count("1") <= 20  # near dup: small distance
+    assert all(0 <= s < 2**60 for s in sig.values())
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_docs.simhash_pairs(docs, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_language_id(docs):
+    out = {r.doc_id: r for r in text_analysis.language_id(docs).collect()}
+    assert out[1].lang_guess == "en" and out[1].en_cnt == 2
+    assert out[4].lang_guess == "de" and out[4].de_cnt == 5
+    assert out[5].lang_guess == "und"
+
+
+def test_quality_and_tokens(docs):
+    q = {r.doc_id: r for r in text_analysis.quality_score(docs).collect()}
+    assert q[1].n_tokens == 6 and q[1].n_chars == 22
+    # "the" x2 + "on" ... stopwords: the,the,on -> wait EN_STOPWORDS has no "on"
+    t = {r.doc_id: r for r in text_analysis.token_count(docs).collect()}
+    assert t[1].ws_tokens == 6 and t[1].bpe_tokens == 6
+
+
+def test_fingerprint_shift_invariance(spark):
+    # same content prefixed by an edit far away keeps the same min-shingle
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "abcdefghijklmnopqrstuvwxyz!!")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in text_analysis.fingerprint(df).collect()}
+    # doc 2 adds shingles but the min over shared shingles can only decrease
+    assert fps[2] <= fps[1]
+
+
+EMB = [
+    (0, [1.0, 0.0, 0.0], 0),
+    (1, [0.9, -0.1, 0.0], 0),  # near dup of 0 (same sign-bucket: only dim 0 positive)
+    (2, [0.0, 1.0, 0.0], 0),
+    (3, [0.0, 0.0, 1.0], 1),
+    (4, [-1.0, 0.0, 0.0], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    return spark.createDataFrame(EMB, schema)
+
+
+def test_cosine_topk(emb):
+    out = emb_ops.cosine_topk(emb, n_queries=1, k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+    assert out[0].cos == pytest.approx(0.993884, abs=1e-6)
+
+
+def test_label_blocked_near_dup(emb):
+    out = emb_ops.label_blocked_near_dup(emb, threshold=0.9).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [(0, 1)]
+    # cross-label pair (0,4) is anti-parallel AND blocked by label anyway
+
+
+def test_sign_lsh_bucketing(emb):
+    b = {r.vec_id: r.bucket for r in emb_ops.sign_lsh_buckets(emb, n_bits=3).collect()}
+    assert b[0] == 0b001 and b[2] == 0b010 and b[4] == 0
+    out = emb_ops.sign_lsh_near_dup(emb, n_bits=3, threshold=0.5).collect()
+    assert [(r.vec_a, r.vec_b) for r in out] == [(0, 1)]
+
+
+def test_multimodal_plumbing(docs):
+    meta = {r.doc_id: r for r in extract_media_meta(attach_fake_payload(docs)).collect()}
+    assert meta[1].n_bytes == 22
+    assert meta[1].content_md5 == hashlib.md5(b"the cat sat on the mat").hexdigest()
+    assert meta[1].media_kind == "image"
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
