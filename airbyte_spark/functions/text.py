@@ -44,16 +44,19 @@ def canonicalize_pandas(s: pd.Series) -> pd.Series:
     mask = s.notna()
     out = s.copy()
     # str accessor keeps everything in C where possible; the NFKD pass has no
-    # vectorized pandas form, so it runs via .map on the non-null slice only.
+    # vectorized pandas form, so it runs via .map on the non-ASCII slice only
+    # (NFKD + combining-mark strip is the identity on pure ASCII).
     vals = s[mask].astype(str)
     vals = vals.str.replace(_CTRL, "", regex=True)
-    vals = vals.map(
-        lambda x: "".join(
-            ch
-            for ch in unicodedata.normalize("NFKD", x)
-            if not unicodedata.combining(ch)
+    nonascii = vals.str.contains(r"[^\x00-\x7f]", regex=True)
+    if nonascii.any():
+        vals[nonascii] = vals[nonascii].map(
+            lambda x: "".join(
+                ch
+                for ch in unicodedata.normalize("NFKD", x)
+                if not unicodedata.combining(ch)
+            )
         )
-    )
     vals = vals.str.replace(_WS, " ", regex=True).str.strip()
     out[mask] = vals
     out[out == ""] = None

@@ -31,7 +31,7 @@ Scale shape (the part that must survive 100 TB):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +58,7 @@ def merge_batch(
     batch_id: int = 0,
     epoch: Optional[int] = None,
     snap: Optional[Snapshot] = None,
+    post_collapse: Optional[Callable[[DataFrame], DataFrame]] = None,
 ) -> MergeStats:
     snap = snap or table.snapshot()
     last = snap.fences.get(app_id)
@@ -67,8 +68,12 @@ def merge_batch(
     pk = snap.primary_key
 
     # 1. collapse the (at-least-once, possibly duplicated) batch to the
-    #    winning event per key — D1-D3 in one hash aggregate
+    #    winning event per key — D1-D3 in one hash aggregate. Expensive
+    #    per-row transforms (pandas-UDF canonicalization) run AFTER the
+    #    collapse via post_collapse: |keys| rows instead of |events|.
     src = latest_per_key(batch, pk, order_cols)
+    if post_collapse is not None:
+        src = post_collapse(src)
     src = src.withColumn(META_LSN, F.col(cursor).cast("long")).withColumn(
         "_src_deleted", F.col(deleted_col).isNotNull()
     )

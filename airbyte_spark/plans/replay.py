@@ -49,10 +49,15 @@ def replay_df(
     payload_cols: Optional[Sequence[str]] = None,
     canonicalize: bool = True,
 ) -> DataFrame:
-    prepared = prepare_changes(raw, canonicalize=canonicalize)
-    top = latest_per_key(prepared, PK, ORDER_COLS)
+    # Dedup FIRST, canonicalize the winners only: the winner per key depends
+    # solely on (lsn, updated_at, emitted_at), so running the pandas UDF
+    # after the collapse is semantically identical but touches |keys| rows
+    # instead of |events| — at 10^10 events with ~10^8 keys that removes
+    # ~99% of the Python-side work.
+    top = latest_per_key(raw, PK, ORDER_COLS)
     alive = top.filter(F.col("_ab_cdc_deleted_at").isNull())
+    alive = prepare_changes(alive, canonicalize=canonicalize)
     cols = payload_cols or [
-        c for c in prepared.columns if not c.startswith("_ab_") and c != "_airbyte_emitted_at"
+        c for c in raw.columns if not c.startswith("_ab_") and c != "_airbyte_emitted_at"
     ]
     return alive.select(*cols)

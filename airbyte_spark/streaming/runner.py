@@ -78,14 +78,18 @@ def bootstrap_table(
 
 def _process_batch(table: LakeTable, cfg: ReplayConfig):
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = prepare_changes(batch_df, canonicalize=cfg.canonicalize)
         stats = merge_batch(
             table,
-            batch,
+            batch_df,
             ORDER_COLS,
             app_id=cfg.app_id,
             batch_id=batch_id,
             epoch=cfg.epoch,
+            # canonicalization (pandas UDF) runs after the per-key collapse
+            # inside the merge — |keys| rows, not |events|
+            post_collapse=lambda df: prepare_changes(
+                df, canonicalize=cfg.canonicalize
+            ),
         )
         if stats.skipped:
             # fenced re-delivery: still drain every partition so the upstream
