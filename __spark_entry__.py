@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from airbyte_spark.operators.dedup import latest_per_key, scd2, surrogate_hash_id
+from airbyte_spark.operators.skew import salted_latest_per_key
+from airbyte_spark.operators.unnest import unnest_array
+from airbyte_spark.sources.declarative import record_filter, sliced_read
 from airbyte_spark.functions.text import canonicalize_udf
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
 from airbyte_spark.ops.hashing import h60_sql
@@ -158,6 +161,49 @@ def q_cdc_schema_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(new, allowMissingColumns=True)
 
 
+def q_cdc_nested_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: array unnest into a child table keyed by the parent's surrogate
+    hash id + element position (stream_processor.py child-stream contract)."""
+    d = _t(spark, sf_dir, "documents")
+    child = unnest_array(
+        d,
+        F.split(F.trim("text"), r"\s+"),
+        parent_pk=["doc_id"],
+        element_alias="token",
+        keep_cols=["doc_id"],
+        hashid_col="parent_hashid",
+    )
+    return child.select(
+        "parent_hashid", F.col("doc_id").cast("long").alias("doc_id"), "pos", "token"
+    )
+
+
+def q_cdc_record_filter_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: declarative record filter + datetime stream slicer as Catalyst
+    expressions (predicate pushes into the scan; slices = partitions)."""
+    e = _t(spark, sf_dir, "events")
+    sliced = record_filter(sliced_read(e, "ts", granularity="day"), "value >= 10")
+    return sliced.groupBy("slice_start").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_cdc_salted_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path: two-phase salted collapse — result identical to the
+    unsalted operator (winner selection is associative), but a hot key
+    spreads over n_salt reducers in phase 1."""
+    e = _t(spark, sf_dir, "events")
+    top = salted_latest_per_key(
+        e, ["user_id"], ["event_id"], n_salt=8, payload_cols=["event_id", "event_type"]
+    )
+    return top.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / canonicalization
 # ---------------------------------------------------------------------------
@@ -260,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
         "cdc_schema_union_by_name": q_cdc_schema_union_by_name,
+        "cdc_nested_unnest": q_cdc_nested_unnest,
+        "cdc_record_filter_slice": q_cdc_record_filter_slice,
+        "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -385,6 +434,30 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, CAST(NULL AS VARCHAR) AS event_type, value
             FROM events WHERE event_type = 'error'
+        """,
+        "cdc_nested_unnest": r"""
+            WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t
+                          FROM documents),
+            x AS (SELECT doc_id, unnest(list_transform(
+                      generate_series(1, len(t)),
+                      i -> struct_pack(pos := i - 1, tok := t[i]))) u
+                  FROM toks)
+            SELECT md5(CAST(doc_id AS VARCHAR)) AS parent_hashid, doc_id,
+                   CAST(u.pos AS BIGINT) AS pos, u.tok AS token
+            FROM x
+        """,
+        "cdc_record_filter_slice": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS slice_start,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events WHERE value >= 10
+            GROUP BY 1
+        """,
+        "cdc_salted_latest_per_key": """
+            SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                          ORDER BY event_id DESC) rn FROM events)
+            WHERE rn = 1
         """,
         "text_canonicalize": r"""
             SELECT doc_id,

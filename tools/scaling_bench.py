@@ -22,8 +22,16 @@ from datetime import datetime, timezone
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+FEED_SCALE = os.environ.get("SPARK_GRAFT_FEED_SCALE", "8")
+
+
 def run_once(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_FEED_SCALE=FEED_SCALE,
+    )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--replay-only"],
         env=env,
