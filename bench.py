@@ -66,7 +66,7 @@ def cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
-def wait_for_quiet_host(threshold: float = 1.0, max_wait: int = 900) -> float:
+def wait_for_quiet_host(threshold: float = 3.0, max_wait: int = 300) -> float:
     """Block until cpu_calibration() is below threshold (or max_wait)."""
     t0 = time.time()
     while True:
