@@ -1,0 +1,87 @@
+"""spark-submit entry point for the CDC replay job (north_rule: "ships as
+spark-submit --py-files modules").
+
+Usage:
+    spark-submit --py-files airbyte_spark.zip -m airbyte_spark.job \
+        --feed-dir /data/wal --table /lake/transcripts \
+        --checkpoint /ckpt/transcripts [--continuous] [--epoch 2] \
+        [--max-files-per-trigger 64] [--n-buckets 256]
+
+Batch backfill variant (initial CDC snapshot, S4):
+    ... airbyte_spark.job --feed-dir /data/wal --table /lake/transcripts \
+        --checkpoint /ckpt/x --backfill
+
+The SparkSession is taken from the environment (spark-submit provides the
+master/executor config); local runs default to local[*] with AQE on.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "airbyte-spark-replay") -> SparkSession:
+    return (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="transcripts CDC replay")
+    p.add_argument("--feed-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--app-id", default="transcripts-replay")
+    p.add_argument("--epoch", type=int, default=None)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--max-bytes-per-trigger", default=None)
+    p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument("--continuous", action="store_true",
+                   help="keep tailing instead of Trigger.AvailableNow")
+    p.add_argument("--backfill", action="store_true",
+                   help="one-shot batch replay into the table (S4 snapshot)")
+    p.add_argument("--no-canonicalize", action="store_true")
+    args = p.parse_args(argv)
+
+    spark = build_session()
+    from .lake import merge_batch
+    from .plans.replay import batch_replay
+    from .schemas import CHANGE_STRUCT, ORDER_COLS
+    from .streaming.runner import ReplayConfig, bootstrap_table, run_replay_stream
+
+    if args.backfill:
+        table = bootstrap_table(spark, args.table, n_buckets=args.n_buckets)
+        raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{args.feed_dir}/*.parquet")
+        from .functions.text import canonicalize_udf  # noqa: F401 (worker warmup)
+        from .plans.replay import prepare_changes
+
+        merge_batch(
+            table, raw, ORDER_COLS, app_id=args.app_id, batch_id=0,
+            epoch=args.epoch,
+            post_collapse=lambda df: prepare_changes(
+                df, canonicalize=not args.no_canonicalize
+            ),
+        )
+        return
+
+    cfg = ReplayConfig(
+        feed_dir=args.feed_dir,
+        table_path=args.table,
+        checkpoint_dir=args.checkpoint,
+        app_id=args.app_id,
+        epoch=args.epoch,
+        max_files_per_trigger=args.max_files_per_trigger,
+        max_bytes_per_trigger=args.max_bytes_per_trigger,
+        canonicalize=not args.no_canonicalize,
+    )
+    run_replay_stream(spark, cfg, available_now=not args.continuous)
+
+
+if __name__ == "__main__":
+    main()

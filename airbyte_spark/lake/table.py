@@ -338,6 +338,55 @@ class LakeTable:
             df = df.drop(META_LSN, META_DELETED)
         return df
 
+    # -------------------------------------------------------- maintenance
+
+    def compact(self, min_files: int = 2, buckets: Optional[Sequence[int]] = None) -> int:
+        """Rewrite fragmented buckets into one file each (small-file
+        compaction). Every micro-batch MERGE rewrites its touched buckets,
+        so a long-running stream accumulates one file per bucket per commit
+        era; periodic compaction keeps scan fan-in bounded — the equivalent
+        of Iceberg's rewrite_data_files maintenance action.
+
+        Tombstones are preserved (they carry delete semantics). Single-writer
+        contract: run from the owning writer between merges.
+        """
+        snap = self.snapshot()
+        per_bucket: dict[int, list[str]] = {}
+        for path, meta in snap.files.items():
+            per_bucket.setdefault(meta["bucket"], []).append(path)
+        targets = [
+            b
+            for b, paths in per_bucket.items()
+            if len(paths) >= min_files and (buckets is None or b in buckets)
+        ]
+        if not targets:
+            return snap.version
+        df = self.read(
+            buckets=targets, include_meta=True, include_deleted=True, snap=snap
+        ).withColumn("_b", self.bucket_expr(snap))
+        adds = self.write_data_files(snap, df, n_out_partitions=len(targets))
+        removes = [p for b in targets for p in per_bucket[b]]
+        return self.commit(snap, adds, removes, op="compact")
+
+    def vacuum(self) -> list[str]:
+        """Delete on-disk data files not referenced by the current snapshot
+        (left behind by compaction/overwrite/merge rewrites). Single-writer
+        contract: only run between commits of the owning writer."""
+        snap = self.snapshot()
+        referenced = {os.path.normpath(p) for p in snap.files}
+        removed = []
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for root, _dirs, names in os.walk(data_root):
+            for nm in names:
+                if not nm.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, nm)
+                rel = os.path.normpath(os.path.relpath(full, self.path))
+                if rel not in referenced:
+                    os.unlink(full)
+                    removed.append(rel)
+        return removed
+
     # ------------------------------------------------------------ lineage
 
     _LINEAGE_SCHEMA = (

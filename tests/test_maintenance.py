@@ -1,0 +1,105 @@
+"""Lake maintenance: small-file compaction + vacuum, and the spark-submit
+CLI entry point (batch backfill path)."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from airbyte_spark.catalog import TableSchema
+from airbyte_spark.feedgen import FeedSpec, generate_feed, oracle_final_state
+from airbyte_spark.functions.text import canonicalize_pandas
+from airbyte_spark.lake import LakeTable, merge_batch
+from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+from tests.util import assert_same
+
+
+def _mk_table(spark, path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(path), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=n_buckets,
+    )
+
+
+def _merge_ev(spark, table, ev, batch_id):
+    pdf = ev[[f.name for f in CHANGE_STRUCT.fields]]
+    merge_batch(
+        table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+        ORDER_COLS, batch_id=batch_id,
+    )
+
+
+def test_compact_and_vacuum(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("cfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=20, turns_per_conv=4, n_updates=120, n_deletes=15,
+                 dup_rate=0.05, late_rate=0.05, n_segments=4, seed=11),
+    )
+    table = _mk_table(spark, tmp_path / "t")
+    # bronze-style appends fragment buckets (each append adds a file era;
+    # MERGE by contrast rewrites touched buckets wholesale, so it never
+    # fragments — compaction targets append tables and partial-bucket eras)
+    import numpy as np
+    chunks = np.array_split(np.arange(len(ev)), 3)
+    for idx in chunks:
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        table.append(
+            spark.createDataFrame(pdf, schema=CHANGE_STRUCT).select(
+                *[f.name for f in TRANSCRIPT_STRUCT.fields]
+            )
+        )
+    _merge_ev(spark, table, ev.iloc[:0], 0)  # record a fence (empty batch)
+
+    snap = table.snapshot()
+    per_bucket = {}
+    for p, m in snap.files.items():
+        per_bucket.setdefault(m["bucket"], []).append(p)
+    assert any(len(v) > 1 for v in per_bucket.values())  # fragmented
+    before = table.read().toPandas()
+    fences_before = snap.fences
+
+    v = table.compact()
+    snap2 = table.snapshot()
+    per_bucket2 = {}
+    for p, m in snap2.files.items():
+        per_bucket2.setdefault(m["bucket"], []).append(p)
+    assert all(len(v2) == 1 for v2 in per_bucket2.values())  # one file/bucket
+    assert snap2.fences == fences_before  # fences survive compaction
+    # contents identical (text disambiguates versions; exact dup rows are
+    # byte-identical so their relative order is irrelevant)
+    keys = ("conv_id", "turn_idx", "text")
+    assert_same(table.read(), before, keys=keys)
+
+    # old files still on disk until vacuum; vacuum removes exactly those
+    removed = table.vacuum()
+    assert set(removed) == set(snap.files) - set(snap2.files)
+    for p in snap2.files:
+        assert os.path.exists(os.path.join(table.path, p))
+    # table still reads fine after vacuum
+    assert table.read().count() == len(before)
+
+    # a replayed batch_id is still fenced after compaction
+    _merge_ev(spark, table, ev.iloc[:10], 0)  # batch_id 0 already committed
+    assert table.read().count() == len(before)
+
+
+def test_job_cli_backfill(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("jfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=10, turns_per_conv=3, n_updates=40, n_deletes=5,
+                 dup_rate=0.05, late_rate=0.05, n_segments=2, seed=13),
+    )
+    from airbyte_spark import job
+
+    # drive main() with an existing session (build_session getOrCreate
+    # returns the test session)
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--backfill", "--n-buckets", "4",
+    ])
+    table = LakeTable(spark, str(tmp_path / "tbl"))
+    assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
