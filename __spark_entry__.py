@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from airbyte_spark.operators.cdc import project_debezium_events
 from airbyte_spark.operators.dedup import latest_per_key, scd2, surrogate_hash_id
 from airbyte_spark.operators.skew import salted_latest_per_key
 from airbyte_spark.operators.unnest import unnest_array
@@ -159,6 +160,49 @@ def q_cdc_schema_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long").alias("event_id"), "value"
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+def q_cdc_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: Debezium envelope -> flat change record (DebeziumEventUtils
+    semantics: before-image for deletes, cdc metadata injection). The
+    envelope is synthesized from `events` (ts_ms = event_id; value <
+    threshold marks a delete)."""
+    e = _t(spark, sf_dir, "events")
+    img = F.struct(F.col("event_id"), F.col("event_type"))
+    env = e.select(
+        F.when(F.col("value") < DELETE_THRESHOLD, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+        F.col("event_id").alias("ts_ms"),
+        img.alias("before"),
+        img.alias("after"),
+        F.struct(F.col("event_id").alias("lsn")).alias("source"),
+    )
+    flat = project_debezium_events(env, ["event_id", "event_type"])
+    return flat.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("_ab_cdc_lsn"),
+        F.col("_ab_cdc_deleted_at").isNotNull().cast("long").alias("is_deleted"),
+    )
+
+
+def q_pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pass in ONE DataFrame expression:
+    canonicalize (pandas UDF) -> length filter -> exact-dedup keep-list.
+    The whole chain fuses into scan -> ArrowEvalPython -> filter -> hash
+    aggregate; no intermediate materialization."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canonicalize_udf(F.col("text")).alias("canon"),
+    ).withColumn(
+        "n_tokens", F.size(F.split(F.trim("canon"), r"\s+")).cast("long")
+    )
+    kept = base.filter(F.col("n_tokens") >= 20)
+    return kept.groupBy(F.md5("canon").alias("text_md5")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_tokens").cast("long").alias("n_tokens"),
+    )
 
 
 def q_cdc_nested_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
         "cdc_schema_union_by_name": q_cdc_schema_union_by_name,
+        "cdc_event_projection": q_cdc_event_projection,
+        "pipeline_curation": q_pipeline_curation,
         "cdc_nested_unnest": q_cdc_nested_unnest,
         "cdc_record_filter_slice": q_cdc_record_filter_slice,
         "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
@@ -434,6 +480,25 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, CAST(NULL AS VARCHAR) AS event_type, value
             FROM events WHERE event_type = 'error'
+        """,
+        "cdc_event_projection": f"""
+            SELECT event_id, event_type, event_id AS _ab_cdc_lsn,
+                   CAST(CASE WHEN value < {DELETE_THRESHOLD} THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_deleted
+            FROM events
+        """,
+        "pipeline_curation": r"""
+            WITH c AS (SELECT doc_id,
+                              trim(regexp_replace(text, '\s+', ' ', 'g')) canon
+                       FROM documents),
+            t AS (SELECT doc_id, canon,
+                         CAST(len(string_split_regex(trim(canon), '\s+')) AS BIGINT)
+                             n_tokens
+                  FROM c)
+            SELECT md5(canon) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(min(n_tokens) AS BIGINT) AS n_tokens
+            FROM t WHERE n_tokens >= 20 GROUP BY md5(canon)
         """,
         "cdc_nested_unnest": r"""
             WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t
