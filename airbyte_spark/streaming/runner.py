@@ -102,12 +102,19 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig):
     return process
 
 
-def run_replay_stream(spark: SparkSession, cfg: ReplayConfig, available_now: bool = True):
+def run_replay_stream(
+    spark: SparkSession,
+    cfg: ReplayConfig,
+    available_now: bool = True,
+    await_termination: bool = True,
+):
     """Start (and for available_now=True, run to completion) the replay.
 
     Returns the StreamingQuery. With ``available_now`` the call blocks until
     the current end of the feed is fully applied — the bounded "sync" mode;
-    pass False for a continuous tail.
+    pass False for a continuous tail, or ``await_termination=False`` to
+    start without blocking (multi-stream sync starts N queries then awaits
+    them together — see sync.py).
     """
     table = bootstrap_table(spark, cfg.table_path)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
@@ -132,7 +139,8 @@ def run_replay_stream(spark: SparkSession, cfg: ReplayConfig, available_now: boo
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
+        if await_termination:
+            q.awaitTermination()
     else:
         q = writer.trigger(processingTime="1 second").start()
     return q
