@@ -79,7 +79,19 @@ def merge_batch(
     )
     src = src.withColumn("_b", table.bucket_expr(snap)).persist()
     try:
-        rows_in = src.count()  # also materializes the persist
+        # ONE stats job materializes the persist AND yields rows_in, the
+        # touched-bucket list, the LSN high-watermark, and delete counts —
+        # per bucket (the per-partition lineage the engine persists).
+        stats_rows = (
+            src.groupBy("_b")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(META_LSN).alias("mx"),
+                F.sum(F.col("_src_deleted").cast("long")).alias("nd"),
+            )
+            .collect()
+        )
+        rows_in = sum(r["n"] for r in stats_rows)
         if rows_in == 0:
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
@@ -88,8 +100,12 @@ def merge_batch(
             )
             return MergeStats(skipped=False, version=version, rows_in=0)
 
+        per_bucket = {
+            int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"], "deletes": r["nd"]}
+            for r in stats_rows
+        }
         # 2. bucket pruning
-        touched = [r["_b"] for r in src.select("_b").distinct().collect()]
+        touched = list(per_bucket)
         old_files = [
             p for p, m in snap.files.items() if m["bucket"] in set(touched)
         ]
@@ -126,18 +142,20 @@ def merge_batch(
 
         # 4. rewrite touched buckets + atomic fenced commit
         adds = table.write_data_files(snap, result, n_out_partitions=len(touched))
-        max_lsn, n_del = src.agg(
-            F.max(META_LSN), F.sum(F.col("_src_deleted").cast("long"))
-        ).collect()[0]
+        max_lsn = max(v["max_lsn"] for v in per_bucket.values())
+        n_del = sum(v["deletes"] for v in per_bucket.values())
+        lineage = _lineage(
+            app_id, batch_id, rows_in,
+            sum(a["rows"] for a in adds), n_del, max_lsn, epoch,
+        )
+        # per-partition lineage: source cursor + row counts per bucket
+        lineage["partitions"] = per_bucket
         version = table.commit(
             snap,
             adds,
             old_files,
             fence=(app_id, batch_id),
-            lineage=_lineage(
-                app_id, batch_id, rows_in,
-                sum(a["rows"] for a in adds), n_del, max_lsn, epoch,
-            ),
+            lineage=lineage,
             op="merge",
         )
         return MergeStats(

@@ -394,6 +394,32 @@ class LakeTable:
         "rows_upserted long, rows_deleted long, max_lsn long, epoch long"
     )
 
+    _PARTITION_LINEAGE_SCHEMA = (
+        "version long, app_id string, batch_id long, bucket int, "
+        "rows long, max_lsn long, deletes long"
+    )
+
+    def partition_lineage_df(self) -> DataFrame:
+        """Per-(commit, bucket) lineage: row counts, LSN high-watermark,
+        delete counts — the per-partition cursor record the north_star
+        requires alongside Spark checkpoints."""
+        snap = self.snapshot()
+        rows = []
+        for x in snap.lineage:
+            for b, v in (x.get("partitions") or {}).items():
+                rows.append(
+                    (
+                        x.get("version"),
+                        x.get("app_id"),
+                        x.get("batch_id"),
+                        int(b),
+                        v.get("rows"),
+                        v.get("max_lsn"),
+                        v.get("deletes"),
+                    )
+                )
+        return self.spark.createDataFrame(rows, self._PARTITION_LINEAGE_SCHEMA)
+
     def lineage_df(self) -> DataFrame:
         snap = self.snapshot()
         rows = [

@@ -84,6 +84,23 @@ def test_compact_and_vacuum(spark, tmp_path, tmp_path_factory):
     assert table.read().count() == len(before)
 
 
+def test_partition_lineage(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("plfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=10, turns_per_conv=3, n_updates=30, n_deletes=4,
+                 dup_rate=0.0, late_rate=0.0, n_segments=2, seed=17),
+    )
+    table = _mk_table(spark, tmp_path / "t")
+    _merge_ev(spark, table, ev, 0)
+    pl = table.partition_lineage_df().toPandas()
+    assert len(pl) >= 1
+    # per-bucket rows sum to the collapsed key count; high-watermark = feed max
+    assert pl["rows"].sum() == ev.groupby(["conv_id", "turn_idx"]).ngroups
+    assert pl["max_lsn"].max() == ev["_ab_cdc_lsn"].max()
+    assert (pl["bucket"] >= 0).all() and (pl["bucket"] < 4).all()
+
+
 def test_job_cli_backfill(spark, tmp_path, tmp_path_factory):
     feed = tmp_path_factory.mktemp("jfeed")
     ev = generate_feed(
