@@ -391,7 +391,7 @@ def _cos(a: str, b: str) -> str:
 
 _SHINGLES_CTE = r"""
 toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_transform(
     generate_series(1, greatest(len(t) - 2, 1)),
     i -> array_to_string(t[i:i+2], ' ')))) AS s
@@ -403,7 +403,10 @@ def _minhash_sig_sql(k: int = 12) -> str:
     cols = ", ".join(
         "min(%s) AS s%d" % (_H(f"'{j}:' || s"), j) for j in range(k)
     )
-    return f"WITH {_SHINGLES_CTE}, sig AS (SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"
+    return (
+        f"WITH {_SHINGLES_CTE}, sig AS MATERIALIZED "
+        f"(SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"
+    )
 
 
 def _lang_cnt(words: list[str]) -> str:
