@@ -1,0 +1,76 @@
+"""Per-batch replication metrics (O2 — the reference's MessageTracker /
+TRACE estimates, DefaultReplicationWorker.java:442-491).
+
+A StreamingQueryListener collects per-micro-batch progress (rows, rates,
+stage durations, state-store metrics) while the engine's durable record
+lives in the lake lineage (LakeTable.lineage_df / partition_lineage_df).
+The listener is the live-telemetry view; lineage is the committed truth —
+same split as the reference's emitted-vs-committed stats.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ReplayMetricsListener(StreamingQueryListener):
+    """Collects one record per micro-batch; optionally appends JSONL."""
+
+    def __init__(self, jsonl_path: Optional[str] = None):
+        self.progress: list[dict] = []
+        self._lock = threading.Lock()
+        self._path = jsonl_path
+
+    # -- StreamingQueryListener interface ---------------------------------
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        rec = {
+            "query_id": str(p.id),
+            "name": p.name,
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_second": p.inputRowsPerSecond,
+            "process_rows_per_second": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs or {}),
+            "timestamp": p.timestamp,
+        }
+        with self._lock:
+            self.progress.append(rec)
+            if self._path:
+                with open(self._path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+    # -- convenience ------------------------------------------------------
+    def totals(self, name: Optional[str] = None) -> dict:
+        with self._lock:
+            rows = [
+                r for r in self.progress if name is None or r["name"] == name
+            ]
+        return {
+            "batches": len(rows),
+            "rows": sum(r["num_input_rows"] for r in rows),
+        }
+
+
+def attach(spark: SparkSession, jsonl_path: Optional[str] = None) -> ReplayMetricsListener:
+    lst = ReplayMetricsListener(jsonl_path)
+    spark.streams.addListener(lst)
+    return lst
+
+
+def detach(spark: SparkSession, lst: ReplayMetricsListener) -> None:
+    spark.streams.removeListener(lst)
