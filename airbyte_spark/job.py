@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument("--continuous", action="store_true",
                    help="keep tailing instead of Trigger.AvailableNow")
+    p.add_argument("--strategy", choices=["cow", "mor"], default="cow",
+                   help="copy-on-write (read-optimized) or merge-on-read "
+                        "(write-optimized streaming ingest)")
+    p.add_argument("--compact", action="store_true",
+                   help="fold deltas / compact + vacuum after the bounded run")
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
@@ -79,8 +84,15 @@ def main(argv: list[str] | None = None) -> None:
         max_files_per_trigger=args.max_files_per_trigger,
         max_bytes_per_trigger=args.max_bytes_per_trigger,
         canonicalize=not args.no_canonicalize,
+        strategy=args.strategy,
     )
     run_replay_stream(spark, cfg, available_now=not args.continuous)
+    if args.compact and not args.continuous:
+        from .lake import LakeTable
+
+        table = LakeTable(spark, args.table)
+        table.compact()
+        table.vacuum()
 
 
 if __name__ == "__main__":

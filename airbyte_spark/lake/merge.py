@@ -59,7 +59,20 @@ def merge_batch(
     epoch: Optional[int] = None,
     snap: Optional[Snapshot] = None,
     post_collapse: Optional[Callable[[DataFrame], DataFrame]] = None,
+    strategy: str = "cow",
 ) -> MergeStats:
+    """strategy:
+    * "cow" (copy-on-write) — read + full-outer-resolve + rewrite the
+      touched buckets. Read-optimized: scans never pay resolution. Cost
+      per batch is O(touched fraction of table) — right when batches are
+      large relative to the table or reads dominate.
+    * "mor" (merge-on-read) — append the collapsed batch as per-bucket
+      DELTA files; the scan resolves latest-per-key by LSN; compaction
+      folds deltas into base. Cost per batch is O(batch) — the LSM-style
+      write path that keeps 10^10-event streaming ingest from rewriting
+      the table every trigger (Iceberg MOR / Paimon equivalent).
+    Both are fenced identically; a replayed batch_id is a no-op either way.
+    """
     snap = snap or table.snapshot()
     last = snap.fences.get(app_id)
     if last is not None and batch_id <= last:
@@ -104,6 +117,40 @@ def merge_batch(
             int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"], "deletes": r["nd"]}
             for r in stats_rows
         }
+        max_lsn = max(v["max_lsn"] for v in per_bucket.values())
+        n_del = sum(v["deletes"] for v in per_bucket.values())
+        lineage = _lineage(
+            app_id, batch_id, rows_in, rows_in, n_del, max_lsn, epoch
+        )
+        lineage["partitions"] = per_bucket
+
+        if strategy == "mor":
+            # LSM write path: conform the collapsed batch to the table
+            # schema, append as delta files, fence — no target read at all.
+            schema_cols = []
+            for fs in snap.schema.fields:
+                if fs.name in src.columns:
+                    schema_cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
+                else:
+                    schema_cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+            rows = src.select(
+                *schema_cols,
+                F.col(META_LSN),
+                F.col("_src_deleted").alias(META_DELETED),
+                F.col("_b"),
+            )
+            adds = table.write_data_files(
+                snap, rows, n_out_partitions=len(per_bucket), kind="delta"
+            )
+            lineage["rows_upserted"] = sum(a["rows"] for a in adds)
+            version = table.commit(
+                snap, adds, [], fence=(app_id, batch_id), lineage=lineage, op="merge"
+            )
+            return MergeStats(
+                skipped=False, version=version, rows_in=rows_in,
+                touched_buckets=len(per_bucket),
+            )
+
         # 2. bucket pruning
         touched = list(per_bucket)
         old_files = [
@@ -142,14 +189,7 @@ def merge_batch(
 
         # 4. rewrite touched buckets + atomic fenced commit
         adds = table.write_data_files(snap, result, n_out_partitions=len(touched))
-        max_lsn = max(v["max_lsn"] for v in per_bucket.values())
-        n_del = sum(v["deletes"] for v in per_bucket.values())
-        lineage = _lineage(
-            app_id, batch_id, rows_in,
-            sum(a["rows"] for a in adds), n_del, max_lsn, epoch,
-        )
-        # per-partition lineage: source cursor + row counts per bucket
-        lineage["partitions"] = per_bucket
+        lineage["rows_upserted"] = sum(a["rows"] for a in adds)
         version = table.commit(
             snap,
             adds,

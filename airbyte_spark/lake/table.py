@@ -165,6 +165,7 @@ class LakeTable:
                     "bucket": ad["bucket"],
                     "schema_id": ad["schema_id"],
                     "rows": ad["rows"],
+                    "kind": ad.get("kind", "base"),
                 }
             if "fence" in e:
                 fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
@@ -224,11 +225,17 @@ class LakeTable:
         )
 
     def write_data_files(
-        self, snap: Snapshot, df: DataFrame, n_out_partitions: Optional[int] = None
+        self,
+        snap: Snapshot,
+        df: DataFrame,
+        n_out_partitions: Optional[int] = None,
+        kind: str = "base",
     ) -> list[dict]:
         """Write rows (payload + meta cols, with ``_b`` bucket col already
         attached) under a fresh commit subdir; return add-entries. Row counts
-        come from parquet footers (no extra Spark job)."""
+        come from parquet footers (no extra Spark job). ``kind`` is "base"
+        (fully-resolved rows) or "delta" (merge-on-read change files that
+        the scan resolves by LSN)."""
         sub = uuid.uuid4().hex
         out = os.path.join(self.path, _DATA_DIR, sub)
         writer = df
@@ -250,6 +257,7 @@ class LakeTable:
                         "bucket": bucket,
                         "schema_id": snap.current_schema_id,
                         "rows": rows,
+                        "kind": kind,
                     }
                 )
         return adds
@@ -294,16 +302,27 @@ class LakeTable:
         include_meta: bool = False,
         include_deleted: bool = False,
         snap: Optional[Snapshot] = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """Current-snapshot scan. Old-schema file groups are projected onto
         the current schema by field uid (rename/widen/null-pad), then
-        union-by-name'd — the scan stays fully columnar/JVM-side."""
+        union-by-name'd — the scan stays fully columnar/JVM-side.
+
+        Merge-on-read: when delta files are present (strategy="mor"
+        merges), the scan resolves latest-per-key by ``__lsn`` across
+        base+delta rows (tombstones win when newest), exactly like
+        Iceberg MOR / Paimon LSM reads. ``resolve=False`` returns raw
+        rows (used by compaction-era internals and bronze append tables,
+        which never carry deltas)."""
         snap = snap or self.snapshot()
         cur = snap.schema
         groups: dict[int, list[str]] = {}
+        has_delta = False
         for path, meta in snap.files.items():
             if buckets is not None and meta["bucket"] not in buckets:
                 continue
+            if meta.get("kind", "base") == "delta":
+                has_delta = True
             groups.setdefault(meta["schema_id"], []).append(
                 os.path.join(self.path, path)
             )
@@ -332,6 +351,10 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if has_delta and resolve:
+            from ..operators.dedup import latest_per_key
+
+            df = latest_per_key(df, snap.primary_key, [META_LSN])
         if not include_deleted:
             df = df.filter(~F.col(META_DELETED))
         if not include_meta:
@@ -342,22 +365,26 @@ class LakeTable:
 
     def compact(self, min_files: int = 2, buckets: Optional[Sequence[int]] = None) -> int:
         """Rewrite fragmented buckets into one file each (small-file
-        compaction). Every micro-batch MERGE rewrites its touched buckets,
-        so a long-running stream accumulates one file per bucket per commit
-        era; periodic compaction keeps scan fan-in bounded — the equivalent
-        of Iceberg's rewrite_data_files maintenance action.
+        compaction) AND fold merge-on-read delta files into base: the read
+        below resolves latest-per-key across base+deltas, so the rewrite
+        materializes the resolved state — the equivalent of Iceberg's
+        rewrite_data_files / Paimon's LSM compaction.
 
         Tombstones are preserved (they carry delete semantics). Single-writer
         contract: run from the owning writer between merges.
         """
         snap = self.snapshot()
         per_bucket: dict[int, list[str]] = {}
+        delta_buckets: set[int] = set()
         for path, meta in snap.files.items():
             per_bucket.setdefault(meta["bucket"], []).append(path)
+            if meta.get("kind", "base") == "delta":
+                delta_buckets.add(meta["bucket"])
         targets = [
             b
             for b, paths in per_bucket.items()
-            if len(paths) >= min_files and (buckets is None or b in buckets)
+            if (len(paths) >= min_files or b in delta_buckets)
+            and (buckets is None or b in buckets)
         ]
         if not targets:
             return snap.version

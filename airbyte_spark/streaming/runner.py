@@ -50,6 +50,10 @@ class ReplayConfig:
     canonicalize: bool = True
     watermark_dedup: bool = True
     watermark: str = "2 hours"
+    #: "cow" rewrites touched buckets per batch (read-optimized);
+    #: "mor" appends delta files resolved at scan (write-optimized — the
+    #: 10^10-event streaming path; compact() folds deltas periodically)
+    strategy: str = "cow"
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -90,6 +94,7 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig):
             post_collapse=lambda df: prepare_changes(
                 df, canonicalize=cfg.canonicalize
             ),
+            strategy=cfg.strategy,
         )
         if stats.skipped:
             # fenced re-delivery: still drain every partition so the upstream

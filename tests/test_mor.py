@@ -1,0 +1,99 @@
+"""Merge-on-read strategy: delta-file ingest + scan-time resolution +
+compaction fold — equivalence with copy-on-write and the pandas oracle."""
+
+import numpy as np
+
+from airbyte_spark.catalog import TableSchema
+from airbyte_spark.feedgen import FeedSpec, generate_feed, oracle_final_state
+from airbyte_spark.functions.text import canonicalize_pandas
+from airbyte_spark.lake import LakeTable, merge_batch
+from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+from airbyte_spark.streaming import ReplayConfig, run_replay_stream
+from tests.util import assert_same
+
+SPEC = FeedSpec(n_convs=20, turns_per_conv=4, n_updates=120, n_deletes=15,
+                dup_rate=0.08, late_rate=0.08, n_segments=5, seed=77)
+
+
+def _mk_table(spark, path):
+    return LakeTable.create(
+        spark, str(path), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+
+
+def _merge_chunks(spark, table, ev, k, strategy):
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), k)):
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        merge_batch(
+            table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+            ORDER_COLS, batch_id=i, strategy=strategy,
+        )
+
+
+def test_mor_matches_oracle_and_cow(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("morfeed")
+    ev = generate_feed(str(feed), SPEC)
+    oracle = oracle_final_state(ev)
+
+    t_mor = _mk_table(spark, tmp_path / "mor")
+    _merge_chunks(spark, t_mor, ev, 4, "mor")
+    # delta files exist, and the un-fenced read resolves correctly
+    kinds = {m["kind"] for m in t_mor.snapshot().files.values()}
+    assert kinds == {"delta"}
+    assert_same(t_mor.read(), oracle)
+
+    t_cow = _mk_table(spark, tmp_path / "cow")
+    _merge_chunks(spark, t_cow, ev, 4, "cow")
+    assert_same(t_cow.read(), oracle)
+
+    # replayed batch is fenced in mor mode too
+    n_files = len(t_mor.snapshot().files)
+    _merge_chunks(spark, t_mor, ev, 4, "mor")  # same batch_ids -> all no-ops
+    assert len(t_mor.snapshot().files) == n_files
+    assert_same(t_mor.read(), oracle)
+
+
+def test_mor_compaction_folds_deltas(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("morfeed2")
+    ev = generate_feed(str(feed), SPEC)
+    oracle = oracle_final_state(ev)
+    table = _mk_table(spark, tmp_path / "t")
+    _merge_chunks(spark, table, ev, 4, "mor")
+
+    table.compact()
+    snap = table.snapshot()
+    assert {m["kind"] for m in snap.files.values()} == {"base"}
+    per_bucket = {}
+    for p, m in snap.files.items():
+        per_bucket.setdefault(m["bucket"], []).append(p)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    assert_same(table.read(), oracle)
+    table.vacuum()
+    assert_same(table.read(), oracle)
+
+    # cow merge after fold continues correctly (monotone new batch)
+    ev2 = ev.copy()
+    ev2["_ab_cdc_lsn"] = ev2["_ab_cdc_lsn"] + int(ev["_ab_cdc_lsn"].max())
+    pdf = ev2.iloc[:30][[f.name for f in CHANGE_STRUCT.fields]]
+    merge_batch(table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+                ORDER_COLS, batch_id=100, strategy="cow")
+    assert table.read().count() > 0
+
+
+def test_mor_streaming_replay(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("morfeed3")
+    ev = generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=2,
+        strategy="mor",
+    )
+    run_replay_stream(spark, cfg)
+    table = LakeTable(spark, cfg.table_path)
+    assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
+    # fold and re-check
+    table.compact()
+    assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
