@@ -89,7 +89,9 @@ def q_cdc_cursor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 incremental cursor scan: WHERE cursor > saved state. The predicate
     reaches the parquet scan (PushedFilters) — verified in bench."""
     e = _t(spark, sf_dir, "events")
-    return e.filter(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp")).select(
+    # cast the literal to timestamp_ntz: the parquet column is NTZ, and an
+    # LTZ literal would shift the boundary under a non-UTC driver session
+    return e.filter(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")).select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_type"),

@@ -66,8 +66,11 @@ def sliced_read(
     the distributed analog of the CDK's slice loop (each slice is a
     partition predicate, prunable at the parquet level)."""
     out = df
+    # cast bounds to the column's own type (timestamp vs timestamp_ntz) so
+    # a non-UTC session timezone can't shift the slice boundaries
+    ts_type = df.schema[ts_col].dataType.simpleString()
     if start is not None:
-        out = out.filter(F.col(ts_col) >= F.lit(start).cast("timestamp"))
+        out = out.filter(F.col(ts_col) >= F.lit(start).cast(ts_type))
     if end is not None:
-        out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
+        out = out.filter(F.col(ts_col) < F.lit(end).cast(ts_type))
     return out.withColumn(slice_alias, datetime_slice_col(F.col(ts_col), granularity))
