@@ -53,11 +53,19 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     an expression inside the transform lambda would be re-evaluated per
     sequence element, turning shingling O(tokens) into O(tokens²)."""
     n = F.size(toks) - (k - 1)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + off) for off in range(k)]
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(k)]
+            ),
         ),
+    ).otherwise(
+        # <k tokens: one shingle = the whole text (matches the oracle's
+        # clamped list slice) — also keeps element_at in-bounds under
+        # ANSI mode
+        F.array(F.concat_ws(" ", toks))
     )
     return F.array_distinct(sh)
 
