@@ -54,6 +54,10 @@ class ReplayConfig:
     #: "mor" appends delta files resolved at scan (write-optimized — the
     #: 10^10-event streaming path; compact() folds deltas periodically)
     strategy: str = "cow"
+    #: with strategy="mor": fold deltas into base (+vacuum) every N
+    #: micro-batches — bounds scan-time resolution fan-in while keeping
+    #: the per-batch write cost O(batch) between folds
+    compact_every_batches: Optional[int] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -101,6 +105,13 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig):
             # stateful operator (dropDuplicatesWithinWatermark) can commit its
             # state stores — Spark validates this since 4.x
             batch_df.write.format("noop").mode("overwrite").save()
+        elif (
+            cfg.compact_every_batches
+            and (batch_id + 1) % cfg.compact_every_batches == 0
+        ):
+            # single-writer window between merges: safe to fold + vacuum
+            table.compact()
+            table.vacuum()
         if cfg.fault is not None:
             cfg.fault(batch_id)
 

@@ -97,3 +97,23 @@ def test_mor_streaming_replay(spark, tmp_path, tmp_path_factory):
     # fold and re-check
     table.compact()
     assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
+
+
+def test_mor_streaming_autocompact(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("morfeed4")
+    ev = generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        strategy="mor",
+        compact_every_batches=2,
+    )
+    run_replay_stream(spark, cfg)
+    table = LakeTable(spark, cfg.table_path)
+    assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
+    # folds happened mid-stream: base files exist; delta backlog is bounded
+    kinds = [m["kind"] for m in table.snapshot().files.values()]
+    assert "base" in kinds
+    assert kinds.count("delta") <= 2  # at most compact_every-1 un-folded batches
