@@ -136,6 +136,26 @@ def run_replay(spark, feed_dir: str, runs: int = 2) -> float:
     return best
 
 
+def run_stream_replay(spark, feed_dir: str) -> float:
+    """Exactly-once Structured-Streaming replay (watermarked dedup ->
+    fenced merge-on-read ingest) of the same feed — the north_rule metric's
+    streaming path. Fresh table+checkpoint each call."""
+    from airbyte_spark.streaming import ReplayConfig, run_replay_stream
+
+    out = "/tmp/airbyte_spark_bench/stream_out"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = ReplayConfig(
+        feed_dir=feed_dir,
+        table_path=f"{out}/tbl",
+        checkpoint_dir=f"{out}/ck",
+        max_files_per_trigger=max(16, CPUS),
+        strategy="mor",
+    )
+    t0 = time.time()
+    run_replay_stream(spark, cfg)
+    return time.time() - t0
+
+
 def force(df) -> int:
     """Fully evaluate a DataFrame (hash every column so nothing is pruned)."""
     from pyspark.sql import functions as F
@@ -191,15 +211,18 @@ def main():
 
     replay_sec = run_replay(spark, feed_dir)
 
+    stream_sec = run_stream_replay(spark, feed_dir)
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    total = replay_sec
+    total = replay_sec + stream_sec
     for name in HEADLINE_QUERIES:
         t0 = time.time()
         force(qs[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
         total += timings[name]
     timings["cdc_replay"] = round(replay_sec, 3)
+    timings["cdc_stream_replay_mor"] = round(stream_sec, 3)
 
     print(
         json.dumps(
@@ -211,6 +234,7 @@ def main():
                 "sf": SF,
                 "replay_events": n_events,
                 "replay_events_per_sec": round(n_events / replay_sec, 1),
+                "stream_events_per_sec": round(n_events / stream_sec, 1),
                 "cpus": CPUS,
                 "cpu_calibration_sec": calib0,
             }
