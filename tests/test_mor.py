@@ -117,3 +117,26 @@ def test_mor_streaming_autocompact(spark, tmp_path, tmp_path_factory):
     kinds = [m["kind"] for m in table.snapshot().files.values()]
     assert "base" in kinds
     assert kinds.count("delta") <= 2  # at most compact_every-1 un-folded batches
+
+
+def test_cow_merge_folds_pending_deltas(spark, tmp_path, tmp_path_factory):
+    """A cow merge on buckets that still hold unfolded deltas resolves them
+    transparently: the target read collapses base+delta before the join and
+    the rewrite dereferences the delta files."""
+    feed = tmp_path_factory.mktemp("morfeed5")
+    ev = generate_feed(str(feed), SPEC)
+    table = _mk_table(spark, tmp_path / "t")
+    # first half as mor deltas, second half as a cow merge
+    halves = np.array_split(np.arange(len(ev)), 2)
+    pdf0 = ev.iloc[halves[0]][[f.name for f in CHANGE_STRUCT.fields]]
+    merge_batch(table, spark.createDataFrame(pdf0, schema=CHANGE_STRUCT),
+                ORDER_COLS, batch_id=0, strategy="mor")
+    assert {m["kind"] for m in table.snapshot().files.values()} == {"delta"}
+    pdf1 = ev.iloc[halves[1]][[f.name for f in CHANGE_STRUCT.fields]]
+    merge_batch(table, spark.createDataFrame(pdf1, schema=CHANGE_STRUCT),
+                ORDER_COLS, batch_id=1, strategy="cow")
+    # the cow rewrite covered every touched bucket's deltas
+    snap = table.snapshot()
+    touched_kinds = {m["kind"] for m in snap.files.values()}
+    assert "base" in touched_kinds
+    assert_same(table.read(), oracle_final_state(ev))
