@@ -121,7 +121,9 @@ def generate_feed(out_dir: str, spec: FeedSpec) -> pd.DataFrame:
     version = _group_ranks(conv * spec.turns_per_conv + turn)
 
     lsn = np.arange(1, n + 1, dtype="int64")
-    role = ROLES[(conv + turn) % len(ROLES)].copy()
+    # object dtype: a '<U9' array would store the literal string 'None' on
+    # the masked assignment below instead of a real null
+    role = ROLES[(conv + turn) % len(ROLES)].astype(object)
     tool = TOOLS[(turn * 7 + version) % len(TOOLS)].copy()
     text = _text(conv, turn, version, rng).astype(object)
     deleted_mask = op == 2

@@ -117,7 +117,11 @@ def merge_batch(
             int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"], "deletes": r["nd"]}
             for r in stats_rows
         }
-        max_lsn = max(v["max_lsn"] for v in per_bucket.values())
+        # rows with a null/uncastable cursor (snapshot / full-refresh records
+        # without CDC metadata) yield max_lsn=None for their bucket — they
+        # must not crash the merge, and the high-watermark ignores them
+        _lsns = [v["max_lsn"] for v in per_bucket.values() if v["max_lsn"] is not None]
+        max_lsn = max(_lsns) if _lsns else None
         n_del = sum(v["deletes"] for v in per_bucket.values())
         lineage = _lineage(
             app_id, batch_id, rows_in, rows_in, n_del, max_lsn, epoch

@@ -166,6 +166,8 @@ class LakeTable:
                     "schema_id": ad["schema_id"],
                     "rows": ad["rows"],
                     "kind": ad.get("kind", "base"),
+                    # commit that added the file — the MOR tiebreaker
+                    "v": v,
                 }
             if "fence" in e:
                 fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
@@ -311,21 +313,29 @@ class LakeTable:
         Merge-on-read: when delta files are present (strategy="mor"
         merges), the scan resolves latest-per-key by ``__lsn`` across
         base+delta rows (tombstones win when newest), exactly like
-        Iceberg MOR / Paimon LSM reads. ``resolve=False`` returns raw
-        rows (used by compaction-era internals and bronze append tables,
-        which never carry deltas)."""
+        Iceberg MOR / Paimon LSM reads. LSN ties resolve to the EARLIEST
+        commit (per-file ``v``, joined in via ``_metadata.file_path``) —
+        the same "target keeps on tie / source wins only if strictly
+        newer" rule the COW merge applies, so repeated MOR reads are
+        deterministic and byte-equal to the COW result on tie-prone
+        cursors. ``resolve=False`` returns raw rows (used by
+        compaction-era internals and bronze append tables, which never
+        carry deltas)."""
         snap = snap or self.snapshot()
         cur = snap.schema
         groups: dict[int, list[str]] = {}
         has_delta = False
+        selected: list[tuple[str, dict]] = []
         for path, meta in snap.files.items():
             if buckets is not None and meta["bucket"] not in buckets:
                 continue
             if meta.get("kind", "base") == "delta":
                 has_delta = True
+            selected.append((path, meta))
             groups.setdefault(meta["schema_id"], []).append(
                 os.path.join(self.path, path)
             )
+        need_commit_col = has_delta and resolve
         parts: list[DataFrame] = []
         for sid, paths in sorted(groups.items()):
             file_schema = snap.schemas[sid]
@@ -344,6 +354,14 @@ class LakeTable:
                 else:
                     cols.append(F.col(src.name).cast(fs.dtype).alias(fs.name))
             cols += [F.col(META_LSN), F.col(META_DELETED)]
+            if need_commit_col:
+                # file basename is globally unique (job UUID in the name);
+                # broadcast-joined below against the |files|-row manifest
+                cols.append(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_fname")
+                )
             parts.append(raw.select(*cols))
         if not parts:
             struct = cur.to_struct().add(META_LSN, "long").add(META_DELETED, "boolean")
@@ -351,10 +369,22 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if has_delta and resolve:
+        if need_commit_col and "_fname" in df.columns:
             from ..operators.dedup import latest_per_key
 
-            df = latest_per_key(df, snap.primary_key, [META_LSN])
+            manifest = self.spark.createDataFrame(
+                [(os.path.basename(p), m.get("v", 0)) for p, m in selected],
+                "_fname string, _commit_v long",
+            )
+            df = df.join(F.broadcast(manifest), "_fname", "left").drop("_fname")
+            # max_by on (lsn, -commit): highest LSN wins; on an LSN tie the
+            # OLDEST commit wins (COW target-keeps-on-tie)
+            df = df.withColumn(
+                "_neg_commit", -F.coalesce(F.col("_commit_v"), F.lit(0))
+            ).drop("_commit_v")
+            df = latest_per_key(
+                df, snap.primary_key, [META_LSN, "_neg_commit"]
+            ).drop("_neg_commit")
         if not include_deleted:
             df = df.filter(~F.col(META_DELETED))
         if not include_meta:
@@ -395,12 +425,29 @@ class LakeTable:
         removes = [p for b in targets for p in per_bucket[b]]
         return self.commit(snap, adds, removes, op="compact")
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, grace_commits: int = 0) -> list[str]:
         """Delete on-disk data files not referenced by the current snapshot
         (left behind by compaction/overwrite/merge rewrites). Single-writer
-        contract: only run between commits of the owning writer."""
+        contract: only run between commits of the owning writer.
+
+        ``grace_commits`` protects files that were still referenced within
+        the last N commits: a concurrent READER (read() is public even on a
+        single-writer table) holding a recent snapshot can finish its scan
+        instead of hitting FileNotFoundException mid-read. A file dropped
+        from the live set in the last N commits necessarily appears in one
+        of those commits' ``removes`` lists, so the guard only reads the
+        log tail, never the whole log."""
         snap = self.snapshot()
         referenced = {os.path.normpath(p) for p in snap.files}
+        if grace_commits > 0:
+            for v in range(max(1, snap.version - grace_commits + 1), snap.version + 1):
+                try:
+                    with open(self._log_path(v)) as f:
+                        e = json.load(f)
+                except FileNotFoundError:
+                    continue
+                for rm in e.get("removes", []):
+                    referenced.add(os.path.normpath(rm))
         removed = []
         data_root = os.path.join(self.path, _DATA_DIR)
         for root, _dirs, names in os.walk(data_root):

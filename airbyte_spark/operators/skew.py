@@ -55,8 +55,15 @@ def salted_latest_per_key(
     identical to latest_per_key (winner selection is associative).
     """
     salted = with_salt(df, n_salt)
+    # phase 2 re-orders on order_cols, so phase 1 must carry them through
+    # even when the caller's payload_cols omit them
+    p1_payload = None
+    if payload_cols is not None:
+        p1_payload = list(payload_cols) + [
+            c for c in order_cols if c not in payload_cols
+        ]
     phase1 = latest_per_key(
-        salted, [*pk, "_salt"], order_cols, payload_cols=payload_cols
+        salted, [*pk, "_salt"], order_cols, payload_cols=p1_payload
     )
     return latest_per_key(phase1.drop("_salt"), pk, order_cols, payload_cols=payload_cols)
 

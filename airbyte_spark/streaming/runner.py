@@ -109,9 +109,11 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig):
             cfg.compact_every_batches
             and (batch_id + 1) % cfg.compact_every_batches == 0
         ):
-            # single-writer window between merges: safe to fold + vacuum
+            # single-writer window between merges: safe to fold; the grace
+            # window keeps files referenced by the last few snapshots so a
+            # concurrent reader mid-scan never loses its files
             table.compact()
-            table.vacuum()
+            table.vacuum(grace_commits=2)
         if cfg.fault is not None:
             cfg.fault(batch_id)
 

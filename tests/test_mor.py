@@ -7,7 +7,17 @@ from airbyte_spark.catalog import TableSchema
 from airbyte_spark.feedgen import FeedSpec, generate_feed, oracle_final_state
 from airbyte_spark.functions.text import canonicalize_pandas
 from airbyte_spark.lake import LakeTable, merge_batch
+from pyspark.sql import types as T
+
 from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+
+#: CHANGE_STRUCT with a nullable LSN (snapshot records without CDC metadata)
+T_NULLABLE_CHANGE = T.StructType(
+    [
+        T.StructField(f.name, f.dataType, True if f.name == "_ab_cdc_lsn" else f.nullable)
+        for f in CHANGE_STRUCT.fields
+    ]
+)
 from airbyte_spark.streaming import ReplayConfig, run_replay_stream
 from tests.util import assert_same
 
@@ -117,6 +127,62 @@ def test_mor_streaming_autocompact(spark, tmp_path, tmp_path_factory):
     kinds = [m["kind"] for m in table.snapshot().files.values()]
     assert "base" in kinds
     assert kinds.count("delta") <= 2  # at most compact_every-1 un-folded batches
+
+
+def test_mor_lsn_tie_is_deterministic_and_matches_cow(spark, tmp_path):
+    """Two commits carrying the SAME (pk, __lsn) — a tie-prone cursor such as
+    a second-granularity timestamp cast to long. COW resolves 'target keeps
+    on tie'; the MOR scan must resolve identically (earliest commit wins)
+    and return the same row on every read."""
+    import pandas as pd
+
+    def batch(text, lsn):
+        return pd.DataFrame(
+            {
+                "conv_id": ["conv-tie"], "turn_idx": [0], "role": ["user"],
+                "text": [text], "tool": [None],
+                "ts": [pd.Timestamp("2025-01-01")], "_ab_cdc_lsn": [lsn],
+                "_ab_cdc_updated_at": [pd.Timestamp("2025-01-01")],
+                "_ab_cdc_deleted_at": [pd.NaT],
+                "_airbyte_emitted_at": [pd.Timestamp("2025-01-01")],
+            }
+        )
+
+    results = {}
+    for strategy in ("mor", "cow"):
+        table = _mk_table(spark, tmp_path / strategy)
+        for i, text in enumerate(["first", "second"]):
+            merge_batch(
+                table, spark.createDataFrame(batch(text, 10), schema=CHANGE_STRUCT),
+                ORDER_COLS, batch_id=i, strategy=strategy,
+            )
+        reads = {table.read().collect()[0]["text"] for _ in range(3)}
+        assert len(reads) == 1, f"{strategy} read nondeterministic: {reads}"
+        results[strategy] = reads.pop()
+    assert results["mor"] == results["cow"] == "first"
+
+
+def test_merge_tolerates_null_cursor_rows(spark, tmp_path):
+    """Snapshot/full-refresh records without CDC metadata (null LSN) must not
+    crash the merge; the lineage high-watermark ignores them."""
+    import pandas as pd
+
+    table = _mk_table(spark, tmp_path / "t")
+    ts = pd.Timestamp("2025-01-01").to_pydatetime()
+    rows = [
+        ("conv-a", 0, "user", "x", None, ts, None, None, None, ts),
+        ("conv-b", 0, "user", "y", None, ts, None, None, None, ts),
+    ]
+    stats = merge_batch(
+        table,
+        spark.createDataFrame(rows, schema=T_NULLABLE_CHANGE),
+        ORDER_COLS,
+        batch_id=0,
+    )
+    assert not stats.skipped and stats.rows_in == 2
+    assert table.read().count() == 2
+    lin = table.lineage_df().toPandas()
+    assert lin["max_lsn"].isna().all()
 
 
 def test_cow_merge_folds_pending_deltas(spark, tmp_path, tmp_path_factory):
