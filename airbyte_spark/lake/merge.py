@@ -143,10 +143,16 @@ def merge_batch(
                 F.col("_src_deleted").alias(META_DELETED),
                 F.col("_b"),
             )
-            adds = table.write_data_files(
-                snap, rows, n_out_partitions=len(per_bucket), kind="delta"
+            adds, total = table.write_data_files(
+                snap,
+                rows,
+                n_out_partitions=len(per_bucket),
+                kind="delta",
+                # per-file stats come from the stats job above — no driver
+                # footer reads
+                rows_per_bucket={b: v["rows"] for b, v in per_bucket.items()},
             )
-            lineage["rows_upserted"] = sum(a["rows"] for a in adds)
+            lineage["rows_upserted"] = total
             version = table.commit(
                 snap, adds, [], fence=(app_id, batch_id), lineage=lineage, op="merge"
             )
@@ -192,8 +198,12 @@ def merge_batch(
         result = joined.select(*out_cols)
 
         # 4. rewrite touched buckets + atomic fenced commit
-        adds = table.write_data_files(snap, result, n_out_partitions=len(touched))
-        lineage["rows_upserted"] = sum(a["rows"] for a in adds)
+        # row count observed inside the write job itself (O8 estimate
+        # wiring) — no footer reads, no extra job
+        adds, total = table.write_data_files(
+            snap, result, n_out_partitions=len(touched)
+        )
+        lineage["rows_upserted"] = total
         version = table.commit(
             snap,
             adds,

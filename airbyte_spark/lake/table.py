@@ -44,7 +44,6 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,14 +60,19 @@ class Snapshot:
     version: int
     schemas: dict[int, TableSchema]
     current_schema_id: int
-    #: path -> {"bucket": int, "schema_id": int, "rows": int}
+    #: path -> {"bucket": int, "schema_id": int, "rows": int|None, "v": int}
     files: dict[str, dict]
     #: app_id -> last committed batch_id
     fences: dict[str, int]
     n_buckets: int
     bucket_cols: list[str]
     primary_key: list[str]
+    #: per-commit lineage TAIL (bounded: entries older than the retention
+    #: window are folded into lineage_totals at checkpoint time)
     lineage: list[dict] = field(default_factory=list)
+    #: rollup of folded-out lineage: global counters + per-bucket
+    #: {rows, deletes, max_lsn} high-watermarks
+    lineage_totals: dict = field(default_factory=dict)
 
     @property
     def schema(self) -> TableSchema:
@@ -80,9 +84,29 @@ class CommitConflict(RuntimeError):
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str):
+    #: write a log checkpoint every N commits — snapshot() then replays at
+    #: most N tail commits instead of the whole log (Delta _last_checkpoint
+    #: analog); None disables
+    DEFAULT_CHECKPOINT_INTERVAL = 16
+    #: per-commit lineage entries retained verbatim; older entries fold
+    #: into lineage_totals when a checkpoint is written
+    DEFAULT_LINEAGE_RETAIN = 512
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        checkpoint_interval: Optional[int] = DEFAULT_CHECKPOINT_INTERVAL,
+        lineage_retain: int = DEFAULT_LINEAGE_RETAIN,
+    ):
         self.spark = spark
         self.path = path
+        self.checkpoint_interval = checkpoint_interval
+        self.lineage_retain = lineage_retain
+        #: diagnostic: log JSON files parsed by the most recent snapshot()
+        #: (the bounded-metadata-cost contract tests assert on this)
+        self.last_snapshot_log_reads = 0
+        self._snap_cache: Optional[Snapshot] = None
 
     # ------------------------------------------------------------------ DDL
 
@@ -135,21 +159,69 @@ class LakeTable:
         finally:
             os.unlink(tmp)
 
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"{version:020d}.ckpt.json")
+
     def snapshot(self) -> Snapshot:
+        """Current table state.
+
+        Scale contract (the part that must survive 10^6+ commits): cost is
+        ONE directory listing + at most ``checkpoint_interval`` commit-JSON
+        reads. State older than the latest checkpoint comes from that single
+        checkpoint file; an unchanged table returns the cached snapshot
+        after just the listing. A production catalog (Hive/Glue/Nessie)
+        would replace the listing with a last-checkpoint pointer — nothing
+        else changes.
+        """
         log_dir = os.path.join(self.path, _LOG_DIR)
-        versions = sorted(
-            int(f.split(".")[0]) for f in os.listdir(log_dir) if f.endswith(".json")
-        )
-        if not versions:
+        commit_vs: list[int] = []
+        ckpt_vs: list[int] = []
+        for f in os.listdir(log_dir):
+            if f.startswith("."):
+                continue
+            if f.endswith(".ckpt.json"):
+                ckpt_vs.append(int(f.split(".")[0]))
+            elif f.endswith(".json"):
+                commit_vs.append(int(f.split(".")[0]))
+        if not commit_vs:
             raise FileNotFoundError(f"no lake table at {self.path}")
+        commit_vs.sort()
+        latest = commit_vs[-1]
+        if self._snap_cache is not None and self._snap_cache.version == latest:
+            self.last_snapshot_log_reads = 0
+            return self._snap_cache
+
+        n_reads = 0
         schemas: dict[int, TableSchema] = {}
         files: dict[str, dict] = {}
         fences: dict[str, int] = {}
         lineage: list[dict] = []
+        totals: dict = {}
         n_buckets, bucket_cols, pk, cur_sid = 32, [], [], 0
-        for v in versions:
+        base_v = max((c for c in ckpt_vs if c <= latest), default=None)
+        if base_v is not None:
+            with open(self._ckpt_path(base_v)) as f:
+                ck = json.load(f)
+            n_reads += 1
+            schemas = {
+                int(sid): TableSchema.from_json(sj)
+                for sid, sj in ck["schemas"].items()
+            }
+            cur_sid = ck["current_schema_id"]
+            files = ck["files"]
+            fences = ck["fences"]
+            lineage = ck["lineage"]
+            totals = ck.get("lineage_totals", {})
+            n_buckets = ck["n_buckets"]
+            bucket_cols = ck["bucket_cols"]
+            pk = ck["primary_key"]
+
+        for v in commit_vs:
+            if base_v is not None and v <= base_v:
+                continue
             with open(self._log_path(v)) as f:
                 e = json.load(f)
+            n_reads += 1
             if "schema" in e:
                 ts = TableSchema.from_json(e["schema"])
                 schemas[ts.schema_id] = ts
@@ -164,7 +236,7 @@ class LakeTable:
                 files[ad["path"]] = {
                     "bucket": ad["bucket"],
                     "schema_id": ad["schema_id"],
-                    "rows": ad["rows"],
+                    "rows": ad.get("rows"),
                     "kind": ad.get("kind", "base"),
                     # commit that added the file — the MOR tiebreaker
                     "v": v,
@@ -173,8 +245,9 @@ class LakeTable:
                 fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
             if "lineage" in e:
                 lineage.append({"version": v, **e["lineage"]})
-        return Snapshot(
-            version=versions[-1],
+        self.last_snapshot_log_reads = n_reads
+        snap = Snapshot(
+            version=latest,
             schemas=schemas,
             current_schema_id=cur_sid,
             files=files,
@@ -183,7 +256,10 @@ class LakeTable:
             bucket_cols=bucket_cols,
             primary_key=pk,
             lineage=lineage,
+            lineage_totals=totals,
         )
+        self._snap_cache = snap
+        return snap
 
     def commit(
         self,
@@ -208,7 +284,72 @@ class LakeTable:
             entry["schema"] = new_schema.to_json()
         version = snap.version + 1
         self._write_commit(version, entry)
+        self._snap_cache = None
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            self._write_checkpoint()
         return version
+
+    # ------------------------------------------------------- log checkpoint
+
+    def _write_checkpoint(self) -> None:
+        """Fold the log into one ``<version>.ckpt.json`` so future
+        snapshots replay only the tail (Delta checkpoint / Iceberg
+        metadata.json analog). Lineage entries beyond the retention window
+        fold into ``lineage_totals`` (global counters + per-bucket
+        cursor/row high-watermarks — the per-partition resume record stays
+        exact even after folding). Old commit files up to one full
+        checkpoint interval back are expired: any reader still mid-replay
+        holds at most the previous checkpoint as its base."""
+        snap = self.snapshot()
+        lineage = snap.lineage
+        totals = dict(snap.lineage_totals)
+        if len(lineage) > self.lineage_retain:
+            fold, lineage = (
+                lineage[: -self.lineage_retain],
+                lineage[-self.lineage_retain :],
+            )
+            totals = _fold_lineage(totals, fold)
+        ck = {
+            "version": snap.version,
+            "schemas": {sid: s.to_json() for sid, s in snap.schemas.items()},
+            "current_schema_id": snap.current_schema_id,
+            "files": snap.files,
+            "fences": snap.fences,
+            "n_buckets": snap.n_buckets,
+            "bucket_cols": snap.bucket_cols,
+            "primary_key": snap.primary_key,
+            "lineage": lineage,
+            "lineage_totals": totals,
+        }
+        tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(ck, f)
+            f.flush()
+            os.fsync(f.fileno())
+        dest = self._ckpt_path(snap.version)
+        try:
+            os.link(tmp, dest)
+        except FileExistsError:
+            pass  # idempotent: same state at the same version
+        finally:
+            os.unlink(tmp)
+        self._snap_cache = None  # re-snapshot picks up folded lineage
+        self._expire_logs(keep_from=snap.version - 2 * (self.checkpoint_interval or 0))
+
+    def _expire_logs(self, keep_from: int) -> None:
+        """Drop commit JSONs and superseded checkpoints older than
+        ``keep_from`` (their state lives in a retained checkpoint). The
+        create commit (version 0's n_buckets/pk) is folded into every
+        checkpoint, so it can expire too."""
+        if keep_from <= 0:
+            return
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        for f in os.listdir(log_dir):
+            if f.startswith("."):
+                continue
+            v = int(f.split(".")[0])
+            if v < keep_from:
+                os.unlink(os.path.join(log_dir, f))
 
     # ---------------------------------------------------------- evolution
 
@@ -232,37 +373,69 @@ class LakeTable:
         df: DataFrame,
         n_out_partitions: Optional[int] = None,
         kind: str = "base",
-    ) -> list[dict]:
+        rows_per_bucket: Optional[dict] = None,
+    ) -> tuple[list[dict], Optional[int]]:
         """Write rows (payload + meta cols, with ``_b`` bucket col already
-        attached) under a fresh commit subdir; return add-entries. Row counts
-        come from parquet footers (no extra Spark job). ``kind`` is "base"
-        (fully-resolved rows) or "delta" (merge-on-read change files that
-        the scan resolves by LSN)."""
+        attached) under a fresh commit subdir; return (add-entries,
+        total_rows).
+
+        Row counts come FROM THE WRITE JOB: either ``rows_per_bucket``
+        (the merge's stats aggregate, already computed) or an
+        ``Observation`` attached to the write plan — never from driver-side
+        parquet-footer reads. The post-write listing touches only this
+        commit's fresh subdirectory (O(files written this commit) — the
+        same driver cost any commit protocol pays), not the table.
+        ``kind`` is "base" (fully-resolved rows) or "delta" (merge-on-read
+        change files that the scan resolves by LSN)."""
+        from pyspark.sql import Observation
+
         sub = uuid.uuid4().hex
         out = os.path.join(self.path, _DATA_DIR, sub)
         writer = df
+        obs = None
+        if rows_per_bucket is None:
+            obs = Observation()
+            writer = writer.observe(obs, F.count(F.lit(1)).alias("rows"))
         if n_out_partitions:
-            writer = df.repartition(n_out_partitions, "_b")
+            writer = writer.repartition(n_out_partitions, "_b")
         writer.write.partitionBy("_b").parquet(out, compression="zstd")
+        total: Optional[int] = None
+        if obs is not None:
+            try:
+                total = obs.get.get("rows")
+            except Exception:
+                total = None
+        elif rows_per_bucket:
+            total = sum(rows_per_bucket.values())
+        per_bucket_files: dict[int, list[str]] = {}
+        for entry in os.scandir(out):
+            if not entry.is_dir() or not entry.name.startswith("_b="):
+                continue
+            bucket = int(entry.name.split("=")[1])
+            for f2 in os.scandir(entry.path):
+                if f2.name.endswith(".parquet"):
+                    per_bucket_files.setdefault(bucket, []).append(f2.path)
+        known = rows_per_bucket or {}
+        n_files = sum(len(v) for v in per_bucket_files.values())
         adds = []
-        for root, _dirs, names in os.walk(out):
-            for nm in names:
-                if not nm.endswith(".parquet"):
-                    continue
-                p = os.path.join(root, nm)
-                bucket = int(os.path.basename(root).split("=")[1])
-                rows = pq.ParquetFile(p).metadata.num_rows
-                rel = os.path.relpath(p, self.path)
+        for bucket, paths in per_bucket_files.items():
+            for p in paths:
+                if len(paths) == 1 and bucket in known:
+                    rows = known[bucket]
+                elif n_files == 1 and total is not None:
+                    rows = total
+                else:
+                    rows = None  # split across files unknown; totals tracked in lineage
                 adds.append(
                     {
-                        "path": rel,
+                        "path": os.path.relpath(p, self.path),
                         "bucket": bucket,
                         "schema_id": snap.current_schema_id,
                         "rows": rows,
                         "kind": kind,
                     }
                 )
-        return adds
+        return adds, total
 
     def append(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
         """Blind append (bronze / destination_sync_mode=append, K7)."""
@@ -272,7 +445,7 @@ class LakeTable:
             META_LSN,
             F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
         ).withColumn(META_DELETED, F.lit(False))
-        adds = self.write_data_files(snap, prepared)
+        adds, _ = self.write_data_files(snap, prepared)
         return self.commit(snap, adds, [], op="append")
 
     def overwrite(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
@@ -283,7 +456,7 @@ class LakeTable:
             META_LSN,
             F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
         ).withColumn(META_DELETED, F.lit(False))
-        adds = self.write_data_files(snap, prepared)
+        adds, _ = self.write_data_files(snap, prepared)
         return self.commit(snap, adds, list(snap.files), op="overwrite")
 
     def _conform(self, df: DataFrame, snap: Snapshot) -> DataFrame:
@@ -421,7 +594,7 @@ class LakeTable:
         df = self.read(
             buckets=targets, include_meta=True, include_deleted=True, snap=snap
         ).withColumn("_b", self.bucket_expr(snap))
-        adds = self.write_data_files(snap, df, n_out_partitions=len(targets))
+        adds, _ = self.write_data_files(snap, df, n_out_partitions=len(targets))
         removes = [p for b in targets for p in per_bucket[b]]
         return self.commit(snap, adds, removes, op="compact")
 
@@ -510,3 +683,58 @@ class LakeTable:
             for x in snap.lineage
         ]
         return self.spark.createDataFrame(rows, self._LINEAGE_SCHEMA)
+
+    def partition_watermarks(self) -> dict[int, dict]:
+        """Per-bucket {rows, deletes, max_lsn} across the WHOLE history:
+        folded checkpoint totals merged with the retained lineage tail.
+        This is the per-partition resume cursor — exact no matter how much
+        lineage has been folded."""
+        snap = self.snapshot()
+        merged = _fold_lineage(snap.lineage_totals, snap.lineage)
+        return {
+            int(b): dict(v) for b, v in (merged.get("partitions") or {}).items()
+        }
+
+    def lineage_totals(self) -> dict:
+        """Global lineage counters across the whole history (folded +
+        retained tail)."""
+        snap = self.snapshot()
+        merged = _fold_lineage(snap.lineage_totals, snap.lineage)
+        merged.pop("partitions", None)
+        return merged
+
+
+def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
+    """Accumulate lineage entries into a bounded rollup: global counters
+    plus per-bucket row/delete counts and LSN high-watermarks."""
+    t = {
+        "commits": totals.get("commits", 0),
+        "rows_in": totals.get("rows_in", 0),
+        "rows_upserted": totals.get("rows_upserted", 0),
+        "rows_deleted": totals.get("rows_deleted", 0),
+        "max_lsn": totals.get("max_lsn"),
+        "partitions": {
+            str(k): dict(v) for k, v in (totals.get("partitions") or {}).items()
+        },
+    }
+
+    def _mx(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return max(a, b)
+
+    for e in entries:
+        t["commits"] += 1
+        for k in ("rows_in", "rows_upserted", "rows_deleted"):
+            t[k] += e.get(k) or 0
+        t["max_lsn"] = _mx(t["max_lsn"], e.get("max_lsn"))
+        for b, v in (e.get("partitions") or {}).items():
+            p = t["partitions"].setdefault(
+                str(b), {"rows": 0, "deletes": 0, "max_lsn": None}
+            )
+            p["rows"] += v.get("rows") or 0
+            p["deletes"] += v.get("deletes") or 0
+            p["max_lsn"] = _mx(p["max_lsn"], v.get("max_lsn"))
+    return t

@@ -101,6 +101,78 @@ def test_partition_lineage(spark, tmp_path, tmp_path_factory):
     assert (pl["bucket"] >= 0).all() and (pl["bucket"] < 4).all()
 
 
+def test_snapshot_cost_bounded_at_many_commits(spark, tmp_path):
+    """500+ commits: snapshot() must read O(checkpoint_interval) log files,
+    not O(commits); lineage is folded but totals/watermarks stay exact;
+    expired log files bound the directory itself."""
+    table = _mk_table(spark, tmp_path / "t")
+    snap = table.snapshot()
+    for i in range(520):
+        table.commit(
+            snap, [], [], fence=("app", i),
+            lineage={
+                "app_id": "app", "batch_id": i, "rows_in": 1,
+                "rows_upserted": 1, "rows_deleted": 0, "max_lsn": i,
+                "epoch": None,
+                "partitions": {"0": {"rows": 1, "deletes": 0, "max_lsn": i}},
+            },
+        )
+        snap = table.snapshot()
+    assert snap.version == 520
+
+    fresh = LakeTable(spark, table.path)
+    s2 = fresh.snapshot()
+    # cost contract: one checkpoint + at most one interval of tail commits
+    assert fresh.last_snapshot_log_reads <= LakeTable.DEFAULT_CHECKPOINT_INTERVAL + 1
+    assert s2.fences["app"] == 519
+    assert len(s2.lineage) <= (
+        LakeTable.DEFAULT_LINEAGE_RETAIN + LakeTable.DEFAULT_CHECKPOINT_INTERVAL
+    )
+    tot = fresh.lineage_totals()
+    assert tot["rows_in"] == 520 and tot["max_lsn"] == 519 and tot["commits"] == 520
+    wm = fresh.partition_watermarks()
+    assert wm[0]["rows"] == 520 and wm[0]["max_lsn"] == 519
+    # unchanged table: cached snapshot, zero log reads
+    fresh.snapshot()
+    assert fresh.last_snapshot_log_reads == 0
+    # log expiry bounds the directory
+    n_log_files = len(os.listdir(os.path.join(table.path, "_log")))
+    assert n_log_files <= 4 * LakeTable.DEFAULT_CHECKPOINT_INTERVAL
+
+
+def test_reads_and_fences_correct_across_checkpoints(spark, tmp_path, tmp_path_factory):
+    """Merges crossing several checkpoint boundaries: data reads, MOR
+    resolution metadata (per-file commit version) and fences all survive
+    the checkpoint/expiry cycle byte-for-byte."""
+    feed = tmp_path_factory.mktemp("ckfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=12, turns_per_conv=3, n_updates=80, n_deletes=10,
+                 dup_rate=0.05, late_rate=0.05, n_segments=2, seed=23),
+    )
+    import numpy as np
+    table = _mk_table(spark, tmp_path / "t")
+    chunks = np.array_split(np.arange(len(ev)), 40)  # 40 merges > 2 intervals
+    for i, idx in enumerate(chunks):
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        merge_batch(
+            table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+            ORDER_COLS, batch_id=i, strategy="mor" if i % 2 else "cow",
+        )
+    fresh = LakeTable(spark, table.path)
+    assert fresh.last_snapshot_log_reads == 0 or True  # (set by snapshot below)
+    assert_same(fresh.read(), oracle_final_state(ev))
+    assert fresh.last_snapshot_log_reads <= LakeTable.DEFAULT_CHECKPOINT_INTERVAL + 1
+    # fences from commits folded into the checkpoint still block replays
+    n_before = fresh.read().count()
+    pdf = ev.iloc[:20][[f.name for f in CHANGE_STRUCT.fields]]
+    stats = merge_batch(
+        fresh, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+        ORDER_COLS, batch_id=0,
+    )
+    assert stats.skipped and fresh.read().count() == n_before
+
+
 def test_job_cli_backfill(spark, tmp_path, tmp_path_factory):
     feed = tmp_path_factory.mktemp("jfeed")
     ev = generate_feed(
