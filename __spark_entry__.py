@@ -304,7 +304,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs form — retained as the small-corpus verifier tier."""
     return dedup_docs.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=1)
+
+
+def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: 4×15-bit pigeonhole bands -> (band_idx, band_val)
+    equi-join; exact recall for hamming ≤ 3, no cartesian anywhere."""
+    return dedup_docs.simhash_banded_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -371,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_banded": q_dedup_simhash_banded,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
@@ -414,6 +424,24 @@ def _minhash_sig_sql(k: int = 12) -> str:
         f"WITH {_SHINGLES_CTE}, sig AS MATERIALIZED "
         f"(SELECT doc_id, {cols} FROM sh GROUP BY doc_id)"
     )
+
+
+#: simhash signature CTE chain (shared by the all-pairs verifier and the
+#: banded scale query) — identical bit semantics to simhash_signatures
+_SIMHASH_SIG_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) t
+  FROM documents
+),
+th AS (SELECT doc_id, {h60_sql("t")} h FROM tok),
+bits AS (SELECT doc_id, b.b,
+                CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END v
+         FROM th, (SELECT unnest(generate_series(0, 59)) b) b),
+pb AS (SELECT doc_id, b, sum(v) s FROM bits GROUP BY 1, 2),
+sig AS MATERIALIZED (SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) simhash
+        FROM pb GROUP BY 1)"""
 
 
 def _lang_cnt(words: list[str]) -> str:
@@ -582,9 +610,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},
-            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM sh GROUP BY doc_id),
+            sdf AS (SELECT s, count(*) c FROM sh GROUP BY s),
+            shf AS MATERIALIZED (
+              SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s)
+              WHERE sdf.c <= {dedup_docs.MAX_SHINGLE_DF}),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) n FROM shf GROUP BY doc_id),
             p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) common
-                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
             SELECT doc_a, doc_b, common,
                    round(common / (x.n + y.n - common), 6) AS jaccard
@@ -602,23 +634,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "dedup_simhash": f"""
-            WITH tok AS (
-              SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) t
-              FROM documents
-            ),
-            th AS (SELECT doc_id, {_H("t")} h FROM tok),
-            bits AS (SELECT doc_id, b.b,
-                            CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END v
-                     FROM th, (SELECT unnest(generate_series(0, 59)) b) b),
-            pb AS (SELECT doc_id, b, sum(v) s FROM bits GROUP BY 1, 2),
-            sig AS (SELECT doc_id,
-                           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
-                                    ELSE 0 END) AS BIGINT) simhash
-                    FROM pb GROUP BY 1)
+            WITH {_SIMHASH_SIG_CTE}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        """,
+        "dedup_simhash_banded": f"""
+            WITH {_SIMHASH_SIG_CTE},
+            bands AS (SELECT doc_id, simhash, bb.b AS band_idx,
+                             (simhash >> (bb.b * 15)) & 32767 AS band_val
+                      FROM sig, (SELECT unnest(generate_series(0, 3)) b) bb),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                                AS hamming
+                     FROM bands a JOIN bands b
+                       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -81,13 +81,38 @@ def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+MAX_SHINGLE_DF = 256
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold.
 
     Inverted-index similarity join: pairs that share zero shingles never
     materialize. Output (doc_a, doc_b, common, jaccard).
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap BEFORE the self-join (standard stopword-shingle guard): one
+    ubiquitous shingle ("one of the") otherwise creates O(df²) join fanout
+    on a single hot key — the similarity space becomes "jaccard over
+    rare shingles", with both the pair counts AND the per-doc sizes
+    computed over the same capped shingle set so the ratio stays
+    internally consistent.
     """
     sh = shingle_table(docs, k)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        # left-semi on the same key the pair join shuffles on
+        sh = sh.join(rare, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -186,14 +211,68 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+SIMHASH_BANDS = 4
 
-    Local/small-corpus form uses a self-join on the signature table (one
-    int64 per doc, so even 10^8 docs is ~1 GB broadcastable state); the
-    10^10-doc path would band the 60 bits into 4 × 15-bit prefixes and
-    equi-join on band value (any pair within hamming 3 shares ≥1 exact band
-    — pigeonhole), reusing minhash_lsh_candidates' shape.
+
+def simhash_banded_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming — the
+    SCALE path (the all-pairs ``simhash_pairs`` below is the small-corpus
+    verifier only).
+
+    Pigeonhole banding: the 60-bit signature splits into ``n_bands``
+    15-bit slices; a pair within hamming ≤ n_bands-1 differs in at most
+    n_bands-1 slices, so at least one slice matches EXACTLY — candidates
+    come from an equi-join on (band_idx, band_val), never an all-pairs
+    theta join. With the defaults (4 bands, hamming ≤ 3) recall is exact,
+    same shape as ``minhash_lsh_candidates``. Shuffles carry
+    (doc_id, simhash, band) longs only. Output (doc_a, doc_b, hamming).
+    """
+    assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
+    sig = simhash_signatures(docs, bits)
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"(simhash >> {b * bw}) & {mask}").alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bt = sig.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    )
+    ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+    return (
+        bt.alias("a")
+        .join(
+            bt.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        # a pair can share several bands — one candidate row each
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS) -> DataFrame:
+    """All-pairs hamming join — SMALL-CORPUS VERIFIER ONLY (O(n²) rows).
+    Production/scale callers use ``simhash_banded_pairs``, whose
+    band-bucket equi-join returns the identical pair set for
+    max_hamming < n_bands; tests assert that equivalence.
     """
     sig = simhash_signatures(docs, bits)
     a, b = sig.alias("a"), sig.alias("b")

@@ -49,6 +49,7 @@ HEADLINE_QUERIES = [
     "text_token_count",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_banded",
     "ann_cosine_topk",
     "multimodal_meta",
 ]

@@ -74,6 +74,44 @@ def test_simhash_hamming(docs):
     assert pairs == {(1, 2): 0}
 
 
+def test_simhash_banded_equals_exact_and_no_cartesian(spark, docs):
+    """The banded pigeonhole join must return the identical pair set as the
+    all-pairs verifier for hamming <= n_bands-1, and its physical plan must
+    contain no cartesian/broadcast-nested-loop join."""
+    # wider corpus: near-dup clusters + unrelated docs
+    rows = list(DOCS) + [
+        (10 + i, f"shared prefix words here and also tail token{i}") for i in range(12)
+    ] + [(30 + i, f"totally unrelated corpus slice number {i} with junk") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_docs.simhash_pairs(df, max_hamming=3).collect()
+    }
+    banded_df = dedup_docs.simhash_banded_pairs(df, max_hamming=3)
+    banded = {(r.doc_a, r.doc_b, r.hamming) for r in banded_df.collect()}
+    assert banded == exact and len(exact) > 0
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """One shingle present in EVERY doc (stopword trigram) must not create
+    quadratic fanout: with the df cap the ubiquitous shingle is dropped and
+    only genuinely-similar pairs survive."""
+    n = 200
+    rows = [(i, f"one of the unique{i} tokens{i} here{i}") for i in range(n)]
+    rows += [(1000, "one of the shared tail words"), (1001, "one of the shared tail words")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_docs.ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=10).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    # without the cap the 'one of the' shingle alone would materialize
+    # ~n²/2 ≈ 20k candidate rows; with it only the true dup pair remains
+    assert pairs == {(1000, 1001)}
+    # and jaccard is computed over the capped shingle space: identical docs -> 1.0
+    assert out[0].jaccard == 1.0
+
+
 def test_language_id(docs):
     out = {r.doc_id: r for r in text_analysis.language_id(docs).collect()}
     assert out[1].lang_guess == "en" and out[1].en_cnt == 2
