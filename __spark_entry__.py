@@ -31,6 +31,7 @@ from airbyte_spark.operators.skew import salted_latest_per_key
 from airbyte_spark.operators.unnest import unnest_array
 from airbyte_spark.sources.declarative import record_filter, sliced_read
 from airbyte_spark.functions.text import canonicalize_udf
+from airbyte_spark.functions.names import canonicalize_identifier_udf, resolve_collisions
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
 from airbyte_spark.ops.hashing import h60_sql
 from airbyte_spark.ops.multimodal import attach_fake_payload, extract_media_meta
@@ -255,6 +256,30 @@ def q_cdc_salted_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_name_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 identifier-name canonicalization + collision registry, bulk form
+    (destination_name_transformer.py:99-310, stream_processor.py:317-345):
+    accent strip -> _ folding -> middle truncation with __ marker -> case
+    fold, then deterministic _n collision suffixing. Raw names are
+    synthesized from event_type with unicode/case decorations so each
+    canonical name collides exactly once."""
+    e = _t(spark, sf_dir, "events")
+    et = e.select("event_type").distinct()
+    raws = et.select(
+        F.concat(F.lit("Event "), F.col("event_type")).alias("raw_name")
+    ).unionAll(
+        et.select(
+            F.concat(F.lit("Évent   "), F.upper(F.col("event_type"))).alias("raw_name")
+        )
+    )
+    c = raws.withColumn(
+        "canon", canonicalize_identifier_udf()(F.col("raw_name"))
+    ).withColumn("canon_trunc", canonicalize_identifier_udf(12)(F.col("raw_name")))
+    return resolve_collisions(c, "canon", "raw_name").select(
+        "raw_name", "canon", "canon_trunc", "resolved"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis / canonicalization
 # ---------------------------------------------------------------------------
@@ -371,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_nested_unnest": q_cdc_nested_unnest,
         "cdc_record_filter_slice": q_cdc_record_filter_slice,
         "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
+        "cdc_name_canonicalize": q_cdc_name_canonicalize,
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -442,6 +468,43 @@ sig AS MATERIALIZED (SELECT doc_id,
                CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
                         ELSE 0 END) AS BIGINT) simhash
         FROM pb GROUP BY 1)"""
+
+
+def _canon_ident_sql(x: str, limit: int | None = None) -> str:
+    """DuckDB twin of names.canonicalize_identifier (lowercase family):
+    strip/accents/_-folding, then optional middle truncation (lowering
+    commutes with substring, so the fold order difference is immaterial)."""
+    e = (
+        r"lower(regexp_replace(regexp_replace(strip_accents(trim(" + x + r")), "
+        r"'\s+', '_', 'g'), '[^A-Za-z0-9_]', '_', 'g'))"
+    )
+    if limit is None:
+        return e
+    middle = round(limit / 2)
+    pre, suf = limit - middle - 1, middle - 1
+    return (
+        f"CASE WHEN length({e}) > {limit} "
+        f"THEN substr({e}, 1, {pre}) || '__' || substr({e}, length({e}) - {suf - 1}) "
+        f"ELSE {e} END"
+    )
+
+
+def _name_canon_oracle() -> str:
+    c = _canon_ident_sql("raw_name")
+    ct = _canon_ident_sql("raw_name", 12)
+    return f"""
+        WITH et AS (SELECT DISTINCT event_type FROM events),
+        raws AS (SELECT 'Event ' || event_type AS raw_name FROM et
+                 UNION ALL
+                 SELECT 'Évent   ' || upper(event_type) AS raw_name FROM et),
+        c AS (SELECT raw_name, {c} AS canon, {ct} AS canon_trunc FROM raws),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lower(canon)
+                      ORDER BY raw_name) rn FROM c)
+        SELECT raw_name, canon, canon_trunc,
+               CASE WHEN rn = 1 THEN canon
+                    ELSE canon || '_' || CAST(rn - 1 AS VARCHAR) END AS resolved
+        FROM r
+    """
 
 
 def _lang_cnt(words: list[str]) -> str:
@@ -562,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY event_id DESC) rn FROM events)
             WHERE rn = 1
         """,
+        "cdc_name_canonicalize": _name_canon_oracle(),
         "text_canonicalize": r"""
             SELECT doc_id,
                    nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '') AS canon_text
