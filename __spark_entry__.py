@@ -256,6 +256,29 @@ def q_cdc_salted_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_validation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 per-record schema validation with error accounting
+    (RecordSchemaValidator / DefaultReplicationWorker.java:549-577):
+    PERMISSIVE from_json with corrupt-record capture; exact per-stream
+    valid/invalid counts in one JVM-side pass. The fixture corrupts every
+    97th event's JSON payload (truncated brace)."""
+    from pyspark.sql import types as T
+    from airbyte_spark.sources.validation import validate_json_records, validation_counts
+
+    e = _t(spark, sf_dir, "events")
+    feed = e.withColumn(
+        "props_raw",
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    v = validate_json_records(
+        feed, "props_raw", T.StructType([T.StructField("k", T.LongType())])
+    )
+    return validation_counts(v, ["event_type"])
+
+
 def q_cdc_name_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 identifier-name canonicalization + collision registry, bulk form
     (destination_name_transformer.py:99-310, stream_processor.py:317-345):
@@ -397,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_record_filter_slice": q_cdc_record_filter_slice,
         "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
         "cdc_name_canonicalize": q_cdc_name_canonicalize,
+        "cdc_validation_accounting": q_cdc_validation_accounting,
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -626,6 +650,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "cdc_name_canonicalize": _name_canon_oracle(),
+        "cdc_validation_accounting": """
+            WITH feed AS (
+              SELECT event_type,
+                     CASE WHEN event_id % 97 = 0
+                          THEN substr(props, 1, length(props) - 1)
+                          ELSE props END AS props_raw
+              FROM events)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_records,
+                   CAST(sum(CASE WHEN json_valid(props_raw) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid,
+                   CAST(sum(CASE WHEN json_valid(props_raw) THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_invalid
+            FROM feed GROUP BY event_type
+        """,
         "text_canonicalize": r"""
             SELECT doc_id,
                    nullif(trim(regexp_replace(text, '\s+', ' ', 'g')), '') AS canon_text

@@ -60,6 +60,7 @@ def merge_batch(
     snap: Optional[Snapshot] = None,
     post_collapse: Optional[Callable[[DataFrame], DataFrame]] = None,
     strategy: str = "cow",
+    rows_invalid: Optional[int] = None,
 ) -> MergeStats:
     """strategy:
     * "cow" (copy-on-write) — read + full-outer-resolve + rewrite the
@@ -108,7 +109,7 @@ def merge_batch(
         if rows_in == 0:
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
-                lineage=_lineage(app_id, batch_id, 0, 0, 0, None, epoch),
+                lineage=_lineage(app_id, batch_id, 0, 0, 0, None, epoch, rows_invalid),
                 op="merge",
             )
             return MergeStats(skipped=False, version=version, rows_in=0)
@@ -124,7 +125,7 @@ def merge_batch(
         max_lsn = max(_lsns) if _lsns else None
         n_del = sum(v["deletes"] for v in per_bucket.values())
         lineage = _lineage(
-            app_id, batch_id, rows_in, rows_in, n_del, max_lsn, epoch
+            app_id, batch_id, rows_in, rows_in, n_del, max_lsn, epoch, rows_invalid
         )
         lineage["partitions"] = per_bucket
 
@@ -220,7 +221,10 @@ def merge_batch(
         src.unpersist()
 
 
-def _lineage(app_id, batch_id, rows_in, rows_upserted, rows_deleted, max_lsn, epoch):
+def _lineage(
+    app_id, batch_id, rows_in, rows_upserted, rows_deleted, max_lsn, epoch,
+    rows_invalid=None,
+):
     return {
         "app_id": app_id,
         "batch_id": batch_id,
@@ -229,4 +233,7 @@ def _lineage(app_id, batch_id, rows_in, rows_upserted, rows_deleted, max_lsn, ep
         "rows_deleted": rows_deleted,
         "max_lsn": max_lsn,
         "epoch": epoch,
+        # P2 validation accounting: malformed source records this batch
+        # (counted by sources.validation, quarantined upstream)
+        "rows_invalid": rows_invalid,
     }

@@ -638,7 +638,8 @@ class LakeTable:
 
     _LINEAGE_SCHEMA = (
         "version long, app_id string, batch_id long, rows_in long, "
-        "rows_upserted long, rows_deleted long, max_lsn long, epoch long"
+        "rows_upserted long, rows_deleted long, max_lsn long, epoch long, "
+        "rows_invalid long"
     )
 
     _PARTITION_LINEAGE_SCHEMA = (
@@ -679,6 +680,7 @@ class LakeTable:
                 x.get("rows_deleted"),
                 x.get("max_lsn"),
                 x.get("epoch"),
+                x.get("rows_invalid"),
             )
             for x in snap.lineage
         ]
@@ -725,9 +727,10 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
             return a
         return max(a, b)
 
+    t["rows_invalid"] = totals.get("rows_invalid", 0)
     for e in entries:
         t["commits"] += 1
-        for k in ("rows_in", "rows_upserted", "rows_deleted"):
+        for k in ("rows_in", "rows_upserted", "rows_deleted", "rows_invalid"):
             t[k] += e.get(k) or 0
         t["max_lsn"] = _mx(t["max_lsn"], e.get("max_lsn"))
         for b, v in (e.get("partitions") or {}).items():
