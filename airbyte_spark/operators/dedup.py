@@ -121,6 +121,61 @@ def scd2(
     return out.withColumn("_airbyte_active_row", active.cast("int")).drop("_rn")
 
 
+def scd2_bounded(
+    df: DataFrame,
+    pk: Sequence[str],
+    cursor: str,
+    deleted_col: str = "_ab_cdc_deleted_at",
+    range_size: int = 100_000,
+) -> DataFrame:
+    """SCD2 with BOUNDED sorts — the hot-key-immune form of ``scd2``.
+
+    The plain window sorts ALL versions of a key in one reducer: a hot
+    conversation turn with 10^8 updates is a single 10^8-row sort. Here
+    versions are range-bucketed by cursor (``_rb = floor(cursor /
+    range_size)``); the lag/row_number window runs within (pk, _rb) — each
+    sort is bounded by the bucket's version density — and the bucket
+    boundary is stitched with per-(pk, _rb) aggregates: a bucket-level
+    window over |buckets| rows per key (not |versions|) supplies each
+    bucket-top row's end_at from the next-higher bucket's min cursor.
+
+    Requires a unique numeric cursor per version (a WAL LSN); collapse
+    exact duplicates first (``skew.salted_scd2_input``). Output is
+    identical to ``scd2`` whenever the cursor is tie-free (tests assert
+    equality on a hot-key fixture).
+    """
+    d = df.withColumn(
+        "_rb", F.floor(F.col(cursor).cast("long") / F.lit(range_size)).cast("long")
+    )
+    bs = d.groupBy(*pk, "_rb").agg(F.min(F.col(cursor)).alias("_bmin"))
+    w_b = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(F.col("_rb").desc())
+    # lag in _rb-desc order = the next-HIGHER bucket's min cursor
+    bs = bs.withColumn("_next_bmin", F.lag("_bmin").over(w_b))
+    d = d.join(bs, [*pk, "_rb"])  # co-partitioned with the in-bucket window
+
+    w_in = Window.partitionBy(*[F.col(c) for c in pk], F.col("_rb")).orderBy(
+        F.col(cursor).desc()
+    )
+    uk = F.md5(
+        F.concat_ws("-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk])
+    )
+    out = (
+        d.withColumn("_airbyte_unique_key", uk)
+        .withColumn("_airbyte_start_at", F.col(cursor))
+        .withColumn(
+            "_airbyte_end_at",
+            F.coalesce(F.lag(F.col(cursor)).over(w_in), F.col("_next_bmin")),
+        )
+        .withColumn("_rn", F.row_number().over(w_in))
+    )
+    active = (F.col("_rn") == 1) & F.col("_next_bmin").isNull()
+    if deleted_col in df.columns:
+        active = active & F.col(deleted_col).isNull()
+    return out.withColumn("_airbyte_active_row", active.cast("int")).drop(
+        "_rn", "_rb", "_bmin", "_next_bmin"
+    )
+
+
 def final_table(scd: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
     """D4: active rows only, payload columns."""
     return scd.filter(F.col("_airbyte_active_row") == 1).select(*payload_cols)

@@ -14,8 +14,10 @@ Context — when salting is (and isn't) needed:
 
 ``salted_latest_per_key`` exists for engines/options where partial
 aggregation is disabled and as the documented pattern; ``salted_scd2_input``
-pre-aggregates the duplicate-heavy part per salt so the window sort sees
-a bounded partition.
+collapses the duplicate-heavy part of an at-least-once feed per salt so
+the window sort sees only DISTINCT versions; for hot keys whose distinct
+version count itself is huge, ``dedup.scd2_bounded`` range-buckets the
+window sort.
 """
 
 from __future__ import annotations
@@ -66,6 +68,34 @@ def salted_latest_per_key(
         salted, [*pk, "_salt"], order_cols, payload_cols=p1_payload
     )
     return latest_per_key(phase1.drop("_salt"), pk, order_cols, payload_cols=payload_cols)
+
+
+def salted_scd2_input(
+    df: DataFrame, pk: Sequence[str], cursor: str, n_salt: int = 16
+) -> DataFrame:
+    """Collapse duplicate (pk, cursor) events BEFORE an SCD2 window.
+
+    An at-least-once feed re-delivers events; feeding them straight into
+    ``scd2`` makes the hot key's window partition |events| rows instead of
+    |distinct versions|. The collapse is a two-phase ``max_by`` hash
+    aggregate (map-side partial combine thins exact dups per mapper; the
+    salt spreads a pathologically hot duplicate cluster over n_salt
+    reducers in phase 1) with a DETERMINISTIC winner per version: highest
+    (updated_at, emitted_at) — re-delivered copies of a version that
+    differ only in delivery metadata always resolve the same way, so
+    streaming and batch SCD builds stay byte-equal. Pair with
+    ``dedup.scd2_bounded`` when distinct versions per key are themselves
+    unbounded."""
+    tiebreak = [
+        c for c in ("_ab_cdc_updated_at", "_airbyte_emitted_at") if c in df.columns
+    ]
+    if not tiebreak:
+        salted = with_salt(df, n_salt)
+        p1 = salted.dropDuplicates([*pk, cursor, "_salt"]).drop("_salt")
+        return p1.dropDuplicates([*pk, cursor])
+    salted = with_salt(df, n_salt)
+    p1 = latest_per_key(salted, [*pk, cursor, "_salt"], tiebreak).drop("_salt")
+    return latest_per_key(p1, [*pk, cursor], tiebreak)
 
 
 def salted_repartition(df: DataFrame, keys: Sequence[str], n_salt: int, n_partitions: int) -> DataFrame:

@@ -58,6 +58,10 @@ class ReplayConfig:
     #: micro-batches — bounds scan-time resolution fan-in while keeping
     #: the per-batch write cost O(batch) between folds
     compact_every_batches: Optional[int] = None
+    #: maintain a <stream>_scd Type-2 history table at this path alongside
+    #: the SCD1 latest-state table (reference's incremental SCD contract,
+    #: stream_processor.py:892-942); each table carries its own fence
+    scd_table_path: Optional[str] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -84,8 +88,22 @@ def bootstrap_table(
     )
 
 
-def _process_batch(table: LakeTable, cfg: ReplayConfig):
+def _process_batch(table: LakeTable, cfg: ReplayConfig, scd_table: Optional[LakeTable] = None):
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if scd_table is not None:
+            from ..lake.scd import scd_merge_batch
+
+            scd_merge_batch(
+                scd_table,
+                batch_df,
+                PK,
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                epoch=cfg.epoch,
+                post_dedup=lambda df: prepare_changes(
+                    df, canonicalize=cfg.canonicalize
+                ),
+            )
         stats = merge_batch(
             table,
             batch_df,
@@ -135,6 +153,14 @@ def run_replay_stream(
     them together — see sync.py).
     """
     table = bootstrap_table(spark, cfg.table_path)
+    scd_table = None
+    if cfg.scd_table_path:
+        from ..lake.scd import bootstrap_scd_table
+
+        scd_table = bootstrap_scd_table(
+            spark, cfg.scd_table_path, cfg.feed_struct, PK,
+            bucket_cols=["conv_id"],
+        )
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
     reader = spark.readStream.schema(cfg.feed_struct)
@@ -151,7 +177,7 @@ def run_replay_stream(
         stream = stream.dropDuplicatesWithinWatermark([*PK, "_ab_cdc_lsn"])
 
     writer = (
-        stream.writeStream.foreachBatch(_process_batch(table, cfg))
+        stream.writeStream.foreachBatch(_process_batch(table, cfg, scd_table))
         .option("checkpointLocation", cfg.checkpoint_dir)
         .queryName(cfg.app_id)
     )

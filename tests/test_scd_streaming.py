@@ -1,0 +1,147 @@
+"""Incremental SCD2 history maintenance (D2/D6 streaming form) + the
+skew-bounded SCD2 window.
+
+Equivalence contract: the streaming <stream>_scd table must equal batch
+scd2() over the whole feed's distinct versions — including late events,
+deletes, duplicates and hot-key skew (reference stream_processor.py:892-942
+incremental SCD semantics)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from airbyte_spark.feedgen import FeedSpec, generate_feed
+from airbyte_spark.lake import LakeTable
+from airbyte_spark.lake.scd import bootstrap_scd_table, scd_merge_batch, SCD_OUT_COLS
+from airbyte_spark.operators.dedup import scd2, scd2_bounded
+from airbyte_spark.operators.skew import salted_scd2_input
+from airbyte_spark.plans.replay import prepare_changes
+from airbyte_spark.schemas import CHANGE_STRUCT, CURSOR, PK
+from airbyte_spark.streaming import ReplayConfig, run_replay_stream
+
+SPEC = FeedSpec(n_convs=15, turns_per_conv=4, n_updates=150, n_deletes=20,
+                dup_rate=0.10, late_rate=0.10, hot_fraction=0.5,
+                n_segments=5, seed=99)
+
+
+def _batch_scd(spark, feed_dir, canonicalize=True):
+    raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{feed_dir}/*.parquet")
+    versions = prepare_changes(
+        salted_scd2_input(raw, PK, CURSOR), canonicalize=canonicalize
+    )
+    return scd2(versions, PK, CURSOR)
+
+
+def _assert_df_equal(a, b):
+    cols = sorted(a.columns)
+    assert sorted(b.columns) == cols
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_scd2_bounded_equals_window_on_hot_key(spark):
+    """Range-bucketed SCD2 (bounded sorts) must be byte-equal to the plain
+    window form on a feed where one key holds most versions."""
+    rows = [("hot", 0, i) for i in range(1, 301)] + [
+        (f"cold-{j}", 0, 1000 + j) for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "_ab_cdc_lsn"])
+    plain = scd2(df, PK, CURSOR)
+    bounded = scd2_bounded(df, PK, CURSOR, range_size=50)
+    _assert_df_equal(plain, bounded)
+    # the bounded form's window partitions are (pk, range-bucket): the hot
+    # key's 300 versions sort in ceil(300/50)-row... chunks of <= 50
+    assert bounded.filter(F.col("_airbyte_active_row") == 1).count() == 21
+
+
+def test_salted_scd2_input_deterministic_collapse(spark):
+    """Duplicate copies of one version differing only in delivery metadata
+    must collapse to the max-(updated, emitted) copy, every time."""
+    import pandas as pd
+
+    ts = pd.Timestamp("2025-01-01 10:00").to_pydatetime()
+    ts_old = pd.Timestamp("2025-01-01 09:00").to_pydatetime()
+    rows = [
+        ("c", 0, "a-text", 5, ts, ts),
+        ("c", 0, "a-text", 5, ts, ts_old),  # late re-delivery, stale emitted
+        ("c", 0, "b-text", 6, ts, ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, _ab_cdc_lsn long, "
+        "_ab_cdc_updated_at timestamp, _airbyte_emitted_at timestamp",
+    )
+    for _ in range(3):
+        out = salted_scd2_input(df, PK, CURSOR)
+        got = {(r._ab_cdc_lsn, r._airbyte_emitted_at) for r in out.collect()}
+        assert got == {(5, ts), (6, ts)}
+
+
+def test_streaming_scd_equals_batch_scd2(spark, tmp_path, tmp_path_factory):
+    """Full-feed streaming replay maintaining the SCD table per micro-batch
+    == batch scd2 over the whole feed (late events, deletes, dups, skew)."""
+    feed = tmp_path_factory.mktemp("scdfeed")
+    generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        scd_table_path=str(tmp_path / "tbl_scd"),
+        max_files_per_trigger=1,  # 5 micro-batches
+        strategy="mor",
+    )
+    run_replay_stream(spark, cfg)
+    scd_table = LakeTable(spark, cfg.scd_table_path)
+    streamed = scd_table.read()
+    expected = _batch_scd(spark, str(feed))
+    _assert_df_equal(streamed, expected)
+
+    # the SCD1 table stays consistent with the SCD2 active rows
+    main = LakeTable(spark, cfg.table_path).read()
+    active = streamed.filter(
+        (F.col("_airbyte_active_row") == 1)
+    ).select(*main.columns)
+    _assert_df_equal(main, active)
+
+    # replaying the same feed into the same tables is fenced end-to-end
+    cfg2 = ReplayConfig(
+        feed_dir=str(feed), table_path=cfg.table_path,
+        checkpoint_dir=cfg.checkpoint_dir, scd_table_path=cfg.scd_table_path,
+        max_files_per_trigger=1, strategy="mor",
+    )
+    run_replay_stream(spark, cfg2)
+    _assert_df_equal(scd_table.read(), expected)
+
+
+def test_scd_merge_batch_resume_and_late_rows(spark, tmp_path, tmp_path_factory):
+    """Driving scd_merge_batch directly: a late lower-LSN version arriving
+    in a later batch lands as a CLOSED history row (cannot resurrect)."""
+    import pandas as pd
+
+    feed = tmp_path_factory.mktemp("scdfeed2")
+    ev = generate_feed(str(feed), SPEC)
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 3)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        stats = scd_merge_batch(table, batch, PK, app_id="t", batch_id=i,
+                                post_dedup=prepare_changes, bounded=True)
+        assert not stats.skipped
+    expected = _batch_scd(spark, str(feed))
+    _assert_df_equal(table.read(), expected)
+    # fenced re-delivery
+    batch = spark.createDataFrame(ev.iloc[:50][cols], schema=CHANGE_STRUCT)
+    assert scd_merge_batch(table, batch, PK, app_id="t", batch_id=1).skipped
+    # exactly one active row per live key; closed rows carry end_at
+    hist = table.read()
+    per_key = hist.groupBy(*PK).agg(
+        F.sum("_airbyte_active_row").alias("n_active"),
+        F.count("*").alias("n_rows"),
+    )
+    assert per_key.filter(F.col("n_active") > 1).count() == 0
+    closed = hist.filter(F.col("_airbyte_active_row") == 0)
+    assert closed.filter(
+        F.col("_airbyte_end_at").isNull() & F.col("_ab_cdc_deleted_at").isNull()
+    ).count() == 0
