@@ -32,6 +32,12 @@ class ReplayMetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event):
         p = event.progress
+        observed = {}
+        try:
+            for name, row in (p.observedMetrics or {}).items():
+                observed[name] = row.asDict()
+        except Exception:
+            pass
         rec = {
             "query_id": str(p.id),
             "name": p.name,
@@ -41,6 +47,8 @@ class ReplayMetricsListener(StreamingQueryListener):
             "process_rows_per_second": p.processedRowsPerSecond,
             "duration_ms": dict(p.durationMs or {}),
             "timestamp": p.timestamp,
+            # O8: per-batch df.observe() values (row/byte/cursor estimates)
+            "observed": observed,
         }
         with self._lock:
             self.progress.append(rec)
@@ -64,6 +72,29 @@ class ReplayMetricsListener(StreamingQueryListener):
             "batches": len(rows),
             "rows": sum(r["num_input_rows"] for r in rows),
         }
+
+    def observed_totals(
+        self, metric: str = "replay_feed", name: Optional[str] = None
+    ) -> dict:
+        """Aggregate the per-batch df.observe() values: counters sum, the
+        cursor high-watermark takes the max."""
+        with self._lock:
+            obs = [
+                r["observed"][metric]
+                for r in self.progress
+                if (name is None or r["name"] == name)
+                and metric in r.get("observed", {})
+            ]
+        out: dict = {"batches_observed": len(obs)}
+        for o in obs:
+            for k, v in o.items():
+                if v is None:
+                    continue
+                if k.startswith("max_"):
+                    out[k] = max(out.get(k, v), v)
+                else:
+                    out[k] = out.get(k, 0) + v
+        return out
 
 
 def attach(spark: SparkSession, jsonl_path: Optional[str] = None) -> ReplayMetricsListener:

@@ -170,6 +170,19 @@ def run_replay_stream(
         reader = reader.option("maxBytesPerTrigger", cfg.max_bytes_per_trigger)
     stream = reader.parquet(f"{cfg.feed_dir}/*.parquet")
 
+    # O8 trace estimates (airbyte_protocol.yaml:208-237 record/byte
+    # estimates): named observation evaluated inside the stream's own job —
+    # zero extra passes; per-batch values surface in
+    # StreamingQueryProgress.observedMetrics (ReplayMetricsListener)
+    obs_cols = [F.count(F.lit(1)).alias("rows_obs")]
+    if "text" in [f.name for f in cfg.feed_struct.fields]:
+        obs_cols.append(
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_bytes_obs")
+        )
+    if "_ab_cdc_lsn" in [f.name for f in cfg.feed_struct.fields]:
+        obs_cols.append(F.max("_ab_cdc_lsn").alias("max_lsn_obs"))
+    stream = stream.observe("replay_feed", *obs_cols)
+
     if cfg.watermark_dedup:
         # cross-batch duplicate suppression before the merge even sees the
         # rows; the merge stays idempotent regardless (defense in depth)

@@ -36,5 +36,12 @@ def test_listener_counts_match_feed(spark, tmp_path, tmp_path_factory):
         lin = LakeTable(spark, cfg.table_path).lineage_df().toPandas()
         assert lin["rows_in"].sum() <= t["rows"]  # collapse <= raw input
         assert (tmp_path / "metrics.jsonl").exists()
+        # O8: df.observe() metrics ran inside the stream's own jobs and
+        # agree with both the feed and the committed lineage
+        obs = lst.observed_totals("replay_feed", name="metrics-test")
+        assert obs["rows_obs"] == len(ev)
+        assert obs["text_bytes_obs"] > 0
+        assert obs["max_lsn_obs"] == int(ev["_ab_cdc_lsn"].max())
+        assert obs["max_lsn_obs"] == int(lin["max_lsn"].max())
     finally:
         detach(spark, lst)
