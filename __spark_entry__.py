@@ -256,6 +256,42 @@ def q_cdc_salted_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assembly over the change stream: a >30-minute gap in a
+    user's events starts a new session (lag + running-sum windows sharing
+    ONE shuffle on user_id; partition size = per-user activity, bounded)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    # NTZ has no direct long cast; go via LTZ epoch seconds — the session
+    # zone cancels in the difference
+    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    new_s = F.when(prev.isNull() | ((sec(F.col("ts")) - sec(prev)) > 1800), 1).otherwise(0)
+    s = e.withColumn("_new", new_s).withColumn("session_idx", F.sum("_new").over(w))
+    return s.groupBy(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("first_event"),
+        F.max("event_id").cast("long").alias("last_event"),
+    )
+
+
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-20: wordcount with map-side combine, then
+    TakeOrderedAndProject (per-partition top-k + merge — never a global
+    sort of the vocabulary); rank assigned over the 20 surviving rows."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    order = [F.col("n").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(20)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+
+
 def q_cdc_validation_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 per-record schema validation with error accounting
     (RecordSchemaValidator / DefaultReplicationWorker.java:549-577):
@@ -421,6 +457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
         "cdc_name_canonicalize": q_cdc_name_canonicalize,
         "cdc_validation_accounting": q_cdc_validation_accounting,
+        "cdc_sessionize": q_cdc_sessionize,
+        "text_vocab_topk": q_text_vocab_topk,
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -650,6 +688,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "cdc_name_canonicalize": _name_canon_oracle(),
+        "cdc_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (SELECT user_id, event_id,
+                         sum(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM o)
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(min(event_id) AS BIGINT) AS first_event,
+                   CAST(max(event_id) AS BIGINT) AS last_event
+            FROM s GROUP BY 1, 2
+        """,
+        "text_vocab_topk": r"""
+            WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) token
+                         FROM documents),
+            c AS (SELECT token, CAST(count(*) AS BIGINT) n FROM tok GROUP BY token),
+            r AS (SELECT token, n,
+                         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                             AS rank
+                  FROM c)
+            SELECT token, n, rank FROM r WHERE rank <= 20
+        """,
         "cdc_validation_accounting": """
             WITH feed AS (
               SELECT event_type,
