@@ -56,6 +56,34 @@ def test_two_sequential_full_refreshes_identical(spark, tmp_path, tmp_path_facto
     pd.testing.assert_frame_equal(first, second)
 
 
+def test_conversation_assembly_stable_turn_ordering(spark, tmp_path_factory):
+    """north_rule invariant as an operator: assembling each conversation
+    from the replayed final table yields turns in turn_idx order, matching
+    a pandas-built transcript exactly — regardless of event delivery order
+    (late/duplicate/hot feed)."""
+    from airbyte_spark.operators.transcripts import assemble_conversations
+    from airbyte_spark.plans.replay import batch_replay
+
+    feed = tmp_path_factory.mktemp("asmfeed")
+    ev = generate_feed(str(feed), FeedSpec(n_convs=8, turns_per_conv=5,
+                                           n_updates=60, n_deletes=6,
+                                           dup_rate=0.1, late_rate=0.1, seed=21))
+    final = batch_replay(spark, str(feed), canonicalize=False)
+    got = {
+        r.conv_id: (r.n_turns, r.transcript)
+        for r in assemble_conversations(final).collect()
+    }
+
+    from airbyte_spark.feedgen import oracle_final_state
+
+    oracle = oracle_final_state(ev)
+    for conv, grp in oracle.groupby("conv_id"):
+        grp = grp.sort_values("turn_idx")
+        want = "\n".join(f"{r.role}: {r.text}" for r in grp.itertuples())
+        assert got[conv] == (len(grp), want)
+    assert set(got) == set(oracle["conv_id"].unique())
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(max_size=80))
 def test_canonicalizer_idempotent(s):
