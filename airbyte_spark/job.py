@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> None:
                         "(write-optimized streaming ingest)")
     p.add_argument("--compact", action="store_true",
                    help="fold deltas / compact + vacuum after the bounded run")
+    p.add_argument("--compact-every", type=int, default=None,
+                   help="with --strategy mor: fold deltas every N micro-batches")
+    p.add_argument("--scd-table", default=None,
+                   help="also maintain a Type-2 <stream>_scd history table "
+                        "at this path (incremental per micro-batch)")
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
@@ -85,6 +90,8 @@ def main(argv: list[str] | None = None) -> None:
         max_bytes_per_trigger=args.max_bytes_per_trigger,
         canonicalize=not args.no_canonicalize,
         strategy=args.strategy,
+        compact_every_batches=args.compact_every,
+        scd_table_path=args.scd_table,
     )
     run_replay_stream(spark, cfg, available_now=not args.continuous)
     if args.compact and not args.continuous:
