@@ -27,6 +27,11 @@ The SCD table is a second LakeTable next to the SCD1 latest-state table;
 each table carries its own fence for the same (app_id, batch_id), so a
 crash between the two commits re-delivers the batch and whichever table
 already committed skips it (exactly-once per table).
+
+Schema evolution: the history table evolves like any LakeTable — apply the
+same catalog diff via ``LakeTable.evolve`` on BOTH tables (the conform step
+here null-pads rows written before the evolve, identical to the main
+table's star_intersect behavior).
 """
 
 from __future__ import annotations

@@ -78,14 +78,19 @@ def salted_scd2_input(
     An at-least-once feed re-delivers events; feeding them straight into
     ``scd2`` makes the hot key's window partition |events| rows instead of
     |distinct versions|. The collapse is a two-phase ``max_by`` hash
-    aggregate (map-side partial combine thins exact dups per mapper; the
-    salt spreads a pathologically hot duplicate cluster over n_salt
-    reducers in phase 1) with a DETERMINISTIC winner per version: highest
+    aggregate with a DETERMINISTIC winner per version: highest
     (updated_at, emitted_at) — re-delivered copies of a version that
     differ only in delivery metadata always resolve the same way, so
-    streaming and batch SCD builds stay byte-equal. Pair with
-    ``dedup.scd2_bounded`` when distinct versions per key are themselves
-    unbounded."""
+    streaming and batch SCD builds stay byte-equal.
+
+    Skew note: the heavy lifting against duplicate storms is the MAP-SIDE
+    partial combine (each mapper ships ≤1 row per (pk, cursor[, salt])).
+    The cursor-derived salt is intentionally constant per version — exact
+    duplicates must meet to collapse — so phase 1's reducer fan-out helps
+    only when versions per key are many, which is precisely when the
+    phase-2 key (pk, cursor) is well-spread anyway. The residual hot-key
+    risk lives in the WINDOW sort, not here — that is
+    ``dedup.scd2_bounded``'s job."""
     tiebreak = [
         c for c in ("_ab_cdc_updated_at", "_airbyte_emitted_at") if c in df.columns
     ]
