@@ -66,15 +66,38 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def label_blocked_near_dup(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+def label_blocked_near_dup(
+    emb: DataFrame, threshold: float = 0.35, max_cell_size: int | None = None
+) -> DataFrame:
     """IVF-style near-duplicate pairs: candidates only within the same
-    coarse cluster (`label`), verified by exact cosine ≥ threshold."""
+    coarse cluster (`label`), verified by exact cosine ≥ threshold.
+
+    Within-cell cost is O(|cell|²) — inherent to IVF — so a skewed cell
+    (one cluster holding 10^7 vectors) is the scale hazard. With
+    ``max_cell_size`` set, oversized cells split deterministically into
+    ``ceil(|cell|/cap)`` sub-cells by vec_id; pairs form only within a
+    sub-cell, bounding every join group at O(cap²). This trades recall
+    (cross-sub-cell pairs are lost), the standard IVF posture — raise the
+    cap or re-cluster when recall matters more. The per-cell size table is
+    |cells| rows, broadcast."""
     v = emb.select("vec_id", "label", "embedding")
+    sub_cond = []
+    if max_cell_size is not None:
+        sizes = v.groupBy("label").agg(F.count("*").alias("_csz"))
+        nsub = F.greatest(F.ceil(F.col("_csz") / max_cell_size), F.lit(1)).cast("long")
+        v = (
+            v.join(F.broadcast(sizes), "label")
+            .withColumn("_sub", F.pmod(F.col("vec_id"), nsub))
+            .drop("_csz")
+        )
+        sub_cond = [F.col("a._sub") == F.col("b._sub")]
     a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cond = (F.col("a.label") == F.col("b.label")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
+    for c in sub_cond:
+        cond = cond & c
+    pairs = a.join(b, cond)
     return (
         pairs.withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
         .filter(F.col("cos") >= threshold)

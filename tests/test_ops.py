@@ -173,6 +173,32 @@ def test_label_blocked_near_dup(emb):
     # cross-label pair (0,4) is anti-parallel AND blocked by label anyway
 
 
+def test_ivf_hot_cell_cap(spark):
+    """One giant IVF cell must split into bounded sub-cells under the cap:
+    the join still completes with O(cap²) groups and capped output is a
+    subset of the uncapped pair set."""
+    import math
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    # 200 near-identical vectors all in label 0 (pathological hot cell)
+    rows = [(i, [1.0, 0.001 * (i % 7), 0.0], 0) for i in range(200)]
+    df = spark.createDataFrame(rows, schema)
+    uncapped = emb_ops.label_blocked_near_dup(df, threshold=0.99)
+    capped = emb_ops.label_blocked_near_dup(df, threshold=0.99, max_cell_size=25)
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un == 200 * 199 // 2  # everything matches everything
+    # bounded: at most ceil(200/25)=8 sub-cells of 25 -> 8 * C(25,2) pairs
+    assert 0 < n_cap <= 8 * (25 * 24 // 2)
+    pairs_cap = {(r.vec_a, r.vec_b) for r in capped.collect()}
+    pairs_un = {(r.vec_a, r.vec_b) for r in uncapped.collect()}
+    assert pairs_cap <= pairs_un
+
+
 def test_sign_lsh_bucketing(emb):
     b = {r.vec_id: r.bucket for r in emb_ops.sign_lsh_buckets(emb, n_bits=3).collect()}
     assert b[0] == 0b001 and b[2] == 0b010 and b[4] == 0

@@ -108,3 +108,79 @@ def test_stream_schema_evolution_resume(spark, tmp_path):
     # lineage recorded the epoch switch
     lin = table.lineage_df().toPandas()
     assert (lin["epoch"] == 2).any()
+
+
+def test_scd_history_evolves_with_main(spark, tmp_path):
+    """The <stream>_scd table takes the SAME catalog diff as the main table
+    (metadata-only); after an epoch-2 resume the new version row carries
+    the new column, epoch-1 history rows are null-padded, and the window
+    state (end_at/active flags) moves correctly across the evolution."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ev1 = generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        scd_table_path=str(tmp_path / "tbl_scd"),
+        max_files_per_trigger=2,
+    )
+    run_replay_stream(spark, cfg)
+    main = LakeTable(spark, cfg.table_path)
+    scd = LakeTable(spark, cfg.scd_table_path)
+    for t in (main, scd):
+        cur = t.snapshot().schema
+        target = T.StructType(
+            list(cur.to_struct().fields) + [T.StructField("tool_version", T.StringType())]
+        )
+        t.evolve(diff_schemas(cur, target, primary_key=list(PK)))
+
+    max_lsn = int(ev1["_ab_cdc_lsn"].max())
+    base = pd.Timestamp("2025-02-01")
+    seg2 = pd.DataFrame(
+        [
+            dict(conv_id="conv-0", turn_idx=0, role="user", text="epoch2 text",
+                 tool="python", tool_version="v9", ts=base,
+                 _ab_cdc_lsn=max_lsn + 1, _ab_cdc_updated_at=base,
+                 _ab_cdc_deleted_at=pd.NaT, _airbyte_emitted_at=base),
+            dict(conv_id="conv-1", turn_idx=2, role=None, text=None,
+                 tool=None, tool_version=None, ts=base,
+                 _ab_cdc_lsn=max_lsn + 2, _ab_cdc_updated_at=base,
+                 _ab_cdc_deleted_at=base, _airbyte_emitted_at=base),
+        ]
+    )
+    spark.createDataFrame(seg2, schema=CHANGE_STRUCT_V2).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed / "epoch2"))
+    part = [f for f in os.listdir(feed / "epoch2") if f.endswith(".parquet")][0]
+    os.rename(str(feed / "epoch2" / part), str(feed / "segment-99999.parquet"))
+
+    cfg2 = ReplayConfig(
+        feed_dir=str(feed), table_path=cfg.table_path,
+        checkpoint_dir=cfg.checkpoint_dir, scd_table_path=cfg.scd_table_path,
+        max_files_per_trigger=2, feed_struct=CHANGE_STRUCT_V2, epoch=2,
+    )
+    run_replay_stream(spark, cfg2)
+
+    hist = scd.read().toPandas()
+    assert "tool_version" in hist.columns
+    new_row = hist[(hist.conv_id == "conv-0") & (hist.turn_idx == 0)
+                   & (hist._ab_cdc_lsn == max_lsn + 1)]
+    assert len(new_row) == 1
+    assert new_row.iloc[0]["tool_version"] == "v9"
+    assert new_row.iloc[0]["_airbyte_active_row"] == 1
+    # every pre-existing version of that key is now closed history
+    old_rows = hist[(hist.conv_id == "conv-0") & (hist.turn_idx == 0)
+                    & (hist._ab_cdc_lsn <= max_lsn)]
+    assert (old_rows["_airbyte_active_row"] == 0).all()
+    assert old_rows["_airbyte_end_at"].notna().all()
+    # the delete landed as an inactive history row (audit trail preserved)
+    del_rows = hist[(hist.conv_id == "conv-1") & (hist.turn_idx == 2)
+                    & (hist._ab_cdc_lsn == max_lsn + 2)]
+    assert len(del_rows) == 1 and del_rows.iloc[0]["_airbyte_active_row"] == 0
+    # epoch-1 history rows are null-padded, not rewritten
+    assert hist[hist._ab_cdc_lsn <= max_lsn]["tool_version"].isna().all()
+    # SCD1 table and SCD2 active rows still agree
+    main_rows = main.read().toPandas()
+    active = hist[(hist._airbyte_active_row == 1) & hist._ab_cdc_deleted_at.isna()]
+    assert len(main_rows) == len(active)
