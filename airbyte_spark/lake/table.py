@@ -162,8 +162,13 @@ class LakeTable:
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"{version:020d}.ckpt.json")
 
-    def snapshot(self) -> Snapshot:
-        """Current table state.
+    def snapshot(self, at_version: Optional[int] = None) -> Snapshot:
+        """Current table state — or, with ``at_version``, TIME TRAVEL to a
+        historical version (Iceberg snapshot-id read analog): state is
+        rebuilt from the newest checkpoint ≤ that version plus the commit
+        tail up to it. Versions older than the log-expiry window raise
+        (their commits were folded away); ``read(snap=...)`` then serves
+        the historical scan as long as vacuum's grace has kept the files.
 
         Scale contract (the part that must survive 10^6+ commits): cost is
         ONE directory listing + at most ``checkpoint_interval`` commit-JSON
@@ -187,7 +192,21 @@ class LakeTable:
             raise FileNotFoundError(f"no lake table at {self.path}")
         commit_vs.sort()
         latest = commit_vs[-1]
-        if self._snap_cache is not None and self._snap_cache.version == latest:
+        if at_version is not None:
+            if at_version > latest:
+                raise ValueError(f"version {at_version} is in the future (latest {latest})")
+            ckpt_vs = [c for c in ckpt_vs if c <= at_version]
+            commit_vs = [c for c in commit_vs if c <= at_version]
+            latest = at_version
+            base = max(ckpt_vs, default=None)
+            tail = [c for c in commit_vs if base is None or c > base]
+            expected = at_version - (base if base is not None else -1)
+            if len(tail) != expected:
+                raise ValueError(
+                    f"version {at_version} expired: its commit history was "
+                    f"folded into a later checkpoint (log expiry)"
+                )
+        elif self._snap_cache is not None and self._snap_cache.version == latest:
             self.last_snapshot_log_reads = 0
             return self._snap_cache
 
@@ -238,16 +257,22 @@ class LakeTable:
                     "schema_id": ad["schema_id"],
                     "rows": ad.get("rows"),
                     "kind": ad.get("kind", "base"),
-                    # commit that added the file — the MOR tiebreaker
-                    "v": v,
+                    # commit that added the file — the MOR tiebreaker;
+                    # rollback re-adds preserve their ORIGINAL commit so
+                    # tie resolution is stable across restore
+                    "v": ad.get("v", v),
                 }
             if "fence" in e:
                 fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
+            if "fences_reset" in e:
+                # rollback restores the exactly-once fences wholesale so
+                # rolled-back batches re-apply instead of being skipped
+                fences = dict(e["fences_reset"])
             if "lineage" in e:
                 lineage.append({"version": v, **e["lineage"]})
         self.last_snapshot_log_reads = n_reads
         snap = Snapshot(
-            version=latest,
+            version=latest if at_version is None else at_version,
             schemas=schemas,
             current_schema_id=cur_sid,
             files=files,
@@ -258,8 +283,60 @@ class LakeTable:
             lineage=lineage,
             lineage_totals=totals,
         )
-        self._snap_cache = snap
+        if at_version is None:
+            self._snap_cache = snap
         return snap
+
+    def rollback(self, to_version: int) -> int:
+        """Restore the table to a historical version with ONE new commit
+        (Iceberg rollback_to_snapshot analog): files added since then are
+        dereferenced, files removed since then are re-referenced (with
+        their original commit version, so MOR tie resolution is stable),
+        the schema pointer is restored, and the exactly-once fences are
+        reset wholesale — batches merged after ``to_version`` re-apply on
+        re-delivery instead of being skipped as duplicates.
+
+        Requires the target version's metadata to still be in the log
+        window (snapshot(at_version=...) raises otherwise) and its data
+        files to not have been vacuumed — size ``vacuum(grace_commits=)``
+        to the rollback window you want to keep."""
+        cur = self.snapshot()
+        old = self.snapshot(at_version=to_version)
+        missing = [
+            p for p in old.files
+            if not os.path.exists(os.path.join(self.path, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot rollback to {to_version}: {len(missing)} data files "
+                f"were vacuumed (first: {missing[0]})"
+            )
+        adds = [
+            {"path": p, "bucket": m["bucket"], "schema_id": m["schema_id"],
+             "rows": m.get("rows"), "kind": m.get("kind", "base"),
+             "v": m.get("v", to_version)}
+            for p, m in old.files.items()
+            if p not in cur.files
+        ]
+        removes = [p for p in cur.files if p not in old.files]
+        entry: dict = {"op": "rollback", "fences_reset": old.fences}
+        if adds:
+            entry["adds"] = adds
+        if removes:
+            entry["removes"] = removes
+        if cur.current_schema_id != old.current_schema_id:
+            entry["schema"] = old.schema.to_json()
+        entry["lineage"] = {
+            "app_id": "__rollback__", "batch_id": to_version,
+            "rows_in": 0, "rows_upserted": 0, "rows_deleted": 0,
+            "max_lsn": None, "epoch": None,
+        }
+        version = cur.version + 1
+        self._write_commit(version, entry)
+        self._snap_cache = None
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            self._write_checkpoint()
+        return version
 
     def commit(
         self,

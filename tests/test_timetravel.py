@@ -1,0 +1,76 @@
+"""Time-travel reads + rollback (Iceberg snapshot-read / rollback parity),
+built on the checkpointed commit log."""
+
+import numpy as np
+import pytest
+
+from airbyte_spark.catalog import TableSchema
+from airbyte_spark.feedgen import FeedSpec, generate_feed
+from airbyte_spark.lake import LakeTable, merge_batch
+from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+
+SPEC = FeedSpec(n_convs=12, turns_per_conv=3, n_updates=60, n_deletes=8,
+                dup_rate=0.05, late_rate=0.05, n_segments=2, seed=55)
+
+
+def _rows(table, snap=None):
+    df = table.read(snap=snap) if snap else table.read()
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text) for r in df.select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+def test_time_travel_and_rollback(spark, tmp_path, tmp_path_factory):
+    feed = tmp_path_factory.mktemp("ttfeed")
+    ev = generate_feed(str(feed), SPEC)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    states = {}
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 4)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        merge_batch(table, batch, ORDER_COLS, app_id="tt", batch_id=i, strategy="mor")
+        states[table.snapshot().version] = _rows(table)
+
+    versions = sorted(states)
+    # --- time travel: every historical version reads back exactly ---------
+    for v in versions:
+        assert _rows(table, snap=table.snapshot(at_version=v)) == states[v]
+    with pytest.raises(ValueError, match="future"):
+        table.snapshot(at_version=versions[-1] + 10)
+
+    # --- rollback to the state after batch 1 ------------------------------
+    target = versions[1]
+    table.rollback(target)
+    assert _rows(table) == states[target]
+    # fences rolled back too: re-merging batch 2 APPLIES (not fenced out)
+    idx = np.array_split(np.arange(len(ev)), 4)[2]
+    batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+    stats = merge_batch(table, batch, ORDER_COLS, app_id="tt", batch_id=2, strategy="mor")
+    assert not stats.skipped
+    assert _rows(table) == states[versions[2]]
+    # the pre-rollback tip is still reachable until vacuumed
+    assert _rows(table, snap=table.snapshot(at_version=versions[-1])) == states[versions[-1]]
+
+    # --- vacuum breaks rollback beyond the grace window, loudly -----------
+    table.vacuum()  # grace 0: drops everything the current snapshot doesn't reference
+    with pytest.raises(ValueError, match="vacuumed"):
+        table.rollback(versions[-1])
+
+
+def test_time_travel_expiry_raises(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    snap = table.snapshot()
+    for i in range(70):
+        table.commit(snap, [], [], fence=("a", i))
+        snap = table.snapshot()
+    # log expiry (2 checkpoint intervals back) folded early commits away
+    with pytest.raises(ValueError, match="expired"):
+        table.snapshot(at_version=2)
+    # recent versions still travel fine
+    assert table.snapshot(at_version=snap.version - 1).fences["a"] == 68
