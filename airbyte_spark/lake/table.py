@@ -588,22 +588,7 @@ class LakeTable:
         need_commit_col = has_delta and resolve
         parts: list[DataFrame] = []
         for sid, paths in sorted(groups.items()):
-            file_schema = snap.schemas[sid]
-            struct = file_schema.to_struct()
-            # meta cols are physical in every data file
-            read_struct = struct.add(META_LSN, "long").add(META_DELETED, "boolean")
-            raw = self.spark.read.schema(read_struct).parquet(*paths)
-            by_uid = file_schema.by_uid()
-            cols = []
-            for fs in cur.fields:
-                src = by_uid.get(fs.uid)
-                if src is None:
-                    cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
-                elif src.dtype == fs.dtype and src.name == fs.name:
-                    cols.append(F.col(fs.name))
-                else:
-                    cols.append(F.col(src.name).cast(fs.dtype).alias(fs.name))
-            cols += [F.col(META_LSN), F.col(META_DELETED)]
+            raw, cols = self._file_group_scan(snap, sid, paths, cur)
             if need_commit_col:
                 # file basename is globally unique (job UUID in the name);
                 # broadcast-joined below against the |files|-row manifest
@@ -639,6 +624,96 @@ class LakeTable:
             df = df.filter(~F.col(META_DELETED))
         if not include_meta:
             df = df.drop(META_LSN, META_DELETED)
+        return df
+
+    def _file_group_scan(self, snap: Snapshot, sid: int, paths: list[str], cur):
+        """Scan one schema-era file group and build the uid-based projection
+        onto the current schema (rename/widen/null-pad) + physical meta
+        cols. Returns (raw_df, projection_cols)."""
+        file_schema = snap.schemas[sid]
+        struct = file_schema.to_struct()
+        # meta cols are physical in every data file
+        read_struct = struct.add(META_LSN, "long").add(META_DELETED, "boolean")
+        raw = self.spark.read.schema(read_struct).parquet(*paths)
+        by_uid = file_schema.by_uid()
+        cols = []
+        for fs in cur.fields:
+            src = by_uid.get(fs.uid)
+            if src is None:
+                cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+            elif src.dtype == fs.dtype and src.name == fs.name:
+                cols.append(F.col(fs.name))
+            else:
+                cols.append(F.col(src.name).cast(fs.dtype).alias(fs.name))
+        cols += [F.col(META_LSN), F.col(META_DELETED)]
+        return raw, cols
+
+    # -------------------------------------------------- change data feed
+
+    def changes_between(
+        self, from_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """Change-data-feed read (Iceberg CDF / Paimon changelog analog):
+        the collapsed change rows applied by commits in
+        ``(from_version, to_version]`` — one row per (key, commit) with
+        ``__lsn``, ``__deleted`` (tombstones visible) and
+        ``_change_version``. Downstream incremental consumers tail the
+        table with this instead of re-diffing snapshots.
+
+        Exact for MOR merges and appends, whose data files ARE the
+        per-commit change sets. A range containing a REWRITE commit (cow
+        merge, compaction, overwrite, rollback) raises: rewritten files mix
+        carried-over and changed rows, so the changelog is not derivable —
+        stream with ``strategy="mor"`` (compaction between the consumer's
+        sync points) to keep the feed readable. The range must be inside
+        the log-retention window (≤ 2 checkpoint intervals)."""
+        snap = self.snapshot(
+            at_version=to_version
+        ) if to_version is not None else self.snapshot()
+        to_version = snap.version
+        cur = snap.schema
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            try:
+                with open(self._log_path(v)) as f:
+                    e = json.load(f)
+            except FileNotFoundError as err:
+                raise ValueError(
+                    f"commit {v} expired from the log window"
+                ) from err
+            adds = e.get("adds", [])
+            if not adds:
+                continue
+            op = e.get("op")
+            changes_only = op == "append" or (
+                op in ("merge",) and all(a.get("kind") == "delta" for a in adds)
+            )
+            if not changes_only:
+                raise ValueError(
+                    f"commit {v} (op={op}) rewrote files; changelog is only "
+                    f"derivable from MOR/append commits"
+                )
+            groups: dict[int, list[str]] = {}
+            for ad in adds:
+                groups.setdefault(ad["schema_id"], []).append(
+                    os.path.join(self.path, ad["path"])
+                )
+            for sid, paths in sorted(groups.items()):
+                raw, cols = self._file_group_scan(snap, sid, paths, cur)
+                parts.append(
+                    raw.select(*cols, F.lit(v).cast("long").alias("_change_version"))
+                )
+        if not parts:
+            struct = (
+                cur.to_struct()
+                .add(META_LSN, "long")
+                .add(META_DELETED, "boolean")
+                .add("_change_version", "long")
+            )
+            return self.spark.createDataFrame([], struct)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df
 
     # -------------------------------------------------------- maintenance
