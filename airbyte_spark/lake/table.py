@@ -249,6 +249,8 @@ class LakeTable:
                 n_buckets = e["n_buckets"]
                 bucket_cols = e["bucket_cols"]
                 pk = e["primary_key"]
+            elif "n_buckets" in e:  # rebucket: layout evolution
+                n_buckets = e["n_buckets"]
             for rm in e.get("removes", []):
                 files.pop(rm, None)
             for ad in e.get("adds", []):
@@ -749,6 +751,45 @@ class LakeTable:
         adds, _ = self.write_data_files(snap, df, n_out_partitions=len(targets))
         removes = [p for b in targets for p in per_bucket[b]]
         return self.commit(snap, adds, removes, op="compact")
+
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Bucket-layout evolution (Iceberg partition-spec evolution
+        analog): rewrite the table under a new bucket count in ONE commit.
+
+        The bucket count is the table's unit of merge parallelism and
+        pruning granularity — sized for the CURRENT data volume. A table
+        that has grown 100× needs more buckets or every micro-batch touches
+        every bucket's (huge) files; this is the deliberate full-rewrite
+        that fixes it (run it like compaction: from the single writer,
+        between merges). MOR deltas are folded in by the resolving read, so
+        the rewrite also compacts."""
+        snap = self.snapshot()
+        if new_n_buckets == snap.n_buckets:
+            return snap.version
+        df = self.read(include_meta=True, include_deleted=True, snap=snap)
+        new_expr = F.pmod(
+            F.hash(*[F.col(c) for c in snap.bucket_cols]), F.lit(new_n_buckets)
+        )
+        rows = df.withColumn("_b", new_expr)
+        # temporarily advertise the new count so write_data_files
+        # partitions correctly; the commit entry makes it durable
+        adds, _ = self.write_data_files(
+            Snapshot(**{**snap.__dict__, "n_buckets": new_n_buckets}),
+            rows,
+            n_out_partitions=new_n_buckets,
+        )
+        entry: dict = {
+            "op": "rebucket",
+            "n_buckets": new_n_buckets,
+            "adds": adds,
+            "removes": list(snap.files),
+        }
+        version = snap.version + 1
+        self._write_commit(version, entry)
+        self._snap_cache = None
+        if self.checkpoint_interval and version % self.checkpoint_interval == 0:
+            self._write_checkpoint()
+        return version
 
     def vacuum(self, grace_commits: int = 0) -> list[str]:
         """Delete on-disk data files not referenced by the current snapshot

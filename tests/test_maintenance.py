@@ -173,6 +173,43 @@ def test_reads_and_fences_correct_across_checkpoints(spark, tmp_path, tmp_path_f
     assert stats.skipped and fresh.read().count() == n_before
 
 
+def test_rebucket_layout_evolution(spark, tmp_path, tmp_path_factory):
+    """Bucket-count evolution mid-life: rewrite under a new layout, then
+    keep merging — reads stay correct and new merges prune on the NEW
+    bucketing (including folding any pending MOR deltas)."""
+    import numpy as np
+    from airbyte_spark.feedgen import oracle_final_state as _orc
+
+    feed = tmp_path_factory.mktemp("rbfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=20, turns_per_conv=4, n_updates=100, n_deletes=12,
+                 dup_rate=0.05, late_rate=0.05, n_segments=2, seed=61),
+    )
+    table = _mk_table(spark, tmp_path / "t", n_buckets=4)
+    halves = np.array_split(np.arange(len(ev)), 2)
+    pdf0 = ev.iloc[halves[0]][[f.name for f in CHANGE_STRUCT.fields]]
+    merge_batch(table, spark.createDataFrame(pdf0, schema=CHANGE_STRUCT),
+                ORDER_COLS, batch_id=0, strategy="mor")
+
+    table.rebucket(8)
+    snap = table.snapshot()
+    assert snap.n_buckets == 8
+    assert {m["bucket"] for m in snap.files.values()} <= set(range(8))
+    assert {m["kind"] for m in snap.files.values()} == {"base"}  # deltas folded
+    assert_same(table.read(), _orc(ev.iloc[halves[0]]),
+                keys=("conv_id", "turn_idx", "text"))
+
+    pdf1 = ev.iloc[halves[1]][[f.name for f in CHANGE_STRUCT.fields]]
+    stats = merge_batch(table, spark.createDataFrame(pdf1, schema=CHANGE_STRUCT),
+                        ORDER_COLS, batch_id=1)
+    assert 0 < stats.touched_buckets <= 8
+    assert_same(table.read(), _orc(ev), keys=("conv_id", "turn_idx", "text"))
+    # a reopened handle sees the evolved layout from the log
+    fresh = LakeTable(spark, table.path)
+    assert fresh.snapshot().n_buckets == 8
+
+
 def test_job_cli_backfill(spark, tmp_path, tmp_path_factory):
     feed = tmp_path_factory.mktemp("jfeed")
     ev = generate_feed(
