@@ -1,1 +1,2 @@
-from .dedup import intra_batch_dedup, latest_per_key, scd2  # noqa: F401
+from .dedup import intra_batch_dedup, latest_per_key, scd2, scd2_bounded  # noqa: F401
+from .transcripts import assemble_conversations  # noqa: F401
