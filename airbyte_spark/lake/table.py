@@ -182,7 +182,9 @@ class LakeTable:
         commit_vs: list[int] = []
         ckpt_vs: list[int] = []
         for f in os.listdir(log_dir):
-            if f.startswith("."):
+            # only files named <digits>.json / <digits>.ckpt.json are ours —
+            # a stray editor artifact or marker file must not break reads
+            if f.startswith(".") or not f.split(".")[0].isdigit():
                 continue
             if f.endswith(".ckpt.json"):
                 ckpt_vs.append(int(f.split(".")[0]))
@@ -424,7 +426,7 @@ class LakeTable:
             return
         log_dir = os.path.join(self.path, _LOG_DIR)
         for f in os.listdir(log_dir):
-            if f.startswith("."):
+            if f.startswith(".") or not f.split(".")[0].isdigit():
                 continue
             v = int(f.split(".")[0])
             if v < keep_from:
@@ -592,11 +594,16 @@ class LakeTable:
         for sid, paths in sorted(groups.items()):
             raw, cols = self._file_group_scan(snap, sid, paths, cur)
             if need_commit_col:
-                # file basename is globally unique (job UUID in the name);
-                # broadcast-joined below against the |files|-row manifest
+                # key = last 3 path components "<commit-subdir>/_b=<k>/<file>":
+                # the subdir is a per-commit uuid and basenames are unique
+                # within one _b= dir, so the key is globally unique even when
+                # one write job emits identical part-NNNNN basenames into
+                # several _b= dirs. Broadcast-joined below against the
+                # |files|-row manifest.
                 cols.append(
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    F.array_join(
+                        F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3),
+                        "/",
                     ).alias("_fname")
                 )
             parts.append(raw.select(*cols))
@@ -610,7 +617,7 @@ class LakeTable:
             from ..operators.dedup import latest_per_key
 
             manifest = self.spark.createDataFrame(
-                [(os.path.basename(p), m.get("v", 0)) for p, m in selected],
+                [("/".join(p.split("/")[-3:]), m.get("v", 0)) for p, m in selected],
                 "_fname string, _commit_v long",
             )
             df = df.join(F.broadcast(manifest), "_fname", "left").drop("_fname")
@@ -697,9 +704,17 @@ class LakeTable:
                 )
             groups: dict[int, list[str]] = {}
             for ad in adds:
-                groups.setdefault(ad["schema_id"], []).append(
-                    os.path.join(self.path, ad["path"])
-                )
+                full = os.path.join(self.path, ad["path"])
+                if not os.path.exists(full):
+                    # delta files of an in-window commit can be compacted
+                    # away and vacuumed; fail at plan time with a clear
+                    # message instead of an executor FileNotFoundException
+                    raise ValueError(
+                        f"commit {v}: data file {ad['path']} was vacuumed "
+                        f"(compaction folded this commit's deltas); tail the "
+                        f"feed before vacuum, or widen vacuum grace_commits"
+                    )
+                groups.setdefault(ad["schema_id"], []).append(full)
             for sid, paths in sorted(groups.items()):
                 raw, cols = self._file_group_scan(snap, sid, paths, cur)
                 parts.append(
@@ -791,22 +806,49 @@ class LakeTable:
             self._write_checkpoint()
         return version
 
-    def vacuum(self, grace_commits: int = 0) -> list[str]:
+    def _vacuum_marker_path(self) -> str:
+        # dot-prefixed: invisible to snapshot()'s log listing
+        return os.path.join(self.path, _LOG_DIR, ".vacuum")
+
+    def _read_vacuum_marker(self) -> int:
+        try:
+            with open(self._vacuum_marker_path()) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def vacuum(self, grace_commits: int = 0, deep: bool = False) -> list[str]:
         """Delete on-disk data files not referenced by the current snapshot
         (left behind by compaction/overwrite/merge rewrites). Single-writer
         contract: only run between commits of the owning writer.
 
-        ``grace_commits`` protects files that were still referenced within
-        the last N commits: a concurrent READER (read() is public even on a
+        **Commit-scoped (default)**: every orphan was dereferenced by some
+        commit, so the candidate set is exactly the union of the
+        ``removes`` lists of commits since the last vacuum (tracked in a
+        ``_log/.vacuum`` high-watermark). Driver cost is O(commits since
+        last vacuum + files they removed) — flat when called from the
+        streaming auto-compact loop, NEVER a walk of the whole data
+        directory (at 10^10 events that walk is millions of file stats
+        inside the ingest loop). If vacuum was paused long enough that
+        log expiry folded away unvacuumed commits, the skipped candidates
+        leak until a ``deep=True`` pass.
+
+        **deep=True (offline repair)**: full ``os.walk`` of the data dir —
+        also reclaims files that were never referenced by any commit
+        (a crashed write job that died between writing files and
+        committing). Run it out-of-band, not from the ingest loop.
+
+        ``grace_commits`` protects files dereferenced within the last N
+        commits: a concurrent READER (read() is public even on a
         single-writer table) holding a recent snapshot can finish its scan
-        instead of hitting FileNotFoundException mid-read. A file dropped
-        from the live set in the last N commits necessarily appears in one
-        of those commits' ``removes`` lists, so the guard only reads the
-        log tail, never the whole log."""
+        instead of hitting FileNotFoundException mid-read."""
         snap = self.snapshot()
         referenced = {os.path.normpath(p) for p in snap.files}
-        if grace_commits > 0:
-            for v in range(max(1, snap.version - grace_commits + 1), snap.version + 1):
+        horizon = snap.version - grace_commits
+        removed: list[str] = []
+        if deep:
+            # protect the grace window's dereferenced files
+            for v in range(max(1, horizon + 1), snap.version + 1):
                 try:
                     with open(self._log_path(v)) as f:
                         e = json.load(f)
@@ -814,17 +856,50 @@ class LakeTable:
                     continue
                 for rm in e.get("removes", []):
                     referenced.add(os.path.normpath(rm))
-        removed = []
-        data_root = os.path.join(self.path, _DATA_DIR)
-        for root, _dirs, names in os.walk(data_root):
-            for nm in names:
-                if not nm.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, nm)
-                rel = os.path.normpath(os.path.relpath(full, self.path))
-                if rel not in referenced:
-                    os.unlink(full)
-                    removed.append(rel)
+            data_root = os.path.join(self.path, _DATA_DIR)
+            for root, _dirs, names in os.walk(data_root):
+                for nm in names:
+                    if not nm.endswith(".parquet"):
+                        continue
+                    full = os.path.join(root, nm)
+                    rel = os.path.normpath(os.path.relpath(full, self.path))
+                    if rel not in referenced:
+                        os.unlink(full)
+                        removed.append(rel)
+            return removed
+
+        marker = self._read_vacuum_marker()
+        log_dir = os.path.join(self.path, _LOG_DIR)
+        versions = []
+        for f in os.listdir(log_dir):
+            if (
+                f.startswith(".")
+                or f.endswith(".ckpt.json")
+                or not f.split(".")[0].isdigit()
+            ):
+                continue
+            v = int(f.split(".")[0])
+            if marker < v <= horizon:
+                versions.append(v)
+        candidates: set[str] = set()
+        for v in sorted(versions):
+            with open(self._log_path(v)) as f:
+                e = json.load(f)
+            for rm in e.get("removes", []):
+                candidates.add(os.path.normpath(rm))
+        for rel in sorted(candidates):
+            if rel in referenced:  # re-added later (rollback restore)
+                continue
+            full = os.path.join(self.path, rel)
+            if os.path.exists(full):
+                os.unlink(full)
+                removed.append(rel)
+        new_marker = max(marker, horizon)
+        if new_marker > marker:
+            tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(new_marker))
+            os.replace(tmp, self._vacuum_marker_path())
         return removed
 
     # ------------------------------------------------------------ lineage

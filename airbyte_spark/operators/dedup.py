@@ -142,7 +142,12 @@ def scd2_bounded(
     Requires a unique numeric cursor per version (a WAL LSN); collapse
     exact duplicates first (``skew.salted_scd2_input``). Output is
     identical to ``scd2`` whenever the cursor is tie-free (tests assert
-    equality on a hot-key fixture).
+    equality on a hot-key fixture). Rows with a NULL cursor (or a null pk
+    component) survive: the bucket join is null-safe, a null cursor lands
+    in the null range-bucket which sorts below every real bucket — the
+    same nulls-lose ordering as ``scd2``'s desc_nulls_last (exact match
+    for up to one null-cursor version per key; several null versions of
+    one key are outside the unique-cursor contract for both forms).
     """
     d = df.withColumn(
         "_rb", F.floor(F.col(cursor).cast("long") / F.lit(range_size)).cast("long")
@@ -151,7 +156,18 @@ def scd2_bounded(
     w_b = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(F.col("_rb").desc())
     # lag in _rb-desc order = the next-HIGHER bucket's min cursor
     bs = bs.withColumn("_next_bmin", F.lag("_bmin").over(w_b))
-    d = d.join(bs, [*pk, "_rb"])  # co-partitioned with the in-bucket window
+    # null-safe equi-join (still hash-joinable, co-partitioned with the
+    # in-bucket window): null pk / null cursor rows must not vanish here
+    join_cond = None
+    for c in [*pk, "_rb"]:
+        term = F.col(f"_l.{c}").eqNullSafe(F.col(f"_r.{c}"))
+        join_cond = term if join_cond is None else (join_cond & term)
+    d = (
+        d.alias("_l")
+        .join(bs.alias("_r"), join_cond)
+        .select("_l.*", F.col("_r._bmin").alias("_bmin"),
+                F.col("_r._next_bmin").alias("_next_bmin"))
+    )
 
     w_in = Window.partitionBy(*[F.col(c) for c in pk], F.col("_rb")).orderBy(
         F.col(cursor).desc()

@@ -76,18 +76,30 @@ def fetch_with_backoff(
     sleep: Callable[[float], None] = time.sleep,
 ) -> str:
     """One logical request with the reference's retry policy; returns the
-    body. Non-retryable non-200s and exhausted retries raise."""
-    last_status = None
+    body. Non-retryable non-200s and exhausted retries raise.
+
+    Transport-level failures (connection reset, DNS, socket timeout —
+    ``URLError``/``socket.timeout`` are ``OSError`` subclasses) back off and
+    retry exactly like a 5xx, matching the reference's DefaultBackoffHandler
+    treatment of connection errors: in ``sliced_fetch`` one flaky connection
+    must not fail the whole Spark task."""
+    last_err = None
     for attempt in range(max_retries + 1):
-        status, headers, body = transport(url, params)
+        try:
+            status, headers, body = transport(url, params)
+        except (OSError, TimeoutError) as e:
+            last_err = e
+            if attempt < max_retries:
+                sleep(backoff_seconds(attempt, {}, retry_factor))
+            continue
         if status == 200:
             return body
         if not should_retry(status):
             raise HttpSourceError(f"HTTP {status} for {url} (not retryable)")
-        last_status = status
+        last_err = f"HTTP {status}"
         if attempt < max_retries:
             sleep(backoff_seconds(attempt, headers, retry_factor))
-    raise HttpSourceError(f"HTTP {last_status} for {url}: retries exhausted")
+    raise HttpSourceError(f"{last_err} for {url}: retries exhausted")
 
 
 def urllib_transport(url: str, params: dict) -> tuple[int, dict, str]:

@@ -68,6 +68,32 @@ def test_retry_predicate_and_backoff_schedule():
     assert sleeps == [2.0, 7.0]  # exponential, then server-driven
 
 
+def test_transport_errors_retry_like_5xx():
+    """Connection-level failures (URLError/socket timeout are OSError
+    subclasses) back off and retry instead of failing the Spark task on
+    the first flaky connection — reference connection-error backoff."""
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(url, params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionResetError("peer reset")
+        if calls["n"] == 2:
+            raise TimeoutError("socket timeout")
+        return 200, {}, "ok"
+
+    body = fetch_with_backoff(flaky, "u", {}, retry_factor=2.0, sleep=sleeps.append)
+    assert body == "ok"
+    assert sleeps == [2.0, 4.0]
+
+    def always_down(url, params):
+        raise ConnectionRefusedError("no route")
+
+    with pytest.raises(HttpSourceError, match="retries exhausted"):
+        fetch_with_backoff(always_down, "u", {}, max_retries=2, sleep=lambda s: None)
+
+
 def test_non_retryable_and_exhaustion():
     with pytest.raises(HttpSourceError, match="404.*not retryable"):
         fetch_with_backoff(lambda u, p: (404, {}, ""), "u", {}, sleep=lambda s: None)

@@ -84,6 +84,112 @@ def test_compact_and_vacuum(spark, tmp_path, tmp_path_factory):
     assert table.read().count() == len(before)
 
 
+def test_vacuum_is_commit_scoped_not_a_walk(spark, tmp_path, tmp_path_factory, monkeypatch):
+    """Default vacuum derives candidates from the removes lists of commits
+    since the last vacuum — it must delete exactly what the old full walk
+    would, WITHOUT walking the data directory (O(total files) driver stall
+    inside the streaming loop at scale). deep=True stays as the offline
+    repair path for never-committed stray files."""
+    feed = tmp_path_factory.mktemp("vfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=16, turns_per_conv=3, n_updates=80, n_deletes=10,
+                 dup_rate=0.05, late_rate=0.05, n_segments=3, seed=31),
+    )
+    import numpy as np
+    table = _mk_table(spark, tmp_path / "t")
+    chunks = np.array_split(np.arange(len(ev)), 6)
+    for i, idx in enumerate(chunks):
+        _merge_ev(spark, table, ev.iloc[idx], i)  # COW: each merge orphans files
+    snap = table.snapshot()
+    live = set(snap.files)
+    # expected orphans, computed independently by walking (test-side only)
+    on_disk = set()
+    for root, _dirs, names in os.walk(os.path.join(table.path, "data")):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, nm), table.path))
+    expected = on_disk - live
+    assert expected  # the merges really did orphan files
+
+    # a stray file a crashed write job left behind: invisible to commits
+    stray_dir = os.path.join(table.path, "data", "deadbeef", "_b=0")
+    os.makedirs(stray_dir)
+    stray = os.path.join(stray_dir, "part-00000-dead.parquet")
+    with open(stray, "wb") as f:
+        f.write(b"not really parquet")
+
+    def _no_walk(*a, **k):
+        raise AssertionError("default vacuum must not walk the data dir")
+
+    import airbyte_spark.lake.table as table_mod
+    monkeypatch.setattr(table_mod.os, "walk", _no_walk)
+    removed = table.vacuum()
+    monkeypatch.undo()
+    assert set(removed) == expected  # same set as the walk, no walk
+    assert os.path.exists(stray)  # never-committed file: out of scope
+    # idempotent + incremental: marker advanced, nothing left to do
+    assert table.vacuum() == []
+    # deep repair reclaims the stray
+    deep_removed = table.vacuum(deep=True)
+    assert os.path.relpath(stray, table.path) in deep_removed
+    assert table.read().count() == LakeTable(spark, table.path).read().count()
+
+
+def test_vacuum_grace_defers_then_collects(spark, tmp_path, tmp_path_factory):
+    """grace_commits protects recently-dereferenced files on the first
+    pass; the marker stops at the horizon so the NEXT vacuum picks them
+    up — nothing leaks."""
+    feed = tmp_path_factory.mktemp("vgfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=10, turns_per_conv=3, n_updates=40, n_deletes=5,
+                 dup_rate=0.0, late_rate=0.0, n_segments=2, seed=37),
+    )
+    import numpy as np
+    table = _mk_table(spark, tmp_path / "t")
+    chunks = np.array_split(np.arange(len(ev)), 4)
+    for i, idx in enumerate(chunks):
+        _merge_ev(spark, table, ev.iloc[idx], i)
+    snap = table.snapshot()
+    # files dereferenced by the LAST commit are inside the grace window
+    import json as _json
+    with open(table._log_path(snap.version)) as f:
+        last_removes = set(
+            os.path.normpath(p) for p in _json.load(f).get("removes", [])
+        )
+    assert last_removes
+    removed1 = set(table.vacuum(grace_commits=1))
+    assert removed1.isdisjoint(last_removes)  # protected this pass
+    for p in last_removes:
+        assert os.path.exists(os.path.join(table.path, p))
+    # one more commit moves the horizon past them; they get collected now
+    _merge_ev(spark, table, ev.iloc[:5], 99)
+    removed2 = set(table.vacuum(grace_commits=1))
+    assert last_removes <= removed2  # deferred, not leaked
+
+
+def test_snapshot_ignores_stray_log_files(spark, tmp_path, tmp_path_factory):
+    """An editor artifact / marker file in _log must not break reads or
+    get deleted by log expiry (advisor: int() parse on every file)."""
+    feed = tmp_path_factory.mktemp("slfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=6, turns_per_conv=2, n_updates=10, n_deletes=2,
+                 dup_rate=0.0, late_rate=0.0, n_segments=1, seed=41),
+    )
+    table = _mk_table(spark, tmp_path / "t")
+    _merge_ev(spark, table, ev, 0)
+    stray = os.path.join(table.path, "_log", "_last_checkpoint")
+    with open(stray, "w") as f:
+        f.write("{}")
+    fresh = LakeTable(spark, table.path)
+    assert fresh.snapshot().version >= 1  # read survives the stray file
+    fresh._expire_logs(keep_from=1)
+    assert os.path.exists(stray)  # expiry never touches non-numeric names
+    assert fresh.read().count() > 0
+
+
 def test_partition_lineage(spark, tmp_path, tmp_path_factory):
     feed = tmp_path_factory.mktemp("plfeed")
     ev = generate_feed(

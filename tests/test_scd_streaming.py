@@ -53,6 +53,26 @@ def test_scd2_bounded_equals_window_on_hot_key(spark):
     assert bounded.filter(F.col("_airbyte_active_row") == 1).count() == 21
 
 
+def test_scd2_bounded_keeps_null_cursor_and_pk_rows(spark):
+    """Null-cursor versions (snapshot records without CDC metadata) and
+    null pk components must survive the bounded form's bucket join
+    (null-safe) and land exactly where plain scd2's desc_nulls_last puts
+    them: below every real version."""
+    rows = [
+        ("a", 0, 10), ("a", 0, 20),          # plain two-version key
+        ("b", 0, None),                       # only a null-cursor version
+        ("c", 0, None), ("c", 0, 5),          # null loses to a real version
+        (None, 0, 7),                         # null pk component
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, _ab_cdc_lsn bigint"
+    )
+    plain = scd2(df, PK, CURSOR)
+    bounded = scd2_bounded(df, PK, CURSOR, range_size=8)
+    assert bounded.count() == len(rows)  # nothing silently dropped
+    _assert_df_equal(plain, bounded)
+
+
 def test_salted_scd2_input_deterministic_collapse(spark):
     """Duplicate copies of one version differing only in delivery metadata
     must collapse to the max-(updated, emitted) copy, every time."""
