@@ -28,8 +28,13 @@ from pyspark.sql import functions as F
 from airbyte_spark.operators.cdc import project_debezium_events
 from airbyte_spark.operators.dedup import latest_per_key, scd2, surrogate_hash_id
 from airbyte_spark.operators.skew import salted_latest_per_key
-from airbyte_spark.operators.unnest import unnest_array
-from airbyte_spark.sources.declarative import record_filter, sliced_read
+from airbyte_spark.operators.unnest import unnest_array, unnest_children
+from airbyte_spark.sources.declarative import (
+    list_sliced_read,
+    record_filter,
+    sliced_read,
+    substream_sliced_read,
+)
 from airbyte_spark.functions.text import canonicalize_udf
 from airbyte_spark.functions.names import canonicalize_identifier_udf, resolve_collisions
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
@@ -227,6 +232,54 @@ def q_cdc_nested_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return child.select(
         "parent_hashid", F.col("doc_id").cast("long").alias("doc_id"), "pos", "token"
+    )
+
+
+def q_cdc_recursive_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 completion — catalog-driven RECURSIVE unnest (find_children_streams,
+    stream_processor.py:347-384): a 2-level nested column (sentences ->
+    words) walks into the full child-table tree; this query returns the
+    grandchild table, whose parent link chains the hashids
+    (md5(md5(doc_id) || '-' || sentence_pos))."""
+    d = _t(spark, sf_dir, "documents")
+    nested = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.transform(
+            F.split(F.trim("text"), r"\."), lambda s: F.split(s, " ")
+        ).alias("sents"),
+    )
+    tables = unnest_children(nested, ["doc_id"], stream_name="doc")
+    words = tables["doc_sents_element"]
+    return words.select(
+        F.col("_doc_sents_hashid").alias("sent_hashid"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("element").alias("token"),
+    )
+
+
+def q_cdc_list_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 list stream slicer: configured slice values as ONE pushable
+    IN-predicate scan with a slice column (list_stream_slicer.py analog)."""
+    e = _t(spark, sf_dir, "events")
+    sliced = list_sliced_read(e, "event_type", ["click", "view"])
+    return sliced.groupBy("slice_value").agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("event_id").cast("long").alias("max_lsn"),
+    )
+
+
+def q_cdc_substream_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 substream slicer: child rows sliced by parent records
+    (substream_slicer.py analog) — a broadcast semi-product keeping the
+    child scan map-only; slices aggregate per parent key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    li = _t(spark, sf_dir, "lineitem")
+    sliced = substream_sliced_read(li, o, "o_orderkey", "l_orderkey")
+    return sliced.groupBy(
+        F.col("parent_slice").cast("long").alias("parent_slice")
+    ).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
     )
 
 
@@ -453,7 +506,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_event_projection": q_cdc_event_projection,
         "pipeline_curation": q_pipeline_curation,
         "cdc_nested_unnest": q_cdc_nested_unnest,
+        "cdc_recursive_unnest": q_cdc_recursive_unnest,
         "cdc_record_filter_slice": q_cdc_record_filter_slice,
+        "cdc_list_slice": q_cdc_list_slice,
+        "cdc_substream_slice": q_cdc_substream_slice,
         "cdc_salted_latest_per_key": q_cdc_salted_latest_per_key,
         "cdc_name_canonicalize": q_cdc_name_canonicalize,
         "cdc_validation_accounting": q_cdc_validation_accounting,
@@ -674,6 +730,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(u.pos AS BIGINT) AS pos, u.tok AS token
             FROM x
         """,
+        "cdc_recursive_unnest": """
+            WITH s AS (SELECT doc_id, string_split(trim(text), '.') ss
+                       FROM documents),
+            l1 AS (SELECT md5(CAST(doc_id AS VARCHAR)) AS ph,
+                          u.pos AS spos, u.sent AS sent
+                   FROM (SELECT doc_id,
+                                unnest(list_transform(
+                                    generate_series(1, len(ss)),
+                                    i -> struct_pack(pos := i - 1, sent := ss[i]))) u
+                         FROM s)),
+            l2 AS (SELECT md5(ph || '-' || CAST(spos AS VARCHAR)) AS sent_hashid,
+                          u2.pos AS pos, u2.tok AS token
+                   FROM (SELECT ph, spos,
+                                unnest(list_transform(
+                                    generate_series(1, len(ws)),
+                                    i -> struct_pack(pos := i - 1, tok := ws[i]))) u2
+                         FROM (SELECT ph, spos, string_split(sent, ' ') ws
+                               FROM l1)))
+            SELECT sent_hashid, CAST(pos AS BIGINT) AS pos, token FROM l2
+        """,
+        "cdc_list_slice": """
+            SELECT event_type AS slice_value,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(event_id) AS BIGINT) AS max_lsn
+            FROM events WHERE event_type IN ('click', 'view')
+            GROUP BY 1
+        """,
+        "cdc_substream_slice": """
+            SELECT CAST(l_orderkey AS BIGINT) AS parent_slice,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice), 6) AS sum_price
+            FROM lineitem
+            JOIN (SELECT DISTINCT o_orderkey FROM orders
+                  WHERE o_totalprice > 200000) p
+              ON l_orderkey = p.o_orderkey
+            GROUP BY 1
+        """,
         "cdc_record_filter_slice": """
             SELECT CAST(date_trunc('day', ts) AS DATE) AS slice_start,
                    CAST(count(*) AS BIGINT) AS n,
@@ -836,11 +929,17 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         "ann_ivf_label_blocked": f"""
+            WITH sz AS (SELECT label, count(*) c FROM embeddings GROUP BY 1),
+            v AS (SELECT e.vec_id, e.label, e.embedding,
+                         e.vec_id % greatest(
+                             CAST(ceil(c / {emb_ops.DEFAULT_MAX_CELL_SIZE}.0)
+                                  AS BIGINT), 1) AS sub
+                  FROM embeddings e JOIN sz USING (label))
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(a.label AS BIGINT) AS label,
                    {_cos("a.embedding", "b.embedding")} AS cos
-            FROM embeddings a JOIN embeddings b
-              ON a.label = b.label AND a.vec_id < b.vec_id
+            FROM v a JOIN v b
+              ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.35
         """,
         "ann_lsh_signbucket": f"""

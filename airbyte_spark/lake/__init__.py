@@ -1,3 +1,9 @@
 from .table import LakeTable  # noqa: F401
 from .merge import merge_batch, MergeStats  # noqa: F401
-from .scd import bootstrap_scd_table, scd_merge_batch, ScdMergeStats  # noqa: F401
+from .scd import (  # noqa: F401
+    bootstrap_scd_table,
+    scd_merge_batch,
+    read_scd,
+    scd_compact,
+    ScdMergeStats,
+)

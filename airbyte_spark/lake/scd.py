@@ -6,22 +6,40 @@ new data with the re-opened rows of affected keys and re-runs the dedup/
 window CTE over that union (stream_processor.py:892-942), so history rows
 get their ``_airbyte_end_at`` closed and ``_airbyte_active_row`` moved
 without rewriting unaffected keys. This module is the Spark-first
-equivalent at bucket granularity:
+equivalent, with TWO write strategies mirroring the main table's:
 
-per micro-batch (fenced, same contract as ``merge_batch``):
+**strategy="cow"** per micro-batch (fenced, same contract as
+``merge_batch``):
 1. collapse the at-least-once batch to distinct (pk, cursor) versions
    (``salted_scd2_input`` — hash agg, map-side combine);
 2. compute the touched buckets from the batch keys (≤ n_buckets);
 3. read ONLY those buckets' existing history rows, union with the new
    versions, drop cross-batch duplicate versions;
-4. re-run the SCD2 window over the union (bounded to touched buckets —
-   O(touched history), the same asymptotics as the COW upsert) and
-   rewrite those buckets in one fenced commit.
+4. re-run the SCD2 window over the union (bounded to touched buckets)
+   and rewrite those buckets in one fenced commit.
+Right when batches are large relative to history, but history only
+GROWS: at 10^10 events a touched bucket holds ~10^8 version rows,
+rewritten by every batch that grazes it — write amplification.
 
-The result is byte-equal to running batch ``scd2()`` over the whole feed
-(tests assert exceptAll == 0 both ways, including the late-event fixture:
-a late lower-LSN version lands as a CLOSED history row — it cannot become
-active, matching the reference's ordering semantics).
+**strategy="mor"** (the 10^10-event streaming path): version rows are
+IMMUTABLE — only the derived columns (``_airbyte_end_at``,
+``_airbyte_active_row``) of a key's previous head change when a new
+version arrives, and both are pure functions of the key's version set
+(the next-version lag). So the batch's collapsed versions are APPENDED
+as per-bucket delta files (O(batch) per trigger, no history read at
+all) with the derived columns left NULL; ``read_scd`` re-derives them
+from the lag at scan time, and ``scd_compact`` materializes them back
+into base files (exactly the LSM treatment ``LakeTable`` gives the SCD1
+table: merge.py strategy="mor" + table.compact). NOTE: an SCD table
+carrying deltas must be folded with ``scd_compact`` (which re-windows),
+never plain ``LakeTable.compact`` (which would materialize the NULL
+derived columns as-is).
+
+Either way the result is byte-equal to running batch ``scd2()`` over the
+whole feed (tests assert exceptAll == 0 both ways, including the
+late-event fixture: a late lower-LSN version lands as a CLOSED history
+row — it cannot become active, matching the reference's ordering
+semantics).
 
 The SCD table is a second LakeTable next to the SCD1 latest-state table;
 each table carries its own fence for the same (app_id, batch_id), so a
@@ -113,6 +131,7 @@ def scd_merge_batch(
     epoch: Optional[int] = None,
     post_dedup=None,
     bounded: bool = False,
+    strategy: str = "cow",
 ) -> ScdMergeStats:
     """Apply one micro-batch to the SCD history table (fenced).
 
@@ -121,7 +140,10 @@ def scd_merge_batch(
     |events| — and only on NEW rows (existing history was canonicalized
     when first written). ``bounded=True`` swaps the window for
     ``scd2_bounded`` (range-bucketed sorts) when single keys accumulate
-    unbounded version counts."""
+    unbounded version counts. ``strategy="mor"`` appends the collapsed
+    versions as delta files with NULL derived columns — O(batch) per
+    trigger, no history read; resolve with ``read_scd`` / fold with
+    ``scd_compact`` (see module docstring)."""
     snap = table.snapshot()
     last = snap.fences.get(app_id)
     if last is not None and batch_id <= last:
@@ -148,6 +170,53 @@ def scd_merge_batch(
             int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"]} for r in stats_rows
         }
         touched = list(per_bucket)
+
+        if strategy == "mor":
+            # LSM write path: append the immutable version rows; the two
+            # derived columns stay NULL until read/compaction re-derives
+            # them from the next-version lag.
+            uk = F.md5(F.concat_ws(
+                "-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk]
+            ))
+            schema_cols = []
+            for fs in snap.schema.fields:
+                if fs.name == "_airbyte_unique_key":
+                    schema_cols.append(uk.cast(fs.dtype).alias(fs.name))
+                elif fs.name == "_airbyte_start_at":
+                    schema_cols.append(F.col(cursor).cast(fs.dtype).alias(fs.name))
+                elif fs.name in ("_airbyte_end_at", "_airbyte_active_row"):
+                    schema_cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+                elif fs.name in new.columns:
+                    schema_cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
+                else:
+                    schema_cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+            rows = new.select(
+                *schema_cols,
+                F.col(cursor).cast("long").alias(META_LSN),
+                F.lit(False).alias(META_DELETED),
+                F.col("_b"),
+            )
+            _lsns = [v["max_lsn"] for v in per_bucket.values() if v["max_lsn"] is not None]
+            lineage = _scd_lineage(
+                app_id, batch_id, rows_in, max(_lsns) if _lsns else None, epoch
+            )
+            lineage["partitions"] = {
+                b: {"rows": v["rows"], "max_lsn": v["max_lsn"], "deletes": 0}
+                for b, v in per_bucket.items()
+            }
+            adds, total = table.write_data_files(
+                snap, rows, n_out_partitions=len(touched), kind="delta",
+                rows_per_bucket={b: v["rows"] for b, v in per_bucket.items()},
+            )
+            version = table.commit(
+                snap, adds, [], fence=(app_id, batch_id), lineage=lineage,
+                op="scd_merge",
+            )
+            return ScdMergeStats(
+                skipped=False, version=version, rows_in=rows_in,
+                touched_buckets=len(touched),
+            )
+
         old_files = [p for p, m in snap.files.items() if m["bucket"] in set(touched)]
 
         # carried state for touched buckets only: strip the SCD columns,
@@ -200,6 +269,81 @@ def scd_merge_batch(
         )
     finally:
         new.unpersist()
+
+
+def _resolved_history(
+    snap: Snapshot,
+    raw: DataFrame,
+    bounded: bool,
+) -> DataFrame:
+    """Collapse duplicate version rows and re-derive the SCD columns from
+    the next-version lag — the merge-on-read resolution.
+
+    The collapse is the SAME deterministic rule as the write path
+    (``salted_scd2_input``: max-(updated, emitted) copy wins), so a version
+    re-delivered across micro-batches — two delta rows with the same
+    (pk, cursor) but different delivery metadata — resolves to exactly the
+    row the batch build would keep, keeping MOR byte-equal to batch
+    ``scd2()`` over the whole feed."""
+    pk = snap.primary_key[:-1]
+    cursor = snap.primary_key[-1]
+    versions = salted_scd2_input(raw.drop(*SCD_OUT_COLS), pk, cursor)
+    window = scd2_bounded if bounded else scd2
+    hist = window(versions, pk, cursor)
+    return hist.select(
+        *[F.col(fs.name).cast(fs.dtype).alias(fs.name) for fs in snap.schema.fields]
+    )
+
+
+def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
+    """Resolved scan of an SCD history table.
+
+    With no delta files (pure COW history, or right after ``scd_compact``)
+    this is a plain columnar scan — the derived columns are materialized
+    and exact. With deltas present, the scan re-derives
+    ``_airbyte_end_at``/``_airbyte_active_row`` from the next-version lag
+    (one window over the touched key's versions) — reads pay resolution,
+    writes stay O(batch): the standard MOR trade, same as the main
+    table's LSN resolution."""
+    snap = table.snapshot()
+    has_delta = any(
+        m.get("kind", "base") == "delta" for m in snap.files.values()
+    )
+    if not has_delta:
+        return table.read(snap=snap)
+    raw = table.read(snap=snap, resolve=False)
+    return _resolved_history(snap, raw, bounded)
+
+
+def scd_compact(table: LakeTable, bounded: bool = False) -> int:
+    """Fold SCD delta files back into fully-resolved base files.
+
+    Only buckets holding delta files are rewritten (all versions of a key
+    share its bucket, so per-bucket re-windowing is exact); other buckets'
+    materialized history is untouched. After this, ``read_scd`` is a plain
+    scan again. This is the periodic fold the streaming loop runs between
+    merges — the amortized cost that replaces per-batch full-bucket
+    rewrite amplification."""
+    snap = table.snapshot()
+    per_bucket: dict[int, list[str]] = {}
+    delta_buckets: set[int] = set()
+    for path, meta in snap.files.items():
+        per_bucket.setdefault(meta["bucket"], []).append(path)
+        if meta.get("kind", "base") == "delta":
+            delta_buckets.add(meta["bucket"])
+    if not delta_buckets:
+        return snap.version
+    targets = sorted(delta_buckets)
+    raw = table.read(buckets=targets, snap=snap, resolve=False)
+    hist = _resolved_history(snap, raw, bounded)
+    rows = hist.select(
+        "*",
+        F.col(snap.primary_key[-1]).cast("long").alias(META_LSN),
+        F.lit(False).alias(META_DELETED),
+    ).withColumn("_b", table.bucket_expr(snap))
+    adds, _ = table.write_data_files(snap, rows, n_out_partitions=len(targets))
+    removes = [p for b in targets for p in per_bucket[b]]
+    return table.commit(snap, adds, removes, op="scd_compact")
 
 
 def _scd_lineage(app_id, batch_id, rows_in, max_lsn, epoch):

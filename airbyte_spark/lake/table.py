@@ -659,6 +659,71 @@ class LakeTable:
 
     # -------------------------------------------------- change data feed
 
+    def _as_of_schema(self, hist: Snapshot, snap: Snapshot) -> Snapshot:
+        """Clone a historical snapshot so reads project onto the FINAL
+        schema (by field uid) instead of the schema current at that
+        version — keeps multi-part changelog output schema-uniform."""
+        if hist.current_schema_id == snap.current_schema_id:
+            return hist
+        return Snapshot(
+            **{
+                **hist.__dict__,
+                "schemas": {**hist.schemas, snap.current_schema_id: snap.schema},
+                "current_schema_id": snap.current_schema_id,
+            }
+        )
+
+    def _diff_commit_changes(self, v: int, entry: dict, snap: Snapshot) -> DataFrame:
+        """Change rows of a REWRITE commit (cow merge) via keyed diff of
+        the v-1 and v snapshots, pruned to the commit's touched buckets.
+
+        A cow merge only adds/updates keys (deletes are tombstone rows),
+        so a left join from the new state suffices: a key whose
+        (__lsn, __deleted) pair differs — or which has no previous row —
+        was changed by this commit."""
+        prev = self.snapshot(at_version=v - 1)
+        curv = self.snapshot(at_version=v)
+        touched: set[int] = {a["bucket"] for a in entry.get("adds", [])}
+        for r in entry.get("removes", []):
+            m = prev.files.get(r)
+            if m is not None:
+                touched.add(m["bucket"])
+        buckets = sorted(touched)
+        for s_ in (prev, curv):
+            for p, m in s_.files.items():
+                if m["bucket"] in touched and not os.path.exists(
+                    os.path.join(self.path, p)
+                ):
+                    raise ValueError(
+                        f"commit {v}: snapshot diff needs data file {p}, "
+                        f"which was vacuumed; widen vacuum grace_commits or "
+                        f"tail the feed before vacuum"
+                    )
+        cur_rows = self.read(
+            buckets=buckets, include_meta=True, include_deleted=True,
+            snap=self._as_of_schema(curv, snap),
+        ).alias("c")
+        prev_rows = self.read(
+            buckets=buckets, include_meta=True, include_deleted=True,
+            snap=self._as_of_schema(prev, snap),
+        ).alias("p")
+        pk = snap.primary_key
+        joined = cur_rows.join(prev_rows, on=list(pk), how="left")
+        changed = joined.filter(
+            (~F.col(f"c.{META_LSN}").eqNullSafe(F.col(f"p.{META_LSN}")))
+            | (~F.col(f"c.{META_DELETED}").eqNullSafe(F.col(f"p.{META_DELETED}")))
+        )
+        cols = [
+            F.col(fs.name) if fs.name in pk else F.col(f"c.{fs.name}")
+            for fs in snap.schema.fields
+        ]
+        cols += [
+            F.col(f"c.{META_LSN}").alias(META_LSN),
+            F.col(f"c.{META_DELETED}").alias(META_DELETED),
+            F.lit(v).cast("long").alias("_change_version"),
+        ]
+        return changed.select(*cols)
+
     def changes_between(
         self, from_version: int, to_version: Optional[int] = None
     ) -> DataFrame:
@@ -670,12 +735,17 @@ class LakeTable:
         table with this instead of re-diffing snapshots.
 
         Exact for MOR merges and appends, whose data files ARE the
-        per-commit change sets. A range containing a REWRITE commit (cow
-        merge, compaction, overwrite, rollback) raises: rewritten files mix
-        carried-over and changed rows, so the changelog is not derivable —
-        stream with ``strategy="mor"`` (compaction between the consumer's
-        sync points) to keep the feed readable. The range must be inside
-        the log-retention window (≤ 2 checkpoint intervals)."""
+        per-commit change sets — those scan only the commit's own files.
+        A COW merge commit is derived by KEYED SNAPSHOT DIFF (Iceberg/
+        Delta changelog-from-rewrites equivalent): join the v-1 and v
+        states over the commit's touched buckets and keep keys whose
+        (__lsn, __deleted) changed — two bucket-pruned scans + one join
+        per rewrite commit in the range. Compaction / rebucket / scd
+        folds change no logical state and contribute nothing. Overwrite
+        and rollback still raise: they drop keys wholesale with no
+        per-key cursor to order the implied deletes — re-sync the
+        consumer from a snapshot. The range must be inside the
+        log-retention window (≤ 2 checkpoint intervals)."""
         snap = self.snapshot(
             at_version=to_version
         ) if to_version is not None else self.snapshot()
@@ -690,18 +760,31 @@ class LakeTable:
                 raise ValueError(
                     f"commit {v} expired from the log window"
                 ) from err
-            adds = e.get("adds", [])
-            if not adds:
-                continue
             op = e.get("op")
+            if op in ("compact", "rebucket", "scd_compact"):
+                continue  # physical reorganization: logical state unchanged
+            adds = e.get("adds", [])
+            if not adds and not e.get("removes"):
+                continue
             changes_only = op == "append" or (
-                op in ("merge",) and all(a.get("kind") == "delta" for a in adds)
+                op in ("merge", "scd_merge")
+                and all(a.get("kind") == "delta" for a in adds)
             )
             if not changes_only:
-                raise ValueError(
-                    f"commit {v} (op={op}) rewrote files; changelog is only "
-                    f"derivable from MOR/append commits"
-                )
+                # the (__lsn, __deleted) keyed diff is exact only where a
+                # key's row is immutable per LSN: main-table cow merges. A
+                # cow scd_merge rewrites existing versions' DERIVED columns
+                # at unchanged LSN (end_at/active_row), so its changelog is
+                # not lsn-diffable; overwrite/rollback drop keys wholesale.
+                if op != "merge":
+                    raise ValueError(
+                        f"commit {v} (op={op}) rewrote rows beyond what an "
+                        f"LSN-keyed diff can attribute; changelog is "
+                        f"derivable from MOR/append/cow-merge commits only "
+                        f"— re-sync the consumer from a snapshot"
+                    )
+                parts.append(self._diff_commit_changes(v, e, snap))
+                continue
             groups: dict[int, list[str]] = {}
             for ad in adds:
                 full = os.path.join(self.path, ad["path"])

@@ -7,8 +7,10 @@ an array column becomes a child table whose primary key is the parent's
 surrogate hash id (P7) plus the element position.
 
 Spark-first: ``posexplode`` is the lateral unnest; the child table is just
-another DataFrame. No recursion machinery needed — callers compose
-``unnest_array`` per nested level.
+another DataFrame. ``unnest_array`` is one level; ``unnest_children`` is
+the catalog-driven recursion — it walks the whole nested schema the way
+``find_children_streams`` walks the JSON-schema tree and emits the
+complete child-table set, however deep (objects-in-arrays-in-objects).
 
 Scale: explode is a map-side operator (no shuffle); the child table
 inherits the parent's partitioning, so a follow-up join back to the parent
@@ -21,6 +23,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import surrogate_hash_id
 
@@ -39,12 +42,67 @@ def unnest_array(
     (md5 over the parent's pks, stream_processor.py:667-696) + element index.
     """
     withid = surrogate_hash_id(parent, parent_pk, hashid_col)
-    keep = list(keep_cols or parent_pk)
+    # keep_cols=[] means "keep nothing" (the recursive walk relies on it:
+    # a level-2 parent pk contains `pos`, which would collide with
+    # posexplode's own `pos` output) — only None defaults to parent_pk
+    keep = list(parent_pk if keep_cols is None else keep_cols)
     return withid.select(
         F.col(hashid_col),
         *keep,
         F.posexplode(array_col).alias("pos", element_alias),
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def unnest_children(
+    parent: DataFrame,
+    parent_pk: Sequence[str],
+    stream_name: str = "root",
+) -> dict[str, DataFrame]:
+    """Catalog-driven RECURSIVE unnest — the reference's
+    ``find_children_streams`` analog (stream_processor.py:347-384): walk
+    the parent's schema tree and emit one child table per nested array at
+    ANY depth, named ``<parent_stream>_<field>``.
+
+    Contract per level (mirrors the reference's child-stream pk chain):
+
+    * child pk = ``(_<parent_stream>_hashid, pos)`` where the hashid is
+      the parent's surrogate key (md5 over ITS pk — stream_processor.py:
+      667-696), so grandchild hashids chain: ``md5(child_hashid || '-' ||
+      pos)``.
+    * struct elements flatten into child columns (the reference's json
+      re-extract); array elements recurse into their own child tables;
+      a consumed array column is dropped from the table that carried it.
+
+    Every level is a ``posexplode`` — map-side, no shuffle; the whole
+    child-table tree materializes from ONE scan of the parent per branch.
+    """
+    out: dict[str, DataFrame] = {}
+    hashid_col = f"_{stream_name}_hashid"
+    for f in parent.schema.fields:
+        if not isinstance(f.dataType, T.ArrayType):
+            continue
+        child_name = f"{stream_name}_{f.name}"
+        child = unnest_array(
+            parent,
+            F.col(f.name),
+            parent_pk,
+            element_alias="element",
+            keep_cols=[],
+            hashid_col=hashid_col,
+        )
+        if isinstance(f.dataType.elementType, T.StructType):
+            child = child.select(hashid_col, "pos", "element.*")
+        out[child_name] = child
+        # recurse: the child's pk is (hashid, pos) — exactly what the
+        # grandchild's hashid must hash
+        out.update(unnest_children(child, [hashid_col, "pos"], child_name))
+        arr_cols = [
+            g.name for g in child.schema.fields
+            if isinstance(g.dataType, T.ArrayType)
+        ]
+        if arr_cols:  # consumed by recursion: drop from the emitted child
+            out[child_name] = child.drop(*arr_cols)
+    return out
 
 
 def unnest_json_array(

@@ -66,20 +66,26 @@ def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
+DEFAULT_MAX_CELL_SIZE = 48
+
+
 def label_blocked_near_dup(
-    emb: DataFrame, threshold: float = 0.35, max_cell_size: int | None = None
+    emb: DataFrame,
+    threshold: float = 0.35,
+    max_cell_size: int | None = DEFAULT_MAX_CELL_SIZE,
 ) -> DataFrame:
     """IVF-style near-duplicate pairs: candidates only within the same
     coarse cluster (`label`), verified by exact cosine ≥ threshold.
 
     Within-cell cost is O(|cell|²) — inherent to IVF — so a skewed cell
-    (one cluster holding 10^7 vectors) is the scale hazard. With
-    ``max_cell_size`` set, oversized cells split deterministically into
-    ``ceil(|cell|/cap)`` sub-cells by vec_id; pairs form only within a
-    sub-cell, bounding every join group at O(cap²). This trades recall
+    (one cluster holding 10^7 vectors) is the scale hazard. The cell cap
+    is therefore ON BY DEFAULT: cells above ``max_cell_size`` split
+    deterministically into ``ceil(|cell|/cap)`` sub-cells by vec_id;
+    pairs form only within a sub-cell, bounding every join group at
+    O(cap²) no matter how skewed the clustering is. This trades recall
     (cross-sub-cell pairs are lost), the standard IVF posture — raise the
-    cap or re-cluster when recall matters more. The per-cell size table is
-    |cells| rows, broadcast."""
+    cap (or pass None to disable) when recall matters more than bounded
+    cost. The per-cell size table is |cells| rows, broadcast."""
     v = emb.select("vec_id", "label", "embedding")
     sub_cond = []
     if max_cell_size is not None:

@@ -54,6 +54,44 @@ def datetime_slice_col(ts_col: Column, granularity: str = "day") -> Column:
     return F.to_date(F.date_trunc(granularity, ts_col))
 
 
+def list_sliced_read(
+    df: DataFrame,
+    slice_col: str,
+    values: Sequence,
+    slice_alias: str = "slice_value",
+) -> DataFrame:
+    """List stream slicer (reference
+    stream_slicers/list_stream_slicer.py): each configured value is one
+    slice. Spark-first: ONE DataFrame with a pushable IN-predicate plus
+    the slice column — the slices are partitions of the scan (the
+    IN-filter reaches the parquet reader as PushedFilters), not a
+    driver-side loop of per-value requests."""
+    out = df.filter(F.col(slice_col).isin(list(values)))
+    return out.withColumn(slice_alias, F.col(slice_col))
+
+
+def substream_sliced_read(
+    child: DataFrame,
+    parent: DataFrame,
+    parent_key: str,
+    child_key: str,
+    slice_alias: str = "parent_slice",
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """Substream slicer (reference stream_slicers/substream_slicer.py):
+    slices are derived from PARENT records — the CDK loops parent records
+    and issues one child read per parent id. Spark-first: equi-join the
+    child against the distinct parent keys in one pass; with
+    ``broadcast_keys`` (the common case: parents ≪ children) the join is
+    a broadcast hash join, so the child side stays a map-only scan with
+    no shuffle. Set it False when the parent key set itself is huge."""
+    keys = parent.select(F.col(parent_key).alias("__pkey")).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    out = child.join(keys, F.col(child_key) == F.col("__pkey"), "inner")
+    return out.withColumn(slice_alias, F.col("__pkey")).drop("__pkey")
+
+
 def sliced_read(
     df: DataFrame,
     ts_col: str,

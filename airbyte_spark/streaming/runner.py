@@ -62,6 +62,11 @@ class ReplayConfig:
     #: the SCD1 latest-state table (reference's incremental SCD contract,
     #: stream_processor.py:892-942); each table carries its own fence
     scd_table_path: Optional[str] = None
+    #: "cow" re-windows + rewrites the touched history buckets per batch;
+    #: "mor" appends immutable version rows as deltas (O(batch)/trigger —
+    #: the 10^10-event path) re-derived at read (lake.scd.read_scd) and
+    #: folded by scd_compact on the compact_every_batches cadence
+    scd_strategy: str = "cow"
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -103,6 +108,7 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig, scd_table: Optional[Lake
                 post_dedup=lambda df: prepare_changes(
                     df, canonicalize=cfg.canonicalize
                 ),
+                strategy=cfg.scd_strategy,
             )
         stats = merge_batch(
             table,
@@ -132,6 +138,13 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig, scd_table: Optional[Lake
             # concurrent reader mid-scan never loses its files
             table.compact()
             table.vacuum(grace_commits=2)
+            if scd_table is not None and cfg.scd_strategy == "mor":
+                from ..lake.scd import scd_compact
+
+                # re-windowing fold (NOT plain compact: the derived SCD
+                # columns must be materialized from the next-version lag)
+                scd_compact(scd_table)
+                scd_table.vacuum(grace_commits=2)
         if cfg.fault is not None:
             cfg.fault(batch_id)
 

@@ -48,7 +48,9 @@ HEADLINE_QUERIES = [
     "cdc_surrogate_hash",
     "text_token_count",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash (all-pairs) is the labeled small-corpus VERIFIER tier,
+    # deliberately O(n²) — only the banded scale path belongs in the
+    # headline; the verifier stays oracle-checked in CORRECTNESS
     "dedup_simhash_banded",
     "ann_cosine_topk",
     "multimodal_meta",

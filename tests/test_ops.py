@@ -188,7 +188,7 @@ def test_ivf_hot_cell_cap(spark):
     # 200 near-identical vectors all in label 0 (pathological hot cell)
     rows = [(i, [1.0, 0.001 * (i % 7), 0.0], 0) for i in range(200)]
     df = spark.createDataFrame(rows, schema)
-    uncapped = emb_ops.label_blocked_near_dup(df, threshold=0.99)
+    uncapped = emb_ops.label_blocked_near_dup(df, threshold=0.99, max_cell_size=None)
     capped = emb_ops.label_blocked_near_dup(df, threshold=0.99, max_cell_size=25)
     n_un, n_cap = uncapped.count(), capped.count()
     assert n_un == 200 * 199 // 2  # everything matches everything
@@ -197,6 +197,12 @@ def test_ivf_hot_cell_cap(spark):
     pairs_cap = {(r.vec_a, r.vec_b) for r in capped.collect()}
     pairs_un = {(r.vec_a, r.vec_b) for r in uncapped.collect()}
     assert pairs_cap <= pairs_un
+    # the cap is ON BY DEFAULT: a skewed cell can never go quadratic
+    # without the caller explicitly opting out (max_cell_size=None)
+    cap = emb_ops.DEFAULT_MAX_CELL_SIZE
+    n_sub = -(-200 // cap)  # ceil
+    n_default = emb_ops.label_blocked_near_dup(df, threshold=0.99).count()
+    assert 0 < n_default <= n_sub * (cap * (cap - 1) // 2) < n_un
 
 
 def test_sign_lsh_bucketing(emb):

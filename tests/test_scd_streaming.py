@@ -73,6 +73,31 @@ def test_scd2_bounded_keeps_null_cursor_and_pk_rows(spark):
     _assert_df_equal(plain, bounded)
 
 
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(0, 10**6))),
+        min_size=1, max_size=25, unique=True,
+    ),
+    range_size=st.sampled_from([1, 7, 100, 100_000]),
+)
+def test_scd2_bounded_equals_plain_property(spark, rows, range_size):
+    """Property: for ANY version set (unique cursor per key, at most one
+    null-cursor version per key) and ANY range size — including range 1
+    (every version its own bucket) — the bounded form is byte-equal to
+    the plain window."""
+    df = spark.createDataFrame(
+        [(f"k{k}", 0, c) for k, c in rows],
+        "conv_id string, turn_idx int, _ab_cdc_lsn bigint",
+    )
+    plain = scd2(df, PK, CURSOR)
+    bounded = scd2_bounded(df, PK, CURSOR, range_size=range_size)
+    _assert_df_equal(plain, bounded)
+
+
 def test_salted_scd2_input_deterministic_collapse(spark):
     """Duplicate copies of one version differing only in delivery metadata
     must collapse to the max-(updated, emitted) copy, every time."""
@@ -130,6 +155,99 @@ def test_streaming_scd_equals_batch_scd2(spark, tmp_path, tmp_path_factory):
     )
     run_replay_stream(spark, cfg2)
     _assert_df_equal(scd_table.read(), expected)
+
+
+def test_scd_mor_appends_o_batch_and_resolves_byte_equal(spark, tmp_path, tmp_path_factory):
+    """strategy="mor": every micro-batch commit appends delta files and
+    removes NOTHING (O(batch) write amplification, the round-3 fix for
+    per-batch touched-bucket history rewrites); the resolved read is
+    byte-equal to batch scd2 over the whole feed (late events, deletes,
+    dups, skew), before AND after scd_compact folds the deltas."""
+    import json as _json
+    import os
+
+    from airbyte_spark.lake.scd import read_scd, scd_compact
+
+    feed = tmp_path_factory.mktemp("scdmorfeed")
+    ev = generate_feed(str(feed), SPEC)
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    v0 = table.snapshot().version
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 5)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        stats = scd_merge_batch(table, batch, PK, app_id="m", batch_id=i,
+                                post_dedup=prepare_changes, strategy="mor")
+        assert not stats.skipped
+        with open(table._log_path(stats.version)) as f:
+            e = _json.load(f)
+        assert "removes" not in e  # append-only: no history rewrite
+        assert all(a["kind"] == "delta" for a in e.get("adds", []))
+
+    expected = _batch_scd(spark, str(feed))
+    _assert_df_equal(read_scd(table), expected)  # MOR resolution exact
+
+    # fenced re-delivery under MOR too
+    batch = spark.createDataFrame(ev.iloc[:50][cols], schema=CHANGE_STRUCT)
+    assert scd_merge_batch(table, batch, PK, app_id="m", batch_id=2,
+                           strategy="mor").skipped
+
+    # fold: deltas -> fully-resolved base; plain scan now exact
+    scd_compact(table)
+    snap = table.snapshot()
+    assert {m["kind"] for m in snap.files.values()} == {"base"}
+    _assert_df_equal(table.read(), expected)     # materialized columns exact
+    _assert_df_equal(read_scd(table), expected)  # fast path (no window)
+    table.vacuum()
+
+    # history keeps growing through another MOR batch after the fold
+    extra = ev.iloc[:40][cols]
+    stats = scd_merge_batch(
+        table, spark.createDataFrame(extra, schema=CHANGE_STRUCT), PK,
+        app_id="m", batch_id=10, post_dedup=prepare_changes, strategy="mor",
+    )
+    assert not stats.skipped
+    _assert_df_equal(read_scd(table), expected)  # versions already present
+
+
+def test_streaming_scd_mor_equals_batch_scd2(spark, tmp_path, tmp_path_factory):
+    """Full streaming replay with the MOR history strategy + periodic
+    scd_compact folds == batch scd2; a restarted replay is fenced."""
+    from airbyte_spark.lake.scd import read_scd
+
+    feed = tmp_path_factory.mktemp("scdmorstream")
+    generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        scd_table_path=str(tmp_path / "tbl_scd"),
+        max_files_per_trigger=1,  # 5 micro-batches
+        strategy="mor",
+        scd_strategy="mor",
+        compact_every_batches=3,  # one fold mid-stream
+    )
+    run_replay_stream(spark, cfg)
+    scd_table = LakeTable(spark, cfg.scd_table_path)
+    expected = _batch_scd(spark, str(feed))
+    _assert_df_equal(read_scd(scd_table), expected)
+
+    # SCD1 table consistent with the SCD2 active rows
+    main = LakeTable(spark, cfg.table_path).read()
+    active = read_scd(scd_table).filter(
+        F.col("_airbyte_active_row") == 1
+    ).select(*main.columns)
+    _assert_df_equal(main, active)
+
+    cfg2 = ReplayConfig(
+        feed_dir=str(feed), table_path=cfg.table_path,
+        checkpoint_dir=cfg.checkpoint_dir, scd_table_path=cfg.scd_table_path,
+        max_files_per_trigger=1, strategy="mor", scd_strategy="mor",
+    )
+    run_replay_stream(spark, cfg2)
+    _assert_df_equal(read_scd(scd_table), expected)
 
 
 def test_scd_merge_batch_resume_and_late_rows(spark, tmp_path, tmp_path_factory):

@@ -104,15 +104,47 @@ def test_changelog_read_and_roundtrip(spark, tmp_path, tmp_path_factory):
     merge_batch(table2, replay_batch, ["_ab_cdc_lsn"], batch_id=0)
     assert _rows(table2) == _rows(table)
 
-    # a rewrite commit (cow) inside the range breaks derivability, loudly
+    # --- rewrite commits in the range: derived, not refused ---------------
+    # a compaction changes NO logical state: empty changelog contribution
+    v_before_compact = table.snapshot().version
+    table.compact()
+    assert table.changes_between(v_before_compact).count() == 0
+
+    # a COW merge derives its change rows by keyed snapshot diff
     batch = spark.createDataFrame(ev.iloc[:20][cols], schema=CHANGE_STRUCT)
     ev2_lsn = int(ev["_ab_cdc_lsn"].max())
     batch = batch.withColumn("_ab_cdc_lsn", F.col("_ab_cdc_lsn") + ev2_lsn)
     merge_batch(table, batch, ORDER_COLS, app_id="cdf", batch_id=99, strategy="cow")
-    with pytest.raises(ValueError, match="rewrote"):
-        table.changes_between(versions[-1])
-    # but the pre-rewrite range still reads fine
-    assert table.changes_between(versions[1], versions[3]).count() == n_expected
+    v_cow = table.snapshot().version
+    cow_changes = table.changes_between(v_before_compact)
+    # exactly the cow batch's collapsed keys, nothing carried over from the
+    # rewritten buckets' untouched rows
+    n_keys = batch.select("conv_id", "turn_idx").distinct().count()
+    assert cow_changes.count() == n_keys
+    assert set(
+        r._change_version for r in cow_changes.select("_change_version").distinct().collect()
+    ) == {v_cow}
+
+    # round-trip ACROSS a cow merge AND a compaction in the range:
+    # replaying the full changelog reproduces the final state exactly
+    full2 = table.changes_between(versions[0])
+    replay2 = full2.select(
+        *[f.name for f in TRANSCRIPT_STRUCT.fields],
+        F.col("__lsn").alias("_ab_cdc_lsn"),
+        F.when(F.col("__deleted"), F.to_timestamp(F.lit("2025-01-01")))
+        .alias("_ab_cdc_deleted_at"),
+    )
+    table3 = LakeTable.create(
+        spark, str(tmp_path / "t3"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    merge_batch(table3, replay2, ["_ab_cdc_lsn"], batch_id=0)
+    assert _rows(table3) == _rows(table)
+
+    # overwrite/rollback still refuse, loudly
+    table.rollback(v_before_compact)
+    with pytest.raises(ValueError, match="rollback"):
+        table.changes_between(v_cow - 1)
 
 
 def test_time_travel_expiry_raises(spark, tmp_path):

@@ -1,0 +1,101 @@
+"""P8 recursive unnest (reference find_children_streams /
+test_nested_streams semantics) and the S9 list/substream slicers."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from airbyte_spark.operators.unnest import unnest_children
+from airbyte_spark.sources.declarative import (
+    list_sliced_read,
+    substream_sliced_read,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_unnest_children_walks_two_level_tree(spark):
+    """Array of structs containing arrays (the reference's nested-streams
+    catalog shape): the full child-table tree is emitted, struct fields
+    flatten, consumed arrays are dropped, and pks chain hashid -> pos."""
+    rows = [
+        (1, [([ "a", "b"], 0), (["c"], 1)]),
+        (2, [([], 0)]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(
+        [(d, [{"words": w, "s_idx": i} for (w, i) in arr]) for d, arr in rows],
+        "doc_id long, sents array<struct<words:array<string>, s_idx:int>>",
+    )
+    tables = unnest_children(df, ["doc_id"], stream_name="doc")
+    assert set(tables) == {"doc_sents", "doc_sents_words"}
+
+    child = tables["doc_sents"]
+    # struct flattened into columns; the nested array became its own table
+    assert set(child.columns) == {"_doc_hashid", "pos", "s_idx"}
+    got = {(r._doc_hashid, r.pos, r.s_idx) for r in child.collect()}
+    h1, h2 = _md5("1"), _md5("2")
+    assert got == {(h1, 0, 0), (h1, 1, 1), (h2, 0, 0)}  # doc 3: no rows
+
+    grand = tables["doc_sents_words"]
+    assert set(grand.columns) == {"_doc_sents_hashid", "pos", "element"}
+    got2 = {(r._doc_sents_hashid, r.pos, r.element) for r in grand.collect()}
+    assert got2 == {
+        (_md5(f"{h1}-0"), 0, "a"),
+        (_md5(f"{h1}-0"), 1, "b"),
+        (_md5(f"{h1}-1"), 0, "c"),
+    }
+    # referential integrity: every grandchild links to an existing child pk
+    child_keys = {_md5(f"{h}-{p}") for (h, p, _) in got}
+    assert {x[0] for x in got2} <= child_keys
+
+
+def test_unnest_children_three_levels_and_scalar_arrays(spark):
+    """Depth is unbounded (objects-in-arrays-in-objects): a 3-deep nest of
+    plain arrays produces the full chain with one table per level."""
+    df = spark.createDataFrame(
+        [(7, [[["x", "y"]], [["z"]]])],
+        "k long, outer array<array<array<string>>>",
+    )
+    tables = unnest_children(df, ["k"], stream_name="t")
+    assert set(tables) == {
+        "t_outer", "t_outer_element", "t_outer_element_element"
+    }
+    leaf = tables["t_outer_element_element"]
+    vals = sorted(r.element for r in leaf.collect())
+    assert vals == ["x", "y", "z"]
+    # chained pk: md5(md5(md5(k)-pos)-pos)
+    h = _md5(_md5(_md5("7") + "-0") + "-0")
+    assert {r._t_outer_element_hashid for r in leaf.collect()} >= {h}
+
+
+def test_list_slicer_pushes_predicate(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "error"), (4, "click")],
+        "id long, event_type string",
+    )
+    df.write.parquet(str(tmp_path / "e"))
+    e = spark.read.parquet(str(tmp_path / "e"))
+    sliced = list_sliced_read(e, "event_type", ["click", "view"])
+    got = sorted((r.id, r.slice_value) for r in sliced.collect())
+    assert got == [(1, "click"), (2, "view"), (4, "click")]
+    # the IN-predicate reaches the parquet scan, not a post-filter only
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "In(event_type" in plan
+
+
+def test_substream_slicer_broadcasts_parent_keys(spark):
+    parent = spark.createDataFrame(
+        [(10, "F"), (11, "O"), (12, "F")], "okey long, status string"
+    ).filter(F.col("status") == "F")
+    child = spark.createDataFrame(
+        [(10, 1.0), (10, 2.0), (11, 3.0), (12, 4.0), (99, 5.0)],
+        "fk long, amount double",
+    )
+    sliced = substream_sliced_read(child, parent, "okey", "fk")
+    got = sorted((r.parent_slice, r.amount) for r in sliced.collect())
+    assert got == [(10, 1.0), (10, 2.0), (12, 4.0)]  # 11 filtered, 99 orphan
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # child side stays map-only

@@ -32,7 +32,9 @@ sys.path.insert(0, REPO)
 
 
 def main():
-    n_segments = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    args = [a for a in sys.argv[1:] if a != "--scd"]
+    with_scd = "--scd" in sys.argv[1:]
+    n_segments = int(args[0]) if args else 512
 
     from bench import cpu_calibration, get_spark, wait_for_quiet_host
     from airbyte_spark.feedgen import FeedSpec, generate_feed
@@ -76,6 +78,10 @@ def main():
         max_files_per_trigger=1,   # one segment per micro-batch
         strategy="mor",
         compact_every_batches=64,
+        # --scd: maintain the Type-2 history table per batch too, with the
+        # append-only MOR strategy (the round-3 write-amplification fix)
+        scd_table_path=os.path.join(work, "out", "tbl_scd") if with_scd else None,
+        scd_strategy="mor",
     )
     t0 = time.time()
     run_replay_stream(spark, cfg)
@@ -105,8 +111,21 @@ def main():
     t0 = time.time()
     snap = table.snapshot()
     snap_sec = time.time() - t0
+    scd_info = {}
+    if with_scd:
+        from airbyte_spark.lake.scd import read_scd
+
+        scd_table = LakeTable(spark, cfg.scd_table_path)
+        t0 = time.time()
+        scd_rows = read_scd(scd_table).count()  # full MOR resolution
+        scd_info = {
+            "scd_history_rows": scd_rows,
+            "scd_resolved_read_sec": round(time.time() - t0, 1),
+            "scd_commit_version": scd_table.snapshot().version,
+        }
     report = {
-        "metric": "stream_overhead_500batch",
+        "metric": "stream_overhead_500batch_scd" if with_scd else "stream_overhead_500batch",
+        **scd_info,
         "n_micro_batches": n,
         "events": n_events,
         "batch_replay_sec": round(batch_sec, 1),
@@ -128,10 +147,10 @@ def main():
         f.write(
             f"""
 
-## Metadata overhead at {n} micro-batches / {snap.version} commits ({datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')})
+## {'SCD2-history ' if with_scd else ''}Metadata overhead at {n} micro-batches / {snap.version} commits ({datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')})
 
-`python tools/stream_overhead_bench.py {n_segments}` — {n_events:,} events through
-{n} MOR micro-batches (compaction every 64), cpu_calibration {calib}s:
+`python tools/stream_overhead_bench.py {n_segments}{' --scd' if with_scd else ''}` — {n_events:,} events through
+{n} MOR micro-batches (compaction every 64{', Type-2 history table maintained per batch with append-only MOR deltas + scd_compact folds' if with_scd else ''}), cpu_calibration {calib}s:
 
 | | value |
 |---|---|
