@@ -128,6 +128,70 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D6 in STREAMING form, oracle-checked end-to-end: replay the events
+    feed in three interleaved micro-batches through
+    ``scd_merge_batch(strategy="mor")`` — append-only immutable version
+    deltas, O(batch) per trigger (the incremental-SCD contract of
+    stream_processor.py:892-942 without per-batch history rewrites) — then
+    ``read_scd`` re-derives end_at/active_row from the next-version lag at
+    scan time. The result must equal the one-shot batch window bit-for-bit,
+    so it shares the ``cdc_scd2_history`` oracle SQL."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_spark.lake.scd import (
+        bootstrap_scd_table,
+        read_scd,
+        scd_merge_batch,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"airbyte_spark_q_scd_mor_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    table = bootstrap_scd_table(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+            ]
+        ),
+        pk=["user_id"],
+        cursor="event_id",
+        n_buckets=8,
+    )
+    # interleaved LSN slices: every batch carries out-of-order versions of
+    # keys the other batches also touch (late data across triggers)
+    for i in range(3):
+        scd_merge_batch(
+            table,
+            e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            pk=["user_id"],
+            cursor="event_id",
+            app_id="oracle-scd-mor",
+            batch_id=i,
+            strategy="mor",
+        )
+    hist = read_scd(table)  # deltas present: resolution exercised for real
+    return hist.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("_airbyte_unique_key"),
+        F.col("_airbyte_end_at").cast("long").alias("end_event_id"),
+        F.col("_airbyte_active_row").cast("long").alias("active_row"),
+    )
+
+
 def q_cdc_intra_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: at-least-once feed re-delivers events; dropDuplicates on the LSN
     collapses them (here: the feed unioned with itself)."""
@@ -499,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cursor_scan": q_cdc_cursor_scan,
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,
         "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
@@ -668,6 +733,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts = (SELECT max(ts) FROM events)
         """,
         "cdc_scd2_history": """
+            SELECT user_id, event_id,
+                   md5(CAST(user_id AS VARCHAR)) AS _airbyte_unique_key,
+                   lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id DESC)
+                       AS end_event_id,
+                   CAST(CASE WHEN row_number() OVER (PARTITION BY user_id
+                        ORDER BY event_id DESC) = 1 THEN 1 ELSE 0 END AS BIGINT)
+                       AS active_row
+            FROM events
+        """,
+        "cdc_scd2_mor_replay": """
             SELECT user_id, event_id,
                    md5(CAST(user_id AS VARCHAR)) AS _airbyte_unique_key,
                    lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id DESC)

@@ -70,7 +70,12 @@ def cpu_calibration() -> float:
 
 
 def wait_for_quiet_host(threshold: float = 3.0, max_wait: int = 300) -> float:
-    """Block until cpu_calibration() is below threshold (or max_wait)."""
+    """Block until cpu_calibration() is below threshold (or max_wait).
+
+    ``SPARK_GRAFT_QUIET_MAXWAIT`` overrides max_wait: steal storms on this
+    host run longer than the default 5-minute budget, and a measurement
+    taken inside one records weather, not the job."""
+    max_wait = int(os.environ.get("SPARK_GRAFT_QUIET_MAXWAIT", max_wait))
     t0 = time.time()
     while True:
         c = cpu_calibration()
