@@ -296,23 +296,34 @@ def _resolved_history(
 
 
 def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
-    """Resolved scan of an SCD history table.
+    """Resolved scan of an SCD history table — bucket-pruned hybrid.
 
     With no delta files (pure COW history, or right after ``scd_compact``)
     this is a plain columnar scan — the derived columns are materialized
-    and exact. With deltas present, the scan re-derives
-    ``_airbyte_end_at``/``_airbyte_active_row`` from the next-version lag
-    (one window over the touched key's versions) — reads pay resolution,
-    writes stay O(batch): the standard MOR trade, same as the main
-    table's LSN resolution."""
+    and exact. With deltas present, ONLY the buckets holding delta files
+    pay the merge-on-read resolution (collapse + next-version-lag window);
+    every clean bucket is served by the plain materialized scan and the
+    two halves are unioned. Per-bucket resolution is exact because all of
+    a key's versions hash to its bucket (the table is bucketed on the pk
+    prefix), so no window can ever need rows from two buckets — the same
+    invariant ``scd_compact`` relies on. At 10^10 events this turns the
+    resolved read from O(table) shuffle+window into O(delta buckets):
+    reads stay pruned, writes stay O(batch)."""
     snap = table.snapshot()
-    has_delta = any(
-        m.get("kind", "base") == "delta" for m in snap.files.values()
-    )
-    if not has_delta:
+    all_buckets: set[int] = set()
+    delta_buckets: set[int] = set()
+    for meta in snap.files.values():
+        all_buckets.add(meta["bucket"])
+        if meta.get("kind", "base") == "delta":
+            delta_buckets.add(meta["bucket"])
+    if not delta_buckets:
         return table.read(snap=snap)
-    raw = table.read(snap=snap, resolve=False)
-    return _resolved_history(snap, raw, bounded)
+    raw = table.read(buckets=sorted(delta_buckets), snap=snap, resolve=False)
+    resolved = _resolved_history(snap, raw, bounded)
+    clean = sorted(all_buckets - delta_buckets)
+    if not clean:
+        return resolved
+    return table.read(buckets=clean, snap=snap).unionByName(resolved)
 
 
 def scd_compact(table: LakeTable, bounded: bool = False) -> int:

@@ -212,6 +212,83 @@ def test_scd_mor_appends_o_batch_and_resolves_byte_equal(spark, tmp_path, tmp_pa
     _assert_df_equal(read_scd(table), expected)  # versions already present
 
 
+def test_read_scd_hybrid_prunes_clean_buckets(spark, tmp_path, tmp_path_factory):
+    """Bucket-pruned hybrid read_scd: with deltas in 1 of 8 buckets, only
+    that bucket's rows go through the MOR resolution window — every clean
+    bucket is a plain materialized scan unioned in. Asserts (a) byte
+    equality with full-table resolution AND with batch scd2 over the whole
+    event set, (b) the physical plan reads the clean buckets' files
+    OUTSIDE any Window/Exchange, and (c) the resolved branch scans ONLY
+    the delta bucket's files (file-level pruning)."""
+    import re
+
+    from airbyte_spark.lake.scd import _resolved_history, read_scd, scd_compact
+
+    feed = tmp_path_factory.mktemp("scdhybridfeed")
+    ev = generate_feed(str(feed), SPEC)
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=8,
+    )
+    # seed the whole feed, then fold: every bucket fully materialized base
+    scd_merge_batch(
+        table, spark.createDataFrame(ev[cols], schema=CHANGE_STRUCT), PK,
+        app_id="h", batch_id=0, post_dedup=prepare_changes, strategy="mor",
+    )
+    scd_compact(table)
+
+    # one MOR batch of genuinely new versions for a single conv -> deltas
+    # land in exactly one bucket
+    conv = ev["conv_id"].iloc[0]
+    bump = ev[ev["conv_id"] == conv].copy()
+    bump["_ab_cdc_lsn"] = bump["_ab_cdc_lsn"] + int(ev["_ab_cdc_lsn"].max()) + 1
+    scd_merge_batch(
+        table, spark.createDataFrame(bump[cols], schema=CHANGE_STRUCT), PK,
+        app_id="h", batch_id=1, post_dedup=prepare_changes, strategy="mor",
+    )
+
+    snap = table.snapshot()
+    delta_files = [p for p, m in snap.files.items() if m.get("kind") == "delta"]
+    delta_buckets = {snap.files[p]["bucket"] for p in delta_files}
+    assert len(delta_buckets) == 1
+    all_buckets = {m["bucket"] for m in snap.files.values()}
+    assert len(all_buckets - delta_buckets) >= 6  # plenty of clean buckets
+    n_delta_branch_files = sum(
+        1 for m in snap.files.values() if m["bucket"] in delta_buckets
+    )
+    n_clean_files = len(snap.files) - n_delta_branch_files
+
+    hybrid = read_scd(table)
+    # (a) byte-equal to full-table resolution and to batch scd2 end-to-end
+    full = _resolved_history(snap, table.read(snap=snap, resolve=False), False)
+    _assert_df_equal(hybrid, full)
+    all_ev = spark.createDataFrame(
+        __import__("pandas").concat([ev[cols], bump[cols]]), schema=CHANGE_STRUCT
+    )
+    expected = scd2(
+        prepare_changes(salted_scd2_input(all_ev, PK, CURSOR)), PK, CURSOR
+    )
+    _assert_df_equal(hybrid, expected)
+
+    # (b) plan shape: clean scan sits above/before any Window or Exchange
+    plan = hybrid._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    first_scan = plan.find("Scan parquet")
+    assert first_scan != -1
+    for op in ("Window", "Exchange"):
+        pos = plan.find(op)
+        assert pos == -1 or pos > first_scan, (
+            f"{op} appears above the clean buckets' scan:\n{plan}"
+        )
+    # (c) file-level pruning: the two scans read exactly the clean files
+    # and the delta bucket's files respectively
+    counts = sorted(
+        int(n) for n in re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)
+    )
+    assert counts == sorted([n_clean_files, n_delta_branch_files]), plan
+
+
 def test_streaming_scd_mor_equals_batch_scd2(spark, tmp_path, tmp_path_factory):
     """Full streaming replay with the MOR history strategy + periodic
     scd_compact folds == batch scd2; a restarted replay is fenced."""
