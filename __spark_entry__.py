@@ -137,6 +137,7 @@ def q_cdc_scd2_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``read_scd`` re-derives end_at/active_row from the next-version lag at
     scan time. The result must equal the one-shot batch window bit-for-bit,
     so it shares the ``cdc_scd2_history`` oracle SQL."""
+    import atexit
     import shutil
     import tempfile
 
@@ -152,11 +153,11 @@ def q_cdc_scd2_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
     )
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"airbyte_spark_q_scd_mor_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    shutil.rmtree(path, ignore_errors=True)
+    # unique per invocation (concurrent harness runs can't corrupt each
+    # other's table); the returned DataFrame is lazy, so the dir must
+    # outlive this function — clean up at process exit instead.
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_scd_mor_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     table = bootstrap_scd_table(
         spark,
         path,

@@ -326,6 +326,33 @@ def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
     return table.read(buckets=clean, snap=snap).unionByName(resolved)
 
 
+def resolve_scd_changelog(
+    changes: DataFrame,
+    pk: Sequence[str],
+    cursor: str = "_ab_cdc_lsn",
+    bounded: bool = False,
+) -> DataFrame:
+    """Fold SCD-table changelog rows (``LakeTable.changes_between`` over a
+    ``<stream>_scd`` table) into the resolved history state — the
+    consumer-side re-derivation the CDF contract requires.
+
+    Change rows of an SCD table (MOR delta rows AND COW existence-diff
+    rows) carry NULL ``_airbyte_end_at``/``_airbyte_active_row``: those
+    are derived over the key's WHOLE version set and cannot be attributed
+    to single change rows. A consumer accumulating the feed re-derives
+    them here — collapse duplicate deliveries with the deterministic
+    write-path rule, then the next-version-lag window — which makes the
+    replayed state byte-equal to ``read_scd`` on the source table."""
+    drop = [
+        c
+        for c in ("_change_version", META_LSN, META_DELETED, *SCD_OUT_COLS)
+        if c in changes.columns
+    ]
+    versions = salted_scd2_input(changes.drop(*drop), pk, cursor)
+    window = scd2_bounded if bounded else scd2
+    return window(versions, pk, cursor)
+
+
 def scd_compact(table: LakeTable, bounded: bool = False) -> int:
     """Fold SCD delta files back into fully-resolved base files.
 

@@ -673,14 +673,28 @@ class LakeTable:
             }
         )
 
-    def _diff_commit_changes(self, v: int, entry: dict, snap: Snapshot) -> DataFrame:
-        """Change rows of a REWRITE commit (cow merge) via keyed diff of
-        the v-1 and v snapshots, pruned to the commit's touched buckets.
+    def _diff_commit_changes(
+        self, v: int, entry: dict, snap: Snapshot, scd: bool = False
+    ) -> DataFrame:
+        """Change rows of a REWRITE commit (cow merge / cow scd_merge) via
+        keyed diff of the v-1 and v snapshots, pruned to the commit's
+        touched buckets.
 
         A cow merge only adds/updates keys (deletes are tombstone rows),
         so a left join from the new state suffices: a key whose
         (__lsn, __deleted) pair differs — or which has no previous row —
-        was changed by this commit."""
+        was changed by this commit.
+
+        ``scd=True`` (cow scd_merge): version rows are IMMUTABLE — a
+        (pk, cursor) row is created once; later batches only rewrite its
+        DERIVED columns (``_airbyte_end_at``/``_airbyte_active_row``),
+        both pure functions of the key's version set. So the commit's
+        logical change set is exactly the (pk, cursor) EXISTENCE diff
+        (anti-join) of v/v-1, and the derived columns are emitted NULL —
+        byte-identical shape to MOR scd_merge delta rows, so a changelog
+        consumer handles both strategies with ONE rule: re-derive
+        end_at/active_row from the version set (``read_scd`` /
+        ``_resolved_history``), never trust them from the change feed."""
         prev = self.snapshot(at_version=v - 1)
         curv = self.snapshot(at_version=v)
         touched: set[int] = {a["bucket"] for a in entry.get("adds", [])}
@@ -708,15 +722,25 @@ class LakeTable:
             snap=self._as_of_schema(prev, snap),
         ).alias("p")
         pk = snap.primary_key
-        joined = cur_rows.join(prev_rows, on=list(pk), how="left")
-        changed = joined.filter(
-            (~F.col(f"c.{META_LSN}").eqNullSafe(F.col(f"p.{META_LSN}")))
-            | (~F.col(f"c.{META_DELETED}").eqNullSafe(F.col(f"p.{META_DELETED}")))
-        )
-        cols = [
-            F.col(fs.name) if fs.name in pk else F.col(f"c.{fs.name}")
-            for fs in snap.schema.fields
-        ]
+        if scd:
+            changed = cur_rows.join(prev_rows, on=list(pk), how="left_anti")
+            mutable = {"_airbyte_end_at", "_airbyte_active_row"}
+            cols = [
+                F.lit(None).cast(fs.dtype).alias(fs.name)
+                if fs.name in mutable
+                else F.col(fs.name)
+                for fs in snap.schema.fields
+            ]
+        else:
+            joined = cur_rows.join(prev_rows, on=list(pk), how="left")
+            changed = joined.filter(
+                (~F.col(f"c.{META_LSN}").eqNullSafe(F.col(f"p.{META_LSN}")))
+                | (~F.col(f"c.{META_DELETED}").eqNullSafe(F.col(f"p.{META_DELETED}")))
+            )
+            cols = [
+                F.col(fs.name) if fs.name in pk else F.col(f"c.{fs.name}")
+                for fs in snap.schema.fields
+            ]
         cols += [
             F.col(f"c.{META_LSN}").alias(META_LSN),
             F.col(f"c.{META_DELETED}").alias(META_DELETED),
@@ -740,12 +764,24 @@ class LakeTable:
         Delta changelog-from-rewrites equivalent): join the v-1 and v
         states over the commit's touched buckets and keep keys whose
         (__lsn, __deleted) changed — two bucket-pruned scans + one join
-        per rewrite commit in the range. Compaction / rebucket / scd
+        per rewrite commit in the range. A COW scd_merge commit is derived
+        by (pk, cursor) EXISTENCE diff (version rows are immutable — see
+        ``_diff_commit_changes(scd=True)``). Compaction / rebucket / scd
         folds change no logical state and contribute nothing. Overwrite
         and rollback still raise: they drop keys wholesale with no
         per-key cursor to order the implied deletes — re-sync the
         consumer from a snapshot. The range must be inside the
-        log-retention window (≤ 2 checkpoint intervals)."""
+        log-retention window (≤ 2 checkpoint intervals).
+
+        SCD-TABLE CONSUMER CONTRACT: change rows of an SCD history table
+        (either strategy — MOR delta rows, or COW existence-diff rows)
+        carry NULL ``_airbyte_end_at``/``_airbyte_active_row``. Those two
+        columns are derived state over the key's WHOLE version set, so
+        they cannot be attributed to single change rows; a consumer
+        replaying the feed into its own history table must re-derive them
+        from the accumulated versions (``read_scd`` semantics /
+        ``scd.resolve_scd_changelog``) rather than read them from the
+        feed."""
         snap = self.snapshot(
             at_version=to_version
         ) if to_version is not None else self.snapshot()
@@ -772,18 +808,22 @@ class LakeTable:
             )
             if not changes_only:
                 # the (__lsn, __deleted) keyed diff is exact only where a
-                # key's row is immutable per LSN: main-table cow merges. A
-                # cow scd_merge rewrites existing versions' DERIVED columns
-                # at unchanged LSN (end_at/active_row), so its changelog is
-                # not lsn-diffable; overwrite/rollback drop keys wholesale.
-                if op != "merge":
+                # key's row is immutable per LSN: main-table cow merges.
+                # A cow scd_merge is EXISTENCE-diffable instead (version
+                # rows are immutable; only derived columns are rewritten,
+                # and those are re-derivable — see _diff_commit_changes).
+                # Overwrite/rollback drop keys wholesale with no per-key
+                # cursor to order the implied deletes.
+                if op not in ("merge", "scd_merge"):
                     raise ValueError(
                         f"commit {v} (op={op}) rewrote rows beyond what an "
                         f"LSN-keyed diff can attribute; changelog is "
-                        f"derivable from MOR/append/cow-merge commits only "
-                        f"— re-sync the consumer from a snapshot"
+                        f"derivable from MOR/append/cow-merge/cow-scd-merge "
+                        f"commits only — re-sync the consumer from a snapshot"
                     )
-                parts.append(self._diff_commit_changes(v, e, snap))
+                parts.append(
+                    self._diff_commit_changes(v, e, snap, scd=op == "scd_merge")
+                )
                 continue
             groups: dict[int, list[str]] = {}
             for ad in adds:
@@ -970,8 +1010,22 @@ class LakeTable:
                 e = json.load(f)
             for rm in e.get("removes", []):
                 candidates.add(os.path.normpath(rm))
+        # grace-window protection must also cover files dereferenced
+        # WITHIN (horizon, version]: a file removed by an old commit,
+        # re-added by rollback, then removed again inside the grace
+        # window is a candidate via the old commit but was last alive
+        # recently — a reader on a recent snapshot may still scan it
+        # (round-3 advisor fix)
+        for v in range(max(1, horizon + 1), snap.version + 1):
+            try:
+                with open(self._log_path(v)) as f:
+                    e = json.load(f)
+            except FileNotFoundError:
+                continue
+            for rm in e.get("removes", []):
+                referenced.add(os.path.normpath(rm))
         for rel in sorted(candidates):
-            if rel in referenced:  # re-added later (rollback restore)
+            if rel in referenced:  # re-added later / dereferenced in grace
                 continue
             full = os.path.join(self.path, rel)
             if os.path.exists(full):

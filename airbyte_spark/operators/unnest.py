@@ -91,7 +91,22 @@ def unnest_children(
             hashid_col=hashid_col,
         )
         if isinstance(f.dataType.elementType, T.StructType):
-            child = child.select(hashid_col, "pos", "element.*")
+            # flatten struct fields, resolving collisions with the pk
+            # columns the way the reference resolves json-name collisions
+            # (stream_processor.py name conflicts): a struct field named
+            # `pos` (or shadowing the hashid column) is prefixed with `_`
+            # until unique, so the recursive pk chain never goes ambiguous
+            elem_fields = f.dataType.elementType.fields
+            taken = {hashid_col, "pos"} | {g.name for g in elem_fields}
+            cols = [F.col(hashid_col), F.col("pos")]
+            for g in elem_fields:
+                safe = g.name
+                if safe in (hashid_col, "pos"):
+                    while safe in taken:
+                        safe = "_" + safe
+                    taken.add(safe)
+                cols.append(F.col("element").getField(g.name).alias(safe))
+            child = child.select(*cols)
         out[child_name] = child
         # recurse: the child's pk is (hashid, pos) — exactly what the
         # grandchild's hashid must hash

@@ -78,16 +78,34 @@ def fetch_with_backoff(
     """One logical request with the reference's retry policy; returns the
     body. Non-retryable non-200s and exhausted retries raise.
 
-    Transport-level failures (connection reset, DNS, socket timeout —
-    ``URLError``/``socket.timeout`` are ``OSError`` subclasses) back off and
-    retry exactly like a 5xx, matching the reference's DefaultBackoffHandler
-    treatment of connection errors: in ``sliced_fetch`` one flaky connection
-    must not fail the whole Spark task."""
+    Transport-level failures back off and retry exactly like a 5xx,
+    matching the reference's DefaultBackoffHandler treatment of connection
+    errors: in ``sliced_fetch`` one flaky connection must not fail the
+    whole Spark task. The retryable set is the explicit connection-error
+    surface — ``ConnectionError``/``TimeoutError``/``socket.gaierror``
+    (DNS), ``urllib.error.URLError`` (stdlib transport wrapper) and
+    ``http.client.HTTPException`` (malformed response, e.g.
+    ``BadStatusLine``/``RemoteDisconnected``) — NOT bare ``OSError``:
+    a ``FileNotFoundError`` from a file-backed test transport or a
+    ``PermissionError`` is a bug, not a transient, and must surface
+    immediately (round-3 advisor fix)."""
+    import http.client
+    import socket
+    import urllib.error
+
+    retryable = (
+        ConnectionError,
+        TimeoutError,
+        socket.gaierror,
+        socket.timeout,
+        urllib.error.URLError,
+        http.client.HTTPException,
+    )
     last_err = None
     for attempt in range(max_retries + 1):
         try:
             status, headers, body = transport(url, params)
-        except (OSError, TimeoutError) as e:
+        except retryable as e:
             last_err = e
             if attempt < max_retries:
                 sleep(backoff_seconds(attempt, {}, retry_factor))

@@ -94,6 +94,30 @@ def test_transport_errors_retry_like_5xx():
         fetch_with_backoff(always_down, "u", {}, max_retries=2, sleep=lambda s: None)
 
 
+def test_transport_retry_boundary():
+    """The retryable set is the explicit connection-error surface: a
+    malformed response (http.client.BadStatusLine — NOT an OSError) retries
+    like a 5xx, while a non-transient OSError (FileNotFoundError from a
+    file-backed test transport) surfaces immediately."""
+    import http.client
+
+    calls = {"n": 0}
+
+    def bad_line_then_ok(url, params):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise http.client.BadStatusLine("garbage")
+        return 200, {}, "ok"
+
+    assert fetch_with_backoff(bad_line_then_ok, "u", {}, sleep=lambda s: None) == "ok"
+
+    def missing_file(url, params):
+        raise FileNotFoundError("fixture gone")
+
+    with pytest.raises(FileNotFoundError):
+        fetch_with_backoff(missing_file, "u", {}, sleep=lambda s: None)
+
+
 def test_non_retryable_and_exhaustion():
     with pytest.raises(HttpSourceError, match="404.*not retryable"):
         fetch_with_backoff(lambda u, p: (404, {}, ""), "u", {}, sleep=lambda s: None)

@@ -169,6 +169,46 @@ def test_vacuum_grace_defers_then_collects(spark, tmp_path, tmp_path_factory):
     assert last_removes <= removed2  # deferred, not leaked
 
 
+def test_vacuum_grace_covers_rollback_rededereference(
+    spark, tmp_path, tmp_path_factory
+):
+    """Edge (round-3 advisor): a file dereferenced by an OLD commit,
+    re-added by rollback, then dereferenced AGAIN inside the grace window
+    enters candidates via the old commit's removes — but it was last alive
+    within the grace window, so a reader on a recent snapshot may still
+    scan it. It must survive this vacuum pass and be collected by the
+    next one (deferred, not leaked)."""
+    feed = tmp_path_factory.mktemp("vrfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=8, turns_per_conv=3, n_updates=30, n_deletes=0,
+                 dup_rate=0.0, late_rate=0.0, n_segments=2, seed=41),
+    )
+    table = _mk_table(spark, tmp_path / "t", n_buckets=1)
+    _merge_ev(spark, table, ev.iloc[:20], 0)            # v1: adds F1
+    f1 = set(table.snapshot().files)
+    _merge_ev(spark, table, ev.iloc[20:40], 1)          # v2: removes F1
+    assert f1.isdisjoint(table.snapshot().files)
+    table.rollback(to_version=1)                        # v3: re-adds F1
+    assert f1 <= set(table.snapshot().files)
+    _merge_ev(spark, table, ev.iloc[20:40], 2)          # v4: removes F1 again
+    snap = table.snapshot()
+    assert snap.version == 4 and f1.isdisjoint(snap.files)
+
+    # horizon = v3: F1 is a candidate via v2's removes, but v4 (inside the
+    # grace window) dereferenced it — protected this pass
+    removed1 = set(table.vacuum(grace_commits=1))
+    assert removed1.isdisjoint(f1)
+    for p in f1:
+        assert os.path.exists(os.path.join(table.path, p))
+    table.read().count()  # a reader on the recent snapshot still works
+
+    # one more commit moves v4 under the horizon; F1 is collected now
+    _merge_ev(spark, table, ev.iloc[:5], 3)             # v5
+    removed2 = set(table.vacuum(grace_commits=1))
+    assert f1 <= removed2
+
+
 def test_snapshot_ignores_stray_log_files(spark, tmp_path, tmp_path_factory):
     """An editor artifact / marker file in _log must not break reads or
     get deleted by log expiry (advisor: int() parse on every file)."""

@@ -289,6 +289,66 @@ def test_read_scd_hybrid_prunes_clean_buckets(spark, tmp_path, tmp_path_factory)
     assert counts == sorted([n_clean_files, n_delta_branch_files]), plan
 
 
+def test_scd_changelog_roundtrip_across_cow_merge(spark, tmp_path, tmp_path_factory):
+    """CDF over an SCD history table with a COW scd_merge in the range:
+    the commit's change rows come from a (pk, cursor) EXISTENCE diff of
+    v-1/v over touched buckets (version rows are immutable; derived-column
+    rewrites are re-derivable), emitted with NULL end_at/active_row —
+    identical shape to MOR delta rows. Replaying the full changelog into a
+    FRESH history table (per-commit scd_merge_batch) and through
+    resolve_scd_changelog both reproduce read_scd exactly (exceptAll=0)."""
+    from airbyte_spark.lake.scd import (
+        read_scd,
+        resolve_scd_changelog,
+        scd_merge_batch,
+    )
+
+    feed = tmp_path_factory.mktemp("scdcdffeed")
+    ev = generate_feed(str(feed), SPEC)
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    src = bootstrap_scd_table(
+        spark, str(tmp_path / "src"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    # two COW batches (bucket rewrites: derived columns of OLD versions
+    # change at unchanged LSN) then one MOR batch (delta appends)
+    strategies = ["cow", "cow", "mor"]
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 3)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        scd_merge_batch(src, batch, PK, app_id="cdf", batch_id=i,
+                        post_dedup=prepare_changes, strategy=strategies[i])
+    expected = read_scd(src)
+
+    changes = src.changes_between(0)
+    # change rows never carry derived state, in either strategy
+    assert changes.filter(
+        F.col("_airbyte_end_at").isNotNull()
+        | F.col("_airbyte_active_row").isNotNull()
+    ).count() == 0
+    # every distinct (pk, cursor) version is present (MOR commits may
+    # re-deliver a version as a duplicate delta row; the collapse handles it)
+    assert changes.select(*PK, CURSOR).distinct().count() == expected.count()
+
+    # consumer path A: fold the accumulated feed directly
+    resolved = resolve_scd_changelog(changes, PK, CURSOR)
+    _assert_df_equal(resolved, expected)
+
+    # consumer path B: replay per-commit into a FRESH history table
+    dst = bootstrap_scd_table(
+        spark, str(tmp_path / "dst"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    versions = sorted(
+        r._change_version
+        for r in changes.select("_change_version").distinct().collect()
+    )
+    for i, v in enumerate(versions):
+        rows = changes.filter(F.col("_change_version") == v).select(*cols)
+        scd_merge_batch(dst, rows, PK, app_id="replay", batch_id=i,
+                        strategy="mor")
+    _assert_df_equal(read_scd(dst), expected)
+
+
 def test_streaming_scd_mor_equals_batch_scd2(spark, tmp_path, tmp_path_factory):
     """Full streaming replay with the MOR history strategy + periodic
     scd_compact folds == batch scd2; a restarted replay is fenced."""

@@ -71,6 +71,39 @@ def test_unnest_children_three_levels_and_scalar_arrays(spark):
     assert {r._t_outer_element_hashid for r in leaf.collect()} >= {h}
 
 
+def test_unnest_children_struct_field_collisions(spark):
+    """A struct element field named `pos` (or shadowing the parent hashid
+    column) must not silently duplicate the pk columns: it is renamed with
+    a `_` prefix until unique, and the recursive pk chain stays intact
+    (round-3 advisor fix, reference name-collision resolution)."""
+    df = spark.createDataFrame(
+        [(1, [{"pos": "P", "_pos": "Q", "v": 5}])],
+        "k long, items array<struct<pos:string,_pos:string,v:long>>",
+    )
+    tables = unnest_children(df, ["k"], stream_name="s")
+    child = tables["s_items"]
+    # no duplicate names; `pos` stays the explode index (long), the struct's
+    # own `pos` lands as `__pos` (since `_pos` is a real field)
+    assert len(child.columns) == len(set(child.columns))
+    assert set(child.columns) == {"_s_hashid", "pos", "__pos", "_pos", "v"}
+    row = child.collect()[0]
+    assert (row["pos"], row["__pos"], row["_pos"], row["v"]) == (0, "P", "Q", 5)
+    assert row._s_hashid == _md5("1")
+
+    # collision two levels deep: grandchild hashid chains off the RENAMED
+    # columns without ambiguity
+    df2 = spark.createDataFrame(
+        [(2, [{"pos": "X", "inner": [10, 20]}])],
+        "k long, items array<struct<pos:string,inner:array<long>>>",
+    )
+    t2 = unnest_children(df2, ["k"], stream_name="s")
+    assert set(t2) == {"s_items", "s_items_inner"}
+    leaf = sorted(t2["s_items_inner"].collect(), key=lambda r: r.pos)
+    assert [r.element for r in leaf] == [10, 20]
+    h = _md5(_md5("2") + "-0")
+    assert {r._s_items_hashid for r in leaf} == {h}
+
+
 def test_list_slicer_pushes_predicate(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "click"), (2, "view"), (3, "error"), (4, "click")],
