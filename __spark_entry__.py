@@ -193,6 +193,67 @@ def q_cdc_scd2_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_child_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 wired into the sync path, oracle-checked end-to-end
+    (stream_processor.py:347-384 per-child-stream final tables): a nested
+    CDC feed (events with a derived `items` array whose LENGTH varies with
+    the LSN, deletes below the value threshold) replays in three
+    interleaved micro-batches through ``merge_children_batch`` into a
+    PERSISTED child LakeTable — pk = (parent hashid, pos), bucketed on the
+    hashid, its own fence — exercising upsert, array-shrink tombstones,
+    delete cascade, and the late-parent watermark fence. The final child
+    table must equal unnesting the latest live parent rows."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.lake.children import (
+        bootstrap_child_tables,
+        merge_children_batch,
+    )
+
+    feed = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(
+            F.col("value") < F.lit(DELETE_THRESHOLD),
+            F.to_timestamp(F.lit("2025-01-01")),
+        ).alias("_del"),
+        F.slice(
+            F.array(
+                F.concat(F.lit("e-"), F.col("event_type")),
+                F.concat(
+                    F.lit("u-"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")
+                ),
+                F.lit("x"),
+            ),
+            1,
+            F.pmod(F.col("event_id"), F.lit(3)).cast("int"),
+        ).alias("items"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_q_children_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tables, specs = bootstrap_child_tables(
+        spark, base, feed.schema, ["user_id"], stream_name="events",
+        cursor="event_id",
+    )
+    for i in range(3):
+        merge_children_batch(
+            tables, specs,
+            feed.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["user_id"], order_cols=["event_id"], stream_name="events",
+            cursor="event_id", deleted_col="_del",
+            app_id="oracle-children", batch_id=i,
+        )
+    hist = tables["events_items"].read()
+    return hist.select(
+        F.col("_events_hashid").alias("parent_hashid"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("element"),
+        F.col("event_id").cast("long").alias("lsn"),
+    )
+
+
 def q_cdc_intra_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: at-least-once feed re-delivers events; dropDuplicates on the LSN
     collapses them (here: the feed unioned with itself)."""
@@ -565,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
+        "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
@@ -752,6 +814,31 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id DESC) = 1 THEN 1 ELSE 0 END AS BIGINT)
                        AS active_row
             FROM events
+        """,
+        "cdc_child_table_sync": f"""
+            WITH w AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events),
+            win AS (SELECT * FROM w
+                    WHERE rn = 1 AND value >= {DELETE_THRESHOLD}),
+            arr AS (SELECT md5(CAST(user_id AS VARCHAR)) AS parent_hashid,
+                           event_id,
+                           list_slice(['e-' || event_type,
+                                       'u-' || CAST(user_id % 5 AS VARCHAR),
+                                       'x'],
+                                      1, CAST(event_id % 3 AS INT)) AS items
+                    FROM win)
+            SELECT parent_hashid,
+                   CAST(u.pos AS BIGINT) AS pos,
+                   u.elem AS element,
+                   CAST(event_id AS BIGINT) AS lsn
+            FROM (SELECT parent_hashid, event_id,
+                         unnest(list_transform(
+                             generate_series(1, len(items)),
+                             i -> struct_pack(pos := i - 1, elem := items[i]))) u
+                  FROM arr)
         """,
         "cdc_intra_batch_dedup": """
             SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n

@@ -57,6 +57,7 @@ def unnest_children(
     parent: DataFrame,
     parent_pk: Sequence[str],
     stream_name: str = "root",
+    carry_cols: Sequence[str] = (),
 ) -> dict[str, DataFrame]:
     """Catalog-driven RECURSIVE unnest — the reference's
     ``find_children_streams`` analog (stream_processor.py:347-384): walk
@@ -72,14 +73,36 @@ def unnest_children(
     * struct elements flatten into child columns (the reference's json
       re-extract); array elements recurse into their own child tables;
       a consumed array column is dropped from the table that carried it.
+    * ``carry_cols`` (e.g. the CDC cursor) are copied onto every child at
+      every depth — they ride along for sink-side merge ordering and never
+      join the pk chain.
 
     Every level is a ``posexplode`` — map-side, no shuffle; the whole
     child-table tree materializes from ONE scan of the parent per branch.
     """
+    return unnest_children_with_specs(
+        parent, parent_pk, stream_name, carry_cols
+    )[0]
+
+
+def unnest_children_with_specs(
+    parent: DataFrame,
+    parent_pk: Sequence[str],
+    stream_name: str = "root",
+    carry_cols: Sequence[str] = (),
+) -> tuple[dict[str, DataFrame], list[dict]]:
+    """``unnest_children`` plus the stream catalog: one spec per child
+    stream, in parent-before-child order —
+    ``{"name", "parent", "hashid_col", "pk"}`` where ``hashid_col`` is the
+    parent-link column inside the child and ``pk = [hashid_col, "pos"]``.
+    The sink side (lake.children) drives per-child LakeTable bootstrap and
+    cascading merge off these specs."""
     out: dict[str, DataFrame] = {}
+    specs: list[dict] = []
     hashid_col = f"_{stream_name}_hashid"
+    carry = [c for c in carry_cols if c in parent.columns]
     for f in parent.schema.fields:
-        if not isinstance(f.dataType, T.ArrayType):
+        if not isinstance(f.dataType, T.ArrayType) or f.name in carry:
             continue
         child_name = f"{stream_name}_{f.name}"
         child = unnest_array(
@@ -87,37 +110,51 @@ def unnest_children(
             F.col(f.name),
             parent_pk,
             element_alias="element",
-            keep_cols=[],
+            keep_cols=carry,
             hashid_col=hashid_col,
         )
         if isinstance(f.dataType.elementType, T.StructType):
-            # flatten struct fields, resolving collisions with the pk
-            # columns the way the reference resolves json-name collisions
-            # (stream_processor.py name conflicts): a struct field named
-            # `pos` (or shadowing the hashid column) is prefixed with `_`
-            # until unique, so the recursive pk chain never goes ambiguous
+            # flatten struct fields, resolving collisions with the pk /
+            # carried columns the way the reference resolves json-name
+            # collisions (stream_processor.py name conflicts): a struct
+            # field named `pos` (or shadowing the hashid or a carried
+            # column) is prefixed with `_` until unique, so the recursive
+            # pk chain never goes ambiguous
             elem_fields = f.dataType.elementType.fields
-            taken = {hashid_col, "pos"} | {g.name for g in elem_fields}
-            cols = [F.col(hashid_col), F.col("pos")]
+            reserved = {hashid_col, "pos", *carry}
+            taken = reserved | {g.name for g in elem_fields}
+            cols = [F.col(hashid_col), F.col("pos")] + [F.col(c) for c in carry]
             for g in elem_fields:
                 safe = g.name
-                if safe in (hashid_col, "pos"):
+                if safe in reserved:
                     while safe in taken:
                         safe = "_" + safe
                     taken.add(safe)
                 cols.append(F.col("element").getField(g.name).alias(safe))
             child = child.select(*cols)
         out[child_name] = child
+        specs.append(
+            {
+                "name": child_name,
+                "parent": stream_name,
+                "hashid_col": hashid_col,
+                "pk": [hashid_col, "pos"],
+            }
+        )
         # recurse: the child's pk is (hashid, pos) — exactly what the
         # grandchild's hashid must hash
-        out.update(unnest_children(child, [hashid_col, "pos"], child_name))
+        sub_out, sub_specs = unnest_children_with_specs(
+            child, [hashid_col, "pos"], child_name, carry
+        )
+        out.update(sub_out)
+        specs.extend(sub_specs)
         arr_cols = [
             g.name for g in child.schema.fields
-            if isinstance(g.dataType, T.ArrayType)
+            if isinstance(g.dataType, T.ArrayType) and g.name not in carry
         ]
         if arr_cols:  # consumed by recursion: drop from the emitted child
             out[child_name] = child.drop(*arr_cols)
-    return out
+    return out, specs
 
 
 def unnest_json_array(

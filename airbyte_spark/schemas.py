@@ -49,6 +49,14 @@ CHANGE_STRUCT_V2 = T.StructType(
 #: Payload (non-metadata) columns of the change feed.
 PAYLOAD_COLS = [f.name for f in TRANSCRIPT_STRUCT.fields]
 
+#: CDC/delivery metadata columns a change feed carries on top of payload.
+CHANGE_META_COLS = [
+    "_ab_cdc_lsn",
+    "_ab_cdc_updated_at",
+    "_ab_cdc_deleted_at",
+    "_airbyte_emitted_at",
+]
+
 #: CDC ordering spec, widest first — the reference's SCD window ordering
 #: (stream_processor.py:876-891): cursor desc, cdc_updated desc, emitted desc.
 ORDER_COLS = ["_ab_cdc_lsn", "_ab_cdc_updated_at", "_airbyte_emitted_at"]

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from ..lake import LakeTable, merge_batch
 from ..plans.replay import prepare_changes
-from ..schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+from ..schemas import CHANGE_META_COLS, CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
 from ..catalog import TableSchema
 
 
@@ -67,33 +67,62 @@ class ReplayConfig:
     #: the 10^10-event path) re-derived at read (lake.scd.read_scd) and
     #: folded by scd_compact on the compact_every_batches cadence
     scd_strategy: str = "cow"
+    #: persist nested child streams (P8 in the sync path): one LakeTable
+    #: per array column of feed_struct at any depth, under this directory,
+    #: each fenced independently — the reference's per-child-stream final
+    #: tables (stream_processor.py:347-384). Names chain from stream_name.
+    child_tables_path: Optional[str] = None
+    #: root stream name for child-table naming (<stream>_<field>...)
+    stream_name: str = "transcripts"
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
     #: tests crash in the at-least-once window between sink commit and
     #: checkpoint commit
     fault: Optional[Callable[[int], None]] = None
+    #: test hook: called between the parent-table commit and the child-
+    #: table commits — the crash window the exactly-once-PER-TABLE tests
+    #: target (each table carries its own fence and catches up on replay)
+    fault_between_tables: Optional[Callable[[int], None]] = None
 
 
 def bootstrap_table(
     spark: SparkSession,
     table_path: str,
     n_buckets: int = 32,
+    feed_struct: Optional[T.StructType] = None,
 ) -> LakeTable:
-    """Create the transcripts lake table if absent (pk + bucket(conv_id))."""
+    """Create the silver lake table if absent (pk + bucket(conv_id)).
+
+    Schema = the feed's payload columns (CDC/delivery metadata stripped);
+    with the default CHANGE_STRUCT feed that is exactly TRANSCRIPT_STRUCT.
+    Nested feeds keep their array columns here too — the child-table tree
+    (cfg.child_tables_path) is a normalized VIEW of them, same as the
+    reference keeping raw JSON in the parent while emitting child models."""
     if LakeTable.exists(table_path):
         return LakeTable(spark, table_path)
+    if feed_struct is None:
+        struct = TRANSCRIPT_STRUCT
+    else:
+        struct = T.StructType(
+            [f for f in feed_struct.fields if f.name not in CHANGE_META_COLS]
+        )
     return LakeTable.create(
         spark,
         table_path,
-        TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        TableSchema.from_struct(struct),
         primary_key=list(PK),
         bucket_cols=["conv_id"],
         n_buckets=n_buckets,
     )
 
 
-def _process_batch(table: LakeTable, cfg: ReplayConfig, scd_table: Optional[LakeTable] = None):
+def _process_batch(
+    table: LakeTable,
+    cfg: ReplayConfig,
+    scd_table: Optional[LakeTable] = None,
+    children: Optional[tuple[dict, list]] = None,
+):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if scd_table is not None:
             from ..lake.scd import scd_merge_batch
@@ -124,6 +153,23 @@ def _process_batch(table: LakeTable, cfg: ReplayConfig, scd_table: Optional[Lake
             ),
             strategy=cfg.strategy,
         )
+        if children is not None:
+            from ..lake.children import merge_children_batch
+
+            if cfg.fault_between_tables is not None:
+                cfg.fault_between_tables(batch_id)
+            child_tables, child_specs = children
+            merge_children_batch(
+                child_tables,
+                child_specs,
+                batch_df,
+                PK,
+                ORDER_COLS,
+                stream_name=cfg.stream_name,
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                strategy=cfg.strategy,
+            )
         if stats.skipped:
             # fenced re-delivery: still drain every partition so the upstream
             # stateful operator (dropDuplicatesWithinWatermark) can commit its
@@ -165,7 +211,7 @@ def run_replay_stream(
     start without blocking (multi-stream sync starts N queries then awaits
     them together — see sync.py).
     """
-    table = bootstrap_table(spark, cfg.table_path)
+    table = bootstrap_table(spark, cfg.table_path, feed_struct=cfg.feed_struct)
     scd_table = None
     if cfg.scd_table_path:
         from ..lake.scd import bootstrap_scd_table
@@ -174,6 +220,16 @@ def run_replay_stream(
             spark, cfg.scd_table_path, cfg.feed_struct, PK,
             bucket_cols=["conv_id"],
         )
+    children = None
+    if cfg.child_tables_path:
+        from ..lake.children import bootstrap_child_tables
+
+        child_tables, child_specs = bootstrap_child_tables(
+            spark, cfg.child_tables_path, cfg.feed_struct, PK,
+            stream_name=cfg.stream_name,
+        )
+        if child_specs:
+            children = (child_tables, child_specs)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
     reader = spark.readStream.schema(cfg.feed_struct)
@@ -203,7 +259,7 @@ def run_replay_stream(
         stream = stream.dropDuplicatesWithinWatermark([*PK, "_ab_cdc_lsn"])
 
     writer = (
-        stream.writeStream.foreachBatch(_process_batch(table, cfg, scd_table))
+        stream.writeStream.foreachBatch(_process_batch(table, cfg, scd_table, children))
         .option("checkpointLocation", cfg.checkpoint_dir)
         .queryName(cfg.app_id)
     )
