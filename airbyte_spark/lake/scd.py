@@ -345,7 +345,10 @@ def resolve_scd_changelog(
     replayed state byte-equal to ``read_scd`` on the source table."""
     drop = [
         c
-        for c in ("_change_version", META_LSN, META_DELETED, *SCD_OUT_COLS)
+        for c in (
+            "_change_version", "_change_type", META_LSN, META_DELETED,
+            *SCD_OUT_COLS,
+        )
         if c in changes.columns
     ]
     versions = salted_scd2_input(changes.drop(*drop), pk, cursor)

@@ -749,14 +749,18 @@ class LakeTable:
         return changed.select(*cols)
 
     def changes_between(
-        self, from_version: int, to_version: Optional[int] = None
+        self,
+        from_version: int,
+        to_version: Optional[int] = None,
+        on_truncate: str = "raise",
     ) -> DataFrame:
         """Change-data-feed read (Iceberg CDF / Paimon changelog analog):
         the collapsed change rows applied by commits in
         ``(from_version, to_version]`` — one row per (key, commit) with
-        ``__lsn``, ``__deleted`` (tombstones visible) and
-        ``_change_version``. Downstream incremental consumers tail the
-        table with this instead of re-diffing snapshots.
+        ``__lsn``, ``__deleted`` (tombstones visible), ``_change_version``
+        and ``_change_type`` (``upsert`` / ``delete`` / ``truncate``).
+        Downstream incremental consumers tail the table with this instead
+        of re-diffing snapshots.
 
         Exact for MOR merges and appends, whose data files ARE the
         per-commit change sets — those scan only the commit's own files.
@@ -767,11 +771,19 @@ class LakeTable:
         per rewrite commit in the range. A COW scd_merge commit is derived
         by (pk, cursor) EXISTENCE diff (version rows are immutable — see
         ``_diff_commit_changes(scd=True)``). Compaction / rebucket / scd
-        folds change no logical state and contribute nothing. Overwrite
-        and rollback still raise: they drop keys wholesale with no
-        per-key cursor to order the implied deletes — re-sync the
-        consumer from a snapshot. The range must be inside the
-        log-retention window (≤ 2 checkpoint intervals).
+        folds change no logical state and contribute nothing.
+
+        Overwrite and rollback drop keys wholesale with no per-key cursor
+        to order the implied deletes — they are NOT row-attributable. With
+        the default ``on_truncate="raise"`` the call raises; with
+        ``on_truncate="boundary"`` the feed instead ends with ONE
+        ``_change_type='truncate'`` row at that commit's version (payload
+        columns null) and carries NOTHING past it — the Delta-CDF contract
+        for non-row-attributable commits: the consumer discards its
+        replica, re-syncs from the snapshot AT the boundary version
+        (``read(snap=snapshot(at_version=boundary))``), and resumes
+        tailing from there. The range must be inside the log-retention
+        window (≤ 2 checkpoint intervals).
 
         SCD-TABLE CONSUMER CONTRACT: change rows of an SCD history table
         (either strategy — MOR delta rows, or COW existence-diff rows)
@@ -815,14 +827,18 @@ class LakeTable:
                 # Overwrite/rollback drop keys wholesale with no per-key
                 # cursor to order the implied deletes.
                 if op not in ("merge", "scd_merge"):
+                    if on_truncate == "boundary":
+                        parts.append(self._truncate_boundary_row(cur, v))
+                        break  # nothing past the boundary: re-sync first
                     raise ValueError(
                         f"commit {v} (op={op}) rewrote rows beyond what an "
                         f"LSN-keyed diff can attribute; changelog is "
                         f"derivable from MOR/append/cow-merge/cow-scd-merge "
-                        f"commits only — re-sync the consumer from a snapshot"
+                        f"commits only — re-sync the consumer from a "
+                        f"snapshot, or tail with on_truncate='boundary'"
                     )
                 parts.append(
-                    self._diff_commit_changes(v, e, snap, scd=op == "scd_merge")
+                    _typed(self._diff_commit_changes(v, e, snap, scd=op == "scd_merge"))
                 )
                 continue
             groups: dict[int, list[str]] = {}
@@ -841,20 +857,24 @@ class LakeTable:
             for sid, paths in sorted(groups.items()):
                 raw, cols = self._file_group_scan(snap, sid, paths, cur)
                 parts.append(
-                    raw.select(*cols, F.lit(v).cast("long").alias("_change_version"))
+                    _typed(
+                        raw.select(
+                            *cols, F.lit(v).cast("long").alias("_change_version")
+                        )
+                    )
                 )
         if not parts:
-            struct = (
-                cur.to_struct()
-                .add(META_LSN, "long")
-                .add(META_DELETED, "boolean")
-                .add("_change_version", "long")
-            )
-            return self.spark.createDataFrame([], struct)
+            return self.spark.createDataFrame([], _changes_struct(cur))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _truncate_boundary_row(self, cur, v: int) -> DataFrame:
+        """The non-row-attributable-commit marker: one all-null row typed
+        ``truncate`` at the commit's version (Delta CDF contract)."""
+        row = {"_change_version": v, "_change_type": "truncate"}
+        return self.spark.createDataFrame([row], _changes_struct(cur))
 
     # -------------------------------------------------------- maintenance
 
@@ -1146,3 +1166,23 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
             p["deletes"] += v.get("deletes") or 0
             p["max_lsn"] = _mx(p["max_lsn"], v.get("max_lsn"))
     return t
+
+
+def _typed(df: DataFrame) -> DataFrame:
+    """Attach the CDF row type: tombstones are deletes, everything else an
+    upsert (truncate boundary markers are built separately)."""
+    return df.withColumn(
+        "_change_type",
+        F.when(F.col(META_DELETED), F.lit("delete")).otherwise(F.lit("upsert")),
+    )
+
+
+def _changes_struct(cur: TableSchema):
+    """Full CDF schema: payload + meta + version + row type."""
+    return (
+        cur.to_struct()
+        .add(META_LSN, "long")
+        .add(META_DELETED, "boolean")
+        .add("_change_version", "long")
+        .add("_change_type", "string")
+    )

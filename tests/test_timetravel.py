@@ -147,6 +147,73 @@ def test_changelog_read_and_roundtrip(spark, tmp_path, tmp_path_factory):
         table.changes_between(v_cow - 1)
 
 
+def test_cdf_truncate_boundary_and_consumer_resync(spark, tmp_path, tmp_path_factory):
+    """on_truncate='boundary': a rollback in the tailed range emits exactly
+    one _change_type='truncate' row at the rollback's version and NOTHING
+    past it; a tailing consumer detects it, re-syncs its replica from the
+    snapshot AT the boundary, resumes tailing, and ends byte-equal to the
+    table — the Delta-CDF contract for non-row-attributable commits."""
+    from pyspark.sql import functions as F
+
+    spec = FeedSpec(n_convs=10, turns_per_conv=3, n_updates=50, n_deletes=6,
+                    dup_rate=0.0, late_rate=0.0, n_segments=2, seed=66)
+    feed = tmp_path_factory.mktemp("cdfbfeed")
+    ev = generate_feed(str(feed), spec)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    chunks = np.array_split(np.arange(len(ev)), 4)
+    for i in range(3):  # v1..v3
+        batch = spark.createDataFrame(ev.iloc[chunks[i]][cols], schema=CHANGE_STRUCT)
+        merge_batch(table, batch, ORDER_COLS, app_id="a", batch_id=i, strategy="mor")
+    table.rollback(2)  # v4: non-row-attributable
+    v_boundary = table.snapshot().version
+    batch = spark.createDataFrame(ev.iloc[chunks[3]][cols], schema=CHANGE_STRUCT)
+    merge_batch(table, batch, ORDER_COLS, app_id="b", batch_id=0, strategy="mor")
+
+    replica: dict = {}
+
+    def apply(changes):
+        """Tailing consumer step; returns the truncate boundary or None."""
+        rows = sorted(
+            changes.collect(), key=lambda r: (r._change_version, r["__lsn"] or 0)
+        )
+        for r in rows:
+            if r._change_type == "truncate":
+                return r._change_version
+            key = (r.conv_id, r.turn_idx)
+            if r._change_type == "delete":
+                replica.pop(key, None)
+            else:
+                replica[key] = r.text
+        return None
+
+    # default mode still refuses, loudly, pointing at the boundary option
+    with pytest.raises(ValueError, match="boundary"):
+        table.changes_between(0)
+
+    boundary = apply(table.changes_between(0, on_truncate="boundary"))
+    assert boundary == v_boundary
+    # nothing past the boundary was emitted: v5's rows are absent
+    feed_chunk3 = {(c, t) for c, t in ev.iloc[chunks[3]][["conv_id", "turn_idx"]].values}
+    # re-sync wholesale from the snapshot at the boundary
+    snap = table.snapshot(at_version=boundary)
+    replica.clear()
+    for r in table.read(snap=snap).select("conv_id", "turn_idx", "text").collect():
+        replica[(r.conv_id, r.turn_idx)] = r.text
+    # resume tailing after the boundary
+    assert apply(table.changes_between(boundary, on_truncate="boundary")) is None
+
+    expected = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in table.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert replica == expected
+    assert feed_chunk3  # the post-boundary tail was non-trivial
+
+
 def test_time_travel_expiry_raises(spark, tmp_path):
     table = LakeTable.create(
         spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
