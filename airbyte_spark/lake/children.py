@@ -80,7 +80,16 @@ def bootstrap_child_tables(
     empty frame), so table schemas, names and pk chains always agree with
     what the merge will produce. Each table: pk = (parent hashid, pos),
     bucketed on the hashid — a join back to the parent on the hashid is
-    co-partitioned, and the stale probe prunes to touched buckets."""
+    co-partitioned, and the stale probe prunes to touched buckets.
+
+    Child schemas are DERIVED (there is no user DDL surface for them), so
+    when the configured feed struct evolves, an existing child table is
+    auto-evolved to the re-walked schema via the same catalog diff the
+    main table uses — the Spark analog of the reference regenerating its
+    child dbt models from the catalog on every sync. Metadata-only commit;
+    old files null-pad/cast at read like any LakeTable evolution."""
+    from ..catalog import diff_schemas
+
     empty = spark.createDataFrame([], feed_struct)
     dfs, specs = unnest_children_with_specs(
         empty, parent_pk, stream_name, carry_cols=[cursor]
@@ -88,13 +97,21 @@ def bootstrap_child_tables(
     tables: dict[str, LakeTable] = {}
     for spec in specs:
         path = child_table_path(base_path, spec["name"])
+        want = dfs[spec["name"]].schema
         if LakeTable.exists(path):
-            tables[spec["name"]] = LakeTable(spark, path)
+            t = LakeTable(spark, path)
+            transforms = diff_schemas(
+                t.snapshot().schema, want,
+                primary_key=list(spec["pk"]), cursor_field=cursor,
+            )
+            if transforms:
+                t.evolve(transforms)
+            tables[spec["name"]] = t
             continue
         tables[spec["name"]] = LakeTable.create(
             spark,
             path,
-            TableSchema.from_struct(dfs[spec["name"]].schema),
+            TableSchema.from_struct(want),
             primary_key=list(spec["pk"]),
             bucket_cols=[spec["hashid_col"]],
             n_buckets=n_buckets,

@@ -200,6 +200,107 @@ def test_merge_children_cascade_semantics(spark, tmp_path):
     assert [r.element for r in c1] == ["x2"]
 
 
+def test_child_tables_evolve_with_feed_schema(spark, tmp_path):
+    """Child schemas are derived from the feed struct, so a feed evolution
+    (new field inside the nested struct) auto-evolves existing child
+    tables on re-bootstrap: metadata-only commit, old rows null-pad, new
+    rows carry the field — the reference regenerating child models from
+    the catalog each sync."""
+    import datetime
+
+    base = str(tmp_path / "children")
+    tables, specs = bootstrap_child_tables(
+        spark, base, NESTED_STRUCT, PK, stream_name="transcripts"
+    )
+
+    def row(struct, conv, lsn, steps):
+        return spark.createDataFrame(
+            [(conv, 0, "user", "t", None, datetime.datetime(2025, 1, 1),
+              lsn, None, None, datetime.datetime(2025, 1, 1), ["g"], steps)],
+            struct,
+        )
+
+    merge_children_batch(
+        tables, specs, row(NESTED_STRUCT, "c1", 10, [(1, ["a"])]),
+        PK, ORDER_COLS, stream_name="transcripts", app_id="e", batch_id=0,
+    )
+
+    evolved = T.StructType(
+        list(NESTED_STRUCT.fields[:-1])
+        + [
+            T.StructField(
+                "steps",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("k", T.LongType(), True),
+                            T.StructField("words", T.ArrayType(T.StringType()), True),
+                            T.StructField("note", T.StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            )
+        ]
+    )
+    tables2, specs2 = bootstrap_child_tables(
+        spark, base, evolved, PK, stream_name="transcripts"
+    )
+    assert "note" in [
+        f.name for f in tables2["transcripts_steps"].snapshot().schema.fields
+    ]
+    merge_children_batch(
+        tables2, specs2, row(evolved, "c2", 20, [(2, ["b"], "hello")]),
+        PK, ORDER_COLS, stream_name="transcripts", app_id="e", batch_id=1,
+    )
+    got = {
+        r.k: r.note
+        for r in tables2["transcripts_steps"].read().collect()
+    }
+    assert got == {1: None, 2: "hello"}  # old row null-padded, new carries it
+    # grandchild level untouched by the diff but still consistent
+    words = sorted(
+        r.element for r in tables2["transcripts_steps_words"].read().collect()
+    )
+    assert words == ["a", "b"]
+
+
+def test_merge_children_randomized_against_feed_oracle(spark, tmp_path, tmp_path_factory):
+    """Randomized (seeded) equivalence: the nested transcript feed — dups,
+    late events, deletes — replayed through merge_children_batch in 6
+    UNSORTED interleaved batches (events assigned to batches by hash, so
+    late/ahead deliveries cross batch boundaries) must converge to exactly
+    the unnest of the final live parent state, at every nesting level."""
+    src = tmp_path_factory.mktemp("childrand")
+    generate_feed(str(src), FeedSpec(
+        n_convs=15, turns_per_conv=3, n_updates=120, n_deletes=18,
+        dup_rate=0.15, late_rate=0.2, hot_fraction=0.4, n_segments=3,
+        seed=123,
+    ))
+    feed = str(tmp_path / "nested")
+    _mk_nested_feed(spark, str(src), feed, n_segments=2)
+    raw = spark.read.schema(NESTED_STRUCT).parquet(f"{feed}/*.parquet")
+
+    base = str(tmp_path / "children")
+    tables, specs = bootstrap_child_tables(
+        spark, base, NESTED_STRUCT, PK, stream_name="transcripts"
+    )
+    # deterministic pseudo-random batch assignment decorrelated from LSN:
+    # each batch carries a mix of old and new versions of the same keys
+    for i in range(6):
+        part = raw.filter(
+            F.pmod(F.xxhash64(F.col("_ab_cdc_lsn") * 2654435761), F.lit(6)) == i
+        )
+        merge_children_batch(
+            tables, specs, part, PK, ORDER_COLS, stream_name="transcripts",
+            app_id="rand", batch_id=i,
+        )
+
+    expected, _ = _expected_children(spark, feed)
+    for s in specs:
+        _assert_df_equal(tables[s["name"]].read(), expected[s["name"]])
+
+
 def test_streaming_sync_persists_children_exactly_once(
     spark, tmp_path, tmp_path_factory
 ):
