@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--scd-table", default=None,
                    help="also maintain a Type-2 <stream>_scd history table "
                         "at this path (incremental per micro-batch)")
+    p.add_argument("--child-tables", default=None,
+                   help="persist nested child streams (one fenced LakeTable "
+                        "per array column of the feed, any depth) under "
+                        "this directory")
+    p.add_argument("--stream-name", default="transcripts",
+                   help="root stream name for child-table naming")
+    p.add_argument("--feed-schema-ddl", default=None,
+                   help="override the change-feed schema (Spark DDL string; "
+                        "include the CDC metadata columns) — required for "
+                        "nested feeds driving --child-tables")
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
@@ -92,7 +102,13 @@ def main(argv: list[str] | None = None) -> None:
         strategy=args.strategy,
         compact_every_batches=args.compact_every,
         scd_table_path=args.scd_table,
+        child_tables_path=args.child_tables,
+        stream_name=args.stream_name,
     )
+    if args.feed_schema_ddl:
+        from pyspark.sql import types as T
+
+        cfg.feed_struct = T.StructType.fromDDL(args.feed_schema_ddl)
     run_replay_stream(spark, cfg, available_now=not args.continuous)
     if args.compact and not args.continuous:
         from .lake import LakeTable

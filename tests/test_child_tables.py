@@ -200,6 +200,36 @@ def test_merge_children_cascade_semantics(spark, tmp_path):
     assert [r.element for r in c1] == ["x2"]
 
 
+def test_job_cli_streams_child_tables(spark, tmp_path, tmp_path_factory):
+    """spark-submit CLI parity: --child-tables + --feed-schema-ddl drive
+    the nested sync end-to-end; persisted child tables match the unnest of
+    the final parent state."""
+    from airbyte_spark import job
+    from airbyte_spark.lake.children import child_table_path
+
+    src = tmp_path_factory.mktemp("childcli")
+    generate_feed(str(src), FeedSpec(
+        n_convs=8, turns_per_conv=2, n_updates=30, n_deletes=4,
+        dup_rate=0.05, late_rate=0.05, n_segments=2, seed=77,
+    ))
+    feed = str(tmp_path / "nested")
+    _mk_nested_feed(spark, str(src), feed, n_segments=2)
+    children_dir = str(tmp_path / "children")
+    job.main([
+        "--feed-dir", feed,
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--child-tables", children_dir,
+        "--feed-schema-ddl", NESTED_STRUCT.toDDL(),
+        "--no-canonicalize",
+        "--n-buckets", "4",
+    ])
+    expected, specs = _expected_children(spark, feed)
+    for s in specs:
+        table = LakeTable(spark, child_table_path(children_dir, s["name"]))
+        _assert_df_equal(table.read(), expected[s["name"]])
+
+
 def test_child_tables_evolve_with_feed_schema(spark, tmp_path):
     """Child schemas are derived from the feed struct, so a feed evolution
     (new field inside the nested struct) auto-evolves existing child
