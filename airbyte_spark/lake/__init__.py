@@ -4,6 +4,12 @@ from .scd import (  # noqa: F401
     bootstrap_scd_table,
     scd_merge_batch,
     read_scd,
+    resolve_scd_changelog,
     scd_compact,
     ScdMergeStats,
+)
+from .children import (  # noqa: F401
+    bootstrap_child_tables,
+    merge_children_batch,
+    read_children,
 )
