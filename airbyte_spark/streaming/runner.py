@@ -191,6 +191,11 @@ def _process_batch(
                 # columns must be materialized from the next-version lag)
                 scd_compact(scd_table)
                 scd_table.vacuum(grace_commits=2)
+            if children is not None:
+                # child tables use plain LSN resolution — ordinary fold
+                for ct in children[0].values():
+                    ct.compact()
+                    ct.vacuum(grace_commits=2)
         if cfg.fault is not None:
             cfg.fault(batch_id)
 

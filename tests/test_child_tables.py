@@ -295,12 +295,17 @@ def test_child_tables_evolve_with_feed_schema(spark, tmp_path):
     assert words == ["a", "b"]
 
 
-def test_merge_children_randomized_against_feed_oracle(spark, tmp_path, tmp_path_factory):
+@pytest.mark.parametrize("strategy", ["cow", "mor"])
+def test_merge_children_randomized_against_feed_oracle(
+    spark, tmp_path, tmp_path_factory, strategy
+):
     """Randomized (seeded) equivalence: the nested transcript feed — dups,
     late events, deletes — replayed through merge_children_batch in 6
     UNSORTED interleaved batches (events assigned to batches by hash, so
     late/ahead deliveries cross batch boundaries) must converge to exactly
-    the unnest of the final live parent state, at every nesting level."""
+    the unnest of the final live parent state, at every nesting level —
+    under BOTH write strategies (COW bucket rewrites; MOR delta appends
+    resolved at scan, then folded by compact)."""
     src = tmp_path_factory.mktemp("childrand")
     generate_feed(str(src), FeedSpec(
         n_convs=15, turns_per_conv=3, n_updates=120, n_deletes=18,
@@ -323,12 +328,23 @@ def test_merge_children_randomized_against_feed_oracle(spark, tmp_path, tmp_path
         )
         merge_children_batch(
             tables, specs, part, PK, ORDER_COLS, stream_name="transcripts",
-            app_id="rand", batch_id=i,
+            app_id="rand", batch_id=i, strategy=strategy,
         )
 
     expected, _ = _expected_children(spark, feed)
     for s in specs:
         _assert_df_equal(tables[s["name"]].read(), expected[s["name"]])
+    if strategy == "mor":
+        # deltas were written; the fold preserves the resolved state
+        assert any(
+            m.get("kind") == "delta"
+            for t in tables.values()
+            for m in t.snapshot().files.values()
+        )
+        for s in specs:
+            tables[s["name"]].compact()
+            tables[s["name"]].vacuum()
+            _assert_df_equal(tables[s["name"]].read(), expected[s["name"]])
 
 
 def test_streaming_sync_persists_children_exactly_once(
@@ -359,6 +375,7 @@ def test_streaming_sync_persists_children_exactly_once(
         feed_struct=NESTED_STRUCT,
         max_files_per_trigger=1,
         canonicalize=False,
+        compact_every_batches=2,  # exercises the mid-stream child fold
         fault_between_tables=fault,
     )
     with pytest.raises(Exception, match="crash between"):
