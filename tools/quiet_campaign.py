@@ -80,7 +80,11 @@ def main():
         c = calibration()
         print(f"[{time.strftime('%H:%M:%S')}] calib={c} missing="
               f"{[k for k, v in n.items() if v]}", flush=True)
-        if c > 1.5:
+        # launch threshold is looser than the adoption gate (<1s): the
+        # sub-tools' per-section calibration bracketing protects every
+        # recorded number, so launching into a marginal host only risks
+        # wasted minutes while maximizing capture of short quiet flickers
+        if c > 4.0:
             time.sleep(25)
             continue
         if n["full_pipeline"]:
