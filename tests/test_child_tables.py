@@ -205,7 +205,7 @@ def test_job_cli_streams_child_tables(spark, tmp_path, tmp_path_factory):
     the nested sync end-to-end; persisted child tables match the unnest of
     the final parent state."""
     from airbyte_spark import job
-    from airbyte_spark.lake.children import child_table_path
+    from airbyte_spark.lake.children import read_children
 
     src = tmp_path_factory.mktemp("childcli")
     generate_feed(str(src), FeedSpec(
@@ -225,9 +225,9 @@ def test_job_cli_streams_child_tables(spark, tmp_path, tmp_path_factory):
         "--n-buckets", "4",
     ])
     expected, specs = _expected_children(spark, feed)
+    got = read_children(spark, children_dir, specs)
     for s in specs:
-        table = LakeTable(spark, child_table_path(children_dir, s["name"]))
-        _assert_df_equal(table.read(), expected[s["name"]])
+        _assert_df_equal(got[s["name"]], expected[s["name"]])
 
 
 def test_child_tables_evolve_with_feed_schema(spark, tmp_path):
