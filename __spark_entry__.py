@@ -39,7 +39,12 @@ from airbyte_spark.functions.text import canonicalize_udf
 from airbyte_spark.functions.names import canonicalize_identifier_udf, resolve_collisions
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
 from airbyte_spark.ops.hashing import h60_sql
-from airbyte_spark.ops.multimodal import attach_fake_payload, extract_media_meta
+from airbyte_spark.ops.multimodal import (
+    attach_fake_payload,
+    attach_synthetic_media,
+    decode_media_features,
+    extract_media_meta,
+)
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -608,6 +613,17 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_meta(attach_fake_payload(d))
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: encode each doc_id into actual BMP /
+    PCM-WAV / multi-frame container bytes (``ops.codecs.synth_*``), then
+    parse those bytes back (pixel grid, RIFF chunks, container walk) in an
+    Arrow-batched mapInPandas stage. The oracle recomputes every decoded
+    feature as a closed-form function of doc_id — so a wrong byte layout,
+    row-padding error or chunk misparse hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    return decode_media_features(attach_synthetic_media(d))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -657,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1120,6 +1137,32 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    md5(text) AS content_md5, 'image' AS media_kind
+            FROM documents
+        """,
+        # every decoded feature is a closed-form function of doc_id (see
+        # airbyte_spark/ops/codecs.py synth_*): the oracle never touches the
+        # bytes, so agreement proves the en/decode round-trip is exact
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_kind,
+                   CASE WHEN doc_id % 3 = 1 THEN NULL
+                        ELSE CAST(8 + doc_id % 9 AS BIGINT) END AS width,
+                   CASE WHEN doc_id % 3 = 1 THEN NULL
+                        ELSE CAST(6 + doc_id % 7 AS BIGINT) END AS height,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(8000 * (1 + (doc_id // 3) % 3) AS BIGINT)
+                        ELSE NULL END AS sample_rate,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(400 + (doc_id * 37) % 800 AS BIGINT)
+                        ELSE NULL END AS n_samples,
+                   CASE WHEN doc_id % 3 = 1
+                        THEN CAST(1 + doc_id % 2 AS BIGINT)
+                        ELSE NULL END AS channels,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN CAST(2 + doc_id % 5 AS BIGINT)
+                        ELSE NULL END AS n_frames
             FROM documents
         """,
     }

@@ -5,10 +5,14 @@ sidecar metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so each Python worker sees
 columnar batches, never single rows.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_image`` raises ``NotImplementedError`` unless a
-deterministic fake decoder is requested. Everything around it — schema,
-batch iteration, partition sizing — is real and tested.
+The codec step is REAL for the formats simple enough to parse with
+numpy/stdlib alone — 24-bit BMP images, RIFF/PCM-16 WAV audio, and a
+length-prefixed multi-frame container for frame sampling (``codecs.py``).
+``decode_media_features`` walks actual bytes; ``resize_images`` is a real
+nearest-neighbor pixel transform; ``sample_frames`` walks a real container.
+Only the compressed formats (JPEG/PNG/MP3/H.264) stay behind the
+``decode_image`` hook, which raises ``NotImplementedError`` until a real
+imaging library is wired in production.
 
 Scale notes:
 * mapInPandas is the right vehicle: Arrow transfer amortizes
@@ -22,6 +26,8 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+
+from . import codecs
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -55,10 +61,146 @@ def attach_fake_payload(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Real decoder hook — requires an imaging library not present here."""
+    """Compressed-format decoder hook — JPEG/PNG need an imaging library
+    not present here. Uncompressed BMP decodes for real via
+    ``codecs.decode_bmp`` (see ``decode_media_features``)."""
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; wire a real decoder in production"
+        "JPEG/PNG decoding requires PIL/opencv; wire a real decoder in "
+        "production (BMP/WAV/FRMS decode natively via ops.codecs)"
     )
+
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def attach_synthetic_media(docs: DataFrame) -> DataFrame:
+    """Real encoded media payloads, deterministic in doc_id: BMP for
+    doc_id%3==0, WAV for ==1, FRMS multi-frame for ==2 (``codecs.synth_*``).
+    mapInPandas so encoding runs executor-side over Arrow batches."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ("image", "audio", "video")
+        synth = (codecs.synth_image, codecs.synth_audio, codecs.synth_video)
+        for pdf in it:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synth[d % 3](d) for d in ids],
+                    "media_kind": [kinds[d % 3] for d in ids],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("media_kind", StringType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode stage: parse each payload's actual bytes (BMP pixel
+    grid / WAV fmt+data chunks / FRMS container walk + first-frame decode)
+    into typed per-kind features. Arrow-batched; numpy-only codecs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, kind in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_kind"]
+            ):
+                payload = bytes(payload)
+                r = {"doc_id": doc_id, "media_kind": kind}
+                if kind == "image":
+                    rgb = codecs.decode_bmp(payload)
+                    r["height"], r["width"] = rgb.shape[0], rgb.shape[1]
+                elif kind == "audio":
+                    sr, ch, samples = codecs.decode_wav(payload)
+                    r.update(
+                        sample_rate=sr, channels=ch,
+                        n_samples=len(samples) // ch,
+                    )
+                else:
+                    r["n_frames"] = codecs.frame_count(payload)
+                    _, first = next(codecs.iter_frames(payload))
+                    rgb = codecs.decode_bmp(first)
+                    r["height"], r["width"] = rgb.shape[0], rgb.shape[1]
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+
+    return media.mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, image rows only.
+    A real pixel transform (``codecs.resize_nearest``), not a stub."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mask = pdf["media_kind"] == "image"
+            sub = pdf[mask]
+            yield pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].astype("int64"),
+                    "payload": [
+                        codecs.encode_bmp(
+                            codecs.resize_nearest(
+                                codecs.decode_bmp(bytes(b)), out_h, out_w
+                            )
+                        )
+                        for b in sub["payload"]
+                    ],
+                    "media_kind": sub["media_kind"],
+                }
+            )
+
+    return media.mapInPandas(batches, media.schema)
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """1-in-``stride`` frame sampling over FRMS video payloads: the
+    container walk skips non-sampled frames via their length prefixes
+    (no decode), sampled frames BMP-decode for their dimensions."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            sub = pdf[pdf["media_kind"] == "video"]
+            for doc_id, payload in zip(sub["doc_id"], sub["payload"]):
+                for idx, fr in codecs.iter_frames(bytes(payload), stride):
+                    rgb = codecs.decode_bmp(fr)
+                    rows.append(
+                        {
+                            "doc_id": doc_id, "frame_idx": idx, "frame": fr,
+                            "width": rgb.shape[1], "height": rgb.shape[0],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return media.mapInPandas(batches, schema)
 
 
 def extract_media_meta(media: DataFrame) -> DataFrame:

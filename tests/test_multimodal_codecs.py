@@ -1,0 +1,107 @@
+"""Real-codec multimodal tests: BMP/WAV/FRMS byte-exact round-trips and
+the Arrow-batched decode / resize / frame-sample Spark stages."""
+
+import numpy as np
+import pytest
+
+from airbyte_spark.ops import codecs as C
+from airbyte_spark.ops.multimodal import (
+    attach_synthetic_media,
+    decode_media_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 4), (16, 16)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = C.decode_bmp(C.encode_bmp(rgb))
+        assert (out == rgb).all(), (h, w)
+    # row padding: w=5 rows pad 15 -> 16 bytes; size must reflect that
+    assert len(C.encode_bmp(np.zeros((2, 5, 3), np.uint8))) == 54 + 2 * 16
+
+
+def test_bmp_rejects_non_bmp():
+    with pytest.raises(ValueError):
+        C.decode_bmp(b"\x89PNG0000000000000000000000000000000000000000000000")
+
+
+def test_wav_roundtrip_exact():
+    for sr, ch, n in [(8000, 1, 17), (16000, 2, 400), (24000, 1, 1)]:
+        samples = (np.arange(n * ch, dtype=np.int64) % 3001 - 1500).astype(np.int16)
+        sr2, ch2, out = C.decode_wav(C.encode_wav(samples, sr, ch))
+        assert (sr2, ch2) == (sr, ch)
+        assert (out == samples).all()
+
+
+def test_frames_container_walk():
+    frames = [C.synth_image(d) for d in range(5)]
+    payload = C.encode_frames(frames)
+    assert C.frame_count(payload) == 5
+    assert [f for _, f in C.iter_frames(payload)] == frames
+    sampled = list(C.iter_frames(payload, stride=2))
+    assert [i for i, _ in sampled] == [0, 2, 4]
+
+
+def test_resize_nearest_identity_and_shape():
+    rgb = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (C.resize_nearest(rgb, 4, 6) == rgb).all()
+    small = C.resize_nearest(rgb, 2, 3)
+    assert small.shape == (2, 3, 3)
+    assert (small == rgb[::2][:, ::2]).all()
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    return attach_synthetic_media(docs)
+
+
+def test_decode_media_features_matches_synthesis(media):
+    rows = {r.doc_id: r for r in decode_media_features(media).collect()}
+    assert len(rows) == 12
+    for d, r in rows.items():
+        kind = ("image", "audio", "video")[d % 3]
+        assert r.media_kind == kind
+        if kind == "image":
+            assert (r.height, r.width) == C.synth_image_dims(d)
+            assert r.sample_rate is None and r.n_frames is None
+        elif kind == "audio":
+            sr, n, ch = C.synth_audio_params(d)
+            assert (r.sample_rate, r.n_samples, r.channels) == (sr, n, ch)
+            assert r.width is None
+        else:
+            assert r.n_frames == C.synth_video_frames(d)
+            assert (r.height, r.width) == C.synth_image_dims(d)
+
+
+def test_resize_images_stage(media):
+    out = resize_images(media, 4, 5).collect()
+    assert len(out) == 4  # image rows only (doc_id % 3 == 0)
+    for r in out:
+        rgb = C.decode_bmp(bytes(r.payload))
+        assert rgb.shape == (4, 5, 3)
+        # nearest-neighbor of the known gradient: pixel (0,0) is preserved
+        src = C.decode_bmp(C.synth_image(r.doc_id))
+        assert (rgb[0, 0] == src[0, 0]).all()
+
+
+def test_sample_frames_stage(media):
+    out = sample_frames(media, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_idx % 2 == 0
+        rgb = C.decode_bmp(bytes(r.frame))
+        assert (rgb.shape[0], rgb.shape[1]) == (r.height, r.width)
+    for d, rows in by_doc.items():
+        assert d % 3 == 2  # video rows only
+        want = -(-C.synth_video_frames(d) // 2)  # ceil(n/stride)
+        assert len(rows) == want
+        # frame k of doc d is synth_image(d + k) — sampled dims must track k
+        for r in rows:
+            assert (r.height, r.width) == C.synth_image_dims(d + r.frame_idx)
