@@ -760,7 +760,11 @@ class LakeTable:
         ``__lsn``, ``__deleted`` (tombstones visible), ``_change_version``
         and ``_change_type`` (``upsert`` / ``delete`` / ``truncate``).
         Downstream incremental consumers tail the table with this instead
-        of re-diffing snapshots.
+        of re-diffing snapshots. Append/MOR commits in the range are
+        COALESCED into one scan per schema era with a broadcast per-file
+        version manifest (``_scan_change_commits``) — the plan stays
+        O(schema eras + rewrite commits), not O(commits), however long the
+        tailed range is.
 
         Exact for MOR merges and appends, whose data files ARE the
         per-commit change sets — those scan only the commit's own files.
@@ -800,6 +804,7 @@ class LakeTable:
         to_version = snap.version
         cur = snap.schema
         parts: list[DataFrame] = []
+        change_files: list[tuple[str, int, int]] = []  # (rel path, sid, v)
         for v in range(from_version + 1, to_version + 1):
             try:
                 with open(self._log_path(v)) as f:
@@ -818,7 +823,22 @@ class LakeTable:
                 op in ("merge", "scd_merge")
                 and all(a.get("kind") == "delta" for a in adds)
             )
-            if not changes_only:
+            if changes_only:
+                # coalesced below into ONE scan per schema era (plan stays
+                # O(schema eras), not O(commits), over a long tail range)
+                for ad in adds:
+                    if not os.path.exists(os.path.join(self.path, ad["path"])):
+                        # delta files of an in-window commit can be compacted
+                        # away and vacuumed; fail at plan time with a clear
+                        # message instead of an executor FileNotFoundException
+                        raise ValueError(
+                            f"commit {v}: data file {ad['path']} was vacuumed "
+                            f"(compaction folded this commit's deltas); tail "
+                            f"the feed before vacuum, or widen vacuum "
+                            f"grace_commits"
+                        )
+                    change_files.append((ad["path"], ad["schema_id"], v))
+                continue
                 # the (__lsn, __deleted) keyed diff is exact only where a
                 # key's row is immutable per LSN: main-table cow merges.
                 # A cow scd_merge is EXISTENCE-diffable instead (version
@@ -826,49 +846,59 @@ class LakeTable:
                 # and those are re-derivable — see _diff_commit_changes).
                 # Overwrite/rollback drop keys wholesale with no per-key
                 # cursor to order the implied deletes.
-                if op not in ("merge", "scd_merge"):
-                    if on_truncate == "boundary":
-                        parts.append(self._truncate_boundary_row(cur, v))
-                        break  # nothing past the boundary: re-sync first
-                    raise ValueError(
-                        f"commit {v} (op={op}) rewrote rows beyond what an "
-                        f"LSN-keyed diff can attribute; changelog is "
-                        f"derivable from MOR/append/cow-merge/cow-scd-merge "
-                        f"commits only — re-sync the consumer from a "
-                        f"snapshot, or tail with on_truncate='boundary'"
-                    )
-                parts.append(
-                    _typed(self._diff_commit_changes(v, e, snap, scd=op == "scd_merge"))
+            # non-coalescible commit: keyed/existence diff or truncate
+            if op not in ("merge", "scd_merge"):
+                if on_truncate == "boundary":
+                    parts.append(self._truncate_boundary_row(cur, v))
+                    break  # nothing past the boundary: re-sync first
+                raise ValueError(
+                    f"commit {v} (op={op}) rewrote rows beyond what an "
+                    f"LSN-keyed diff can attribute; changelog is "
+                    f"derivable from MOR/append/cow-merge/cow-scd-merge "
+                    f"commits only — re-sync the consumer from a "
+                    f"snapshot, or tail with on_truncate='boundary'"
                 )
-                continue
-            groups: dict[int, list[str]] = {}
-            for ad in adds:
-                full = os.path.join(self.path, ad["path"])
-                if not os.path.exists(full):
-                    # delta files of an in-window commit can be compacted
-                    # away and vacuumed; fail at plan time with a clear
-                    # message instead of an executor FileNotFoundException
-                    raise ValueError(
-                        f"commit {v}: data file {ad['path']} was vacuumed "
-                        f"(compaction folded this commit's deltas); tail the "
-                        f"feed before vacuum, or widen vacuum grace_commits"
-                    )
-                groups.setdefault(ad["schema_id"], []).append(full)
-            for sid, paths in sorted(groups.items()):
-                raw, cols = self._file_group_scan(snap, sid, paths, cur)
-                parts.append(
-                    _typed(
-                        raw.select(
-                            *cols, F.lit(v).cast("long").alias("_change_version")
-                        )
-                    )
-                )
+            parts.append(
+                _typed(self._diff_commit_changes(v, e, snap, scd=op == "scd_merge"))
+            )
+        if change_files:
+            parts.append(_typed(self._scan_change_commits(change_files, snap, cur)))
         if not parts:
             return self.spark.createDataFrame([], _changes_struct(cur))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
+
+    def _scan_change_commits(
+        self, change_files: list[tuple[str, int, int]], snap: Snapshot, cur
+    ) -> DataFrame:
+        """One coalesced scan over every append/MOR commit's change files in
+        the range: group by schema era (ONE multi-file parquet scan each),
+        then attach ``_change_version`` per file via a broadcast manifest
+        join on the ``_metadata.file_path`` key — the same |files|-row
+        manifest mechanism the MOR tie-break read uses. Plan size is
+        O(schema eras), not O(commits): tailing 1,000 commits costs the
+        same plan as tailing one."""
+        groups: dict[int, list[str]] = {}
+        manifest_rows = []
+        for rel, sid, v in change_files:
+            groups.setdefault(sid, []).append(os.path.join(self.path, rel))
+            manifest_rows.append(("/".join(rel.split("/")[-3:]), v))
+        fname = F.array_join(
+            F.slice(F.split(F.col("_metadata.file_path"), "/"), -3, 3), "/"
+        ).alias("_fname")
+        parts = []
+        for sid, paths in sorted(groups.items()):
+            raw, cols = self._file_group_scan(snap, sid, paths, cur)
+            parts.append(raw.select(*cols, fname))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        manifest = self.spark.createDataFrame(
+            manifest_rows, "_fname string, _change_version long"
+        )
+        return df.join(F.broadcast(manifest), "_fname").drop("_fname")
 
     def _truncate_boundary_row(self, cur, v: int) -> DataFrame:
         """The non-row-attributable-commit marker: one all-null row typed

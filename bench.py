@@ -69,6 +69,22 @@ def cpu_calibration() -> float:
     return round(time.time() - t0, 3)
 
 
+def bracket_calibration() -> float:
+    """Calibration for section BRACKETS: settle briefly, then take the min
+    of two samples. The bracket must measure HOST weather, not this
+    process's own teardown tail — right after a heavy section ends, GC /
+    state-store cleanup / temp-dir removal briefly inflate a single
+    immediate sample (observed: the section following the streaming replay
+    never adopting while sections two later read 0.15s). Real steal storms
+    last minutes, so a 2s settle + min-of-2 cannot mask one."""
+    time.sleep(2.0)
+    a = cpu_calibration()
+    if a < QUIET_CALIB:  # already quiet — don't burn another sample
+        return a
+    time.sleep(0.5)
+    return min(a, cpu_calibration())
+
+
 def wait_for_quiet_host(threshold: float = 3.0, max_wait: int = 300) -> float:
     """Block until cpu_calibration() is below threshold (or max_wait).
 
@@ -348,7 +364,7 @@ def main():
         calib = wait_for_quiet_host()
         runner(spark, feed_dir, runs=1)  # warm
         replay_sec = runner(spark, feed_dir, runs=2)
-        calib_post = cpu_calibration()
+        calib_post = bracket_calibration()
         print(
             json.dumps(
                 {
@@ -373,7 +389,7 @@ def main():
         # calibration bracketed like the scaling bench
         calib = wait_for_quiet_host()
         stream_sec = run_stream_replay(spark, feed_dir)
-        calib_post = cpu_calibration()
+        calib_post = bracket_calibration()
         print(
             json.dumps(
                 {
@@ -400,7 +416,7 @@ def main():
     _last = {"name": None, "pre": None}
 
     def section(name, fn):
-        calib = cpu_calibration()
+        calib = bracket_calibration()
         if _last["name"] is not None:
             # close out the previous section with its post-calibration
             prev = sections[_last["name"]]
@@ -428,7 +444,7 @@ def main():
     timings["cdc_stream_replay_mor"] = round(stream_sec, 3)
     if _last["name"] is not None:  # close the final section
         prev = sections[_last["name"]]
-        prev["cpu_calibration_sec"] = max(_last["pre"], cpu_calibration())
+        prev["cpu_calibration_sec"] = max(_last["pre"], bracket_calibration())
 
     quiet_best = update_bench_state(
         sections, {"cpus": CPUS, "sf": SF, "replay_events": n_events}

@@ -228,3 +228,48 @@ def test_time_travel_expiry_raises(spark, tmp_path):
         table.snapshot(at_version=2)
     # recent versions still travel fine
     assert table.snapshot(at_version=snap.version - 1).fences["a"] == 68
+
+
+def test_changelog_plan_coalesces_commit_scans(spark, tmp_path, tmp_path_factory):
+    """Tailing a LONG range of append/MOR commits must plan one coalesced
+    scan per schema era (+ a broadcast per-file version manifest), never
+    one scan branch per commit — at production commit cadence a consumer
+    tails thousands of commits and an O(commits) plan would dwarf the
+    data it reads."""
+    feed = tmp_path_factory.mktemp("cdfplanfeed")
+    ev = generate_feed(str(feed), SPEC)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    n_batches = 10
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), n_batches)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        merge_batch(table, batch, ORDER_COLS, app_id="cp", batch_id=i, strategy="mor")
+
+    cdf = table.changes_between(0)
+    # every commit in the range is represented in the one coalesced feed
+    versions = {r._change_version for r in cdf.select("_change_version").distinct().collect()}
+    assert len(versions) == n_batches
+    # replaying the coalesced feed reproduces the final table state exactly
+    latest = {}
+    for r in cdf.collect():
+        k = (r.conv_id, r.turn_idx)
+        o = (r["__lsn"], -r._change_version)
+        if k not in latest or o > latest[k][0]:
+            latest[k] = (o, r)
+    replayed = sorted(
+        (k[0], k[1], r.text) for k, (_, r) in latest.items() if not r["__deleted"]
+    )
+    assert replayed == _rows(table)
+
+    # one parquet relation in the optimized plan (the executed-plan string
+    # under AQE prints the same scan twice, so count logical relations)
+    logical = cdf._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = sum(
+        1 for ln in logical.splitlines() if "Relation" in ln and "parquet" in ln
+    )
+    assert n_scans == 1, f"expected 1 coalesced commit scan, got {n_scans}"
+    plan = cdf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the |files|-row version manifest
