@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from airbyte_spark.operators.cdc import project_debezium_events
 from airbyte_spark.operators.dedup import latest_per_key, scd2, surrogate_hash_id
 from airbyte_spark.operators.skew import salted_latest_per_key
+from airbyte_spark.operators.temporal import asof_join
 from airbyte_spark.operators.unnest import unnest_array, unnest_children
 from airbyte_spark.sources.declarative import (
     list_sliced_read,
@@ -195,6 +196,30 @@ def q_cdc_scd2_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_airbyte_unique_key"),
         F.col("_airbyte_end_at").cast("long").alias("end_event_id"),
         F.col("_airbyte_active_row").cast("long").alias("active_row"),
+    )
+
+
+def q_cdc_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal AS-OF join (merge shape): each event probes the SCD2
+    history of its user at cursor ``event_id - 1`` — the state a consumer
+    saw just before that change. ONE shuffle on user_id (union + running
+    last() window), no per-key version fanout; the reference leaves this
+    read to warehouse SQL over its Type-2 tables
+    (stream_processor.py:815-848 column semantics)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    hist = scd2(e, ["user_id"], "event_id").select(
+        F.col("user_id"), F.col("_airbyte_start_at").alias("vstart")
+    )
+    probes = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("probe_id"),
+        (F.col("event_id") - 1).alias("probe_c"),
+    )
+    out = asof_join(probes, hist, ["user_id"], "probe_c", "vstart")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("vstart").cast("long").alias("version_event_id"),
     )
 
 
@@ -642,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
+        "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
@@ -831,6 +857,26 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY event_id DESC) = 1 THEN 1 ELSE 0 END AS BIGINT)
                        AS active_row
             FROM events
+        """,
+        # the as-of oracle takes the OPPOSITE physical shape (equi-join +
+        # range filter over explicit [vstart, vend) bounds) — agreement
+        # pins the merge-window implementation to interval semantics
+        "cdc_scd2_asof_join": """
+            WITH h AS (
+                SELECT user_id, event_id AS vstart,
+                       lag(event_id) OVER (PARTITION BY user_id
+                                           ORDER BY event_id DESC) AS vend
+                FROM events
+            ), p AS (
+                SELECT user_id, event_id AS probe_id, event_id - 1 AS probe_c
+                FROM events
+            )
+            SELECT CAST(p.user_id AS BIGINT) AS user_id,
+                   CAST(p.probe_id AS BIGINT) AS probe_id,
+                   CAST(h.vstart AS BIGINT) AS version_event_id
+            FROM p JOIN h ON p.user_id = h.user_id
+                         AND h.vstart <= p.probe_c
+                         AND (h.vend IS NULL OR h.vend > p.probe_c)
         """,
         "cdc_child_table_sync": f"""
             WITH w AS (

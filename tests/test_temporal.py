@@ -1,0 +1,96 @@
+"""Temporal AS-OF join: merge-shape vs lookup-shape equivalence, interval
+semantics (inclusive start / exclusive end), and payload integrity."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from airbyte_spark.operators.dedup import scd2
+from airbyte_spark.operators.temporal import asof_join, asof_lookup
+
+
+@pytest.fixture(scope="module")
+def history(spark):
+    # key 1: versions at cursors 10, 20, 30; key 2: single version at 15
+    rows = [
+        (1, 10, "a", None),
+        (1, 20, "b", "x"),
+        (1, 30, "c", None),  # NULL payload field inside a real version
+        (2, 15, "d", "y"),
+    ]
+    return spark.createDataFrame(rows, "k int, vstart int, text string, tool string")
+
+
+@pytest.fixture(scope="module")
+def probes(spark):
+    rows = [
+        (1, 5),   # before first version -> no match
+        (1, 10),  # AT a version start -> that version (inclusive)
+        (1, 25),  # between versions -> version 20
+        (1, 99),  # after last -> active version 30
+        (2, 15),
+        (3, 50),  # key with no history
+    ]
+    return spark.createDataFrame(rows, "k int, at int")
+
+
+def _expected():
+    return {
+        (1, 10): 10,
+        (1, 25): 20,
+        (1, 99): 30,
+        (2, 15): 15,
+    }
+
+
+def test_asof_join_inner(history, probes):
+    out = asof_join(probes, history, ["k"], "at", "vstart").collect()
+    got = {(r.k, r.at): r.vstart for r in out}
+    assert got == _expected()
+    # payload came from the RIGHT version, including its legitimate NULL
+    by = {(r.k, r.at): (r.text, r.tool) for r in out}
+    assert by[(1, 99)] == ("c", None)  # not 'x' leaked from version 20
+    assert by[(1, 10)] == ("a", None)
+
+
+def test_asof_join_left(history, probes):
+    out = asof_join(probes, history, ["k"], "at", "vstart", how="left").collect()
+    assert len(out) == 6
+    null_probes = {(r.k, r.at) for r in out if r.vstart is None}
+    assert null_probes == {(1, 5), (3, 50)}
+
+
+def test_lookup_shape_agrees(history, probes):
+    hist = history.withColumn(
+        "vend",
+        F.lead("vstart").over(Window.partitionBy("k").orderBy("vstart")),
+    )
+    a = asof_join(probes, history, ["k"], "at", "vstart")
+    b = asof_lookup(probes, hist, ["k"], "at", "vstart", "vend").select(a.columns)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_asof_against_scd2_operator(spark):
+    """End-to-end with the real scd2 operator's start/end columns."""
+    ev = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 300), (2, 150)], "user_id int, event_id int"
+    )
+    hist = scd2(ev, ["user_id"], "event_id").select(
+        "user_id",
+        F.col("_airbyte_start_at").alias("vstart"),
+        F.col("_airbyte_end_at").alias("vend"),
+    )
+    pr = ev.select("user_id", (F.col("event_id") + 50).alias("at"))
+    merged = asof_join(pr, hist.select("user_id", "vstart"), ["user_id"], "at", "vstart")
+    looked = asof_lookup(pr, hist, ["user_id"], "at", "vstart", "vend")
+    got_m = {(r.user_id, r.at): r.vstart for r in merged.collect()}
+    got_l = {(r.user_id, r.at): r.vstart for r in looked.collect()}
+    want = {(1, 150): 100, (1, 250): 200, (1, 350): 300, (2, 200): 150}
+    assert got_m == want and got_l == want
+
+
+def test_asof_join_probe_cursor_name_collision(spark, history):
+    """A probe column named like the version cursor gets a version_ alias."""
+    pr = spark.createDataFrame([(1, 25)], "k int, vstart int")
+    out = asof_join(pr, history, ["k"], "vstart", "vstart").collect()
+    assert out[0].version_vstart == 20 and out[0].vstart == 25
