@@ -94,3 +94,34 @@ def test_asof_join_probe_cursor_name_collision(spark, history):
     pr = spark.createDataFrame([(1, 25)], "k int, vstart int")
     out = asof_join(pr, history, ["k"], "vstart", "vstart").collect()
     assert out[0].version_vstart == 20 and out[0].vstart == 25
+
+
+def test_asof_randomized_cross_shape(spark):
+    """Randomized (seeded) equivalence: merge shape == lookup shape on a
+    history with hot keys, duplicate probe cursors, and sparse keys."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    n_keys = 20
+    hist_rows = []
+    for k in range(n_keys):
+        n_v = int(rng.integers(1, 12))
+        starts = sorted(rng.choice(np.arange(1, 500), size=n_v, replace=False))
+        for s in starts:
+            hist_rows.append((int(k), int(s), f"p{k}_{s}"))
+    probe_rows = [
+        (int(rng.integers(0, n_keys + 3)), int(rng.integers(0, 520)))
+        for _ in range(400)
+    ]
+    hist = spark.createDataFrame(hist_rows, "k int, vstart int, payload string")
+    probes = spark.createDataFrame(probe_rows, "k int, at int").withColumn(
+        "pid", F.monotonically_increasing_id()
+    )
+    hist_b = hist.withColumn(
+        "vend", F.lead("vstart").over(Window.partitionBy("k").orderBy("vstart"))
+    )
+    a = asof_join(probes, hist, ["k"], "at", "vstart")
+    b = asof_lookup(probes, hist_b, ["k"], "at", "vstart", "vend").select(a.columns)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 100
