@@ -4,6 +4,7 @@ from .scd import (  # noqa: F401
     bootstrap_scd_table,
     scd_merge_batch,
     read_scd,
+    read_scd_asof,
     resolve_scd_changelog,
     scd_compact,
     ScdMergeStats,

@@ -326,6 +326,33 @@ def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
     return table.read(buckets=clean, snap=snap).unionByName(resolved)
 
 
+def read_scd_asof(
+    table: LakeTable,
+    at_cursor,
+    bounded: bool = False,
+    deleted_col: str = "_ab_cdc_deleted_at",
+) -> DataFrame:
+    """Point-in-time table state by BUSINESS cursor — each key's version
+    active at ``at_cursor`` (``snapshot(at_version=...)`` answers the
+    commit-time question; this answers "what did the table say the world
+    looked like at cursor C"). Interval filter over the resolved history
+    (``[start, end)``, NULL end = active); versions that are DELETE
+    tombstones are excluded — the key was absent at that cursor. Stays a
+    bucket-pruned hybrid scan + one filter: no join or window beyond what
+    ``read_scd`` already costs."""
+    h = read_scd(table, bounded=bounded)
+    out = h.filter(
+        (F.col("_airbyte_start_at") <= F.lit(at_cursor))
+        & (
+            F.col("_airbyte_end_at").isNull()
+            | (F.col("_airbyte_end_at") > F.lit(at_cursor))
+        )
+    )
+    if deleted_col in h.columns:
+        out = out.filter(F.col(deleted_col).isNull())
+    return out
+
+
 def resolve_scd_changelog(
     changes: DataFrame,
     pk: Sequence[str],

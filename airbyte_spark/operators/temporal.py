@@ -41,6 +41,7 @@ def asof_join(
     version_cursor: str,
     payload_cols: Optional[Sequence[str]] = None,
     how: str = "inner",
+    deleted_col: Optional[str] = None,
 ) -> DataFrame:
     """Merge-shape as-of join (see module docstring).
 
@@ -51,13 +52,22 @@ def asof_join(
 
     Payload columns are packed into ONE struct so the running
     ``last(_, ignorenulls=True)`` cannot mix fields across versions when
-    a payload field is legitimately NULL inside a version."""
+    a payload field is legitimately NULL inside a version.
+
+    CDC delete semantics: when ``deleted_col`` names a history column, a
+    version whose flag is set is a TOMBSTONE — a probe resolving to it
+    sees "key absent at that cursor" (dropped on ``inner``, NULL payload
+    on ``left``), while probes before the delete still see live state.
+    The tombstone must stay IN the merge (not be pre-filtered), else
+    post-delete probes would wrongly resurrect the prior version."""
     keys = list(keys)
     if payload_cols is None:
         payload_cols = [
             c for c in history.columns if c not in keys and c != version_cursor
         ]
     payload_cols = list(payload_cols)
+    if deleted_col is not None and deleted_col not in payload_cols:
+        payload_cols.append(deleted_col)
 
     h = history.select(
         *keys,
@@ -83,6 +93,25 @@ def asof_join(
     )
     resolved = u.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
     out = resolved.filter(F.col(_KIND) == 1)
+    if deleted_col is not None:
+        # a resolved tombstone means "absent at this cursor"; the flag is
+        # a boolean (true = deleted) or the _ab_cdc_deleted_at convention
+        # (non-null timestamp = deleted)
+        from pyspark.sql.types import BooleanType
+
+        d = F.col(f"{_PAYLOAD}.{deleted_col}")
+        d_type = history.schema[deleted_col].dataType
+        is_del = (
+            F.coalesce(d, F.lit(False))
+            if isinstance(d_type, BooleanType)
+            else d.isNotNull()
+        )
+        out = out.withColumn(
+            _PAYLOAD,
+            F.when(
+                is_del, F.lit(None).cast(out.schema[_PAYLOAD].dataType)
+            ).otherwise(F.col(_PAYLOAD)),
+        )
     if how == "inner":
         out = out.filter(F.col(_PAYLOAD).isNotNull())
     elif how != "left":

@@ -420,3 +420,37 @@ def test_scd_merge_batch_resume_and_late_rows(spark, tmp_path, tmp_path_factory)
     assert closed.filter(
         F.col("_airbyte_end_at").isNull() & F.col("_ab_cdc_deleted_at").isNull()
     ).count() == 0
+
+
+def test_read_scd_asof_point_in_time(spark, tmp_path, tmp_path_factory):
+    """read_scd_asof(C) == the latest non-deleted version per key with
+    cursor <= C — computed INDEPENDENTLY of the SCD window (plain
+    latest-per-key over the truncated feed), so interval semantics and
+    delete handling are cross-checked, not self-checked."""
+    from airbyte_spark.lake.scd import read_scd_asof
+    from airbyte_spark.operators.dedup import latest_per_key
+
+    feed = tmp_path_factory.mktemp("scdasoffeed")
+    ev = generate_feed(str(feed), SPEC)
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 3)):
+        batch = spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        scd_merge_batch(table, batch, PK, app_id="a", batch_id=i,
+                        post_dedup=prepare_changes, strategy="mor")
+
+    raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{feed}/*.parquet")
+    versions = prepare_changes(salted_scd2_input(raw, PK, CURSOR))
+    for c in (int(ev["_ab_cdc_lsn"].median()), int(ev["_ab_cdc_lsn"].max())):
+        got = read_scd_asof(table, c)
+        want = latest_per_key(
+            versions.filter(F.col(CURSOR) <= c), PK, [CURSOR]
+        ).filter(F.col("_ab_cdc_deleted_at").isNull())
+        key = [*PK, CURSOR, "text"]
+        assert sorted(map(tuple, got.select(key).collect())) == \
+               sorted(map(tuple, want.select(key).collect()))
+        # at most one active version per key
+        assert got.groupBy(*PK).count().filter("count > 1").count() == 0

@@ -125,3 +125,29 @@ def test_asof_randomized_cross_shape(spark):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 100
+
+
+def test_asof_join_delete_tombstones(spark):
+    """A probe resolving to a tombstone version sees 'key absent': dropped
+    on inner, NULL payload on left; probes BEFORE the delete still see the
+    prior live version (the tombstone must not be pre-filtered away)."""
+    hist = spark.createDataFrame(
+        [(1, 10, "a", None), (1, 20, None, "2024-01-01 00:00:00"),
+         (1, 30, "c", None)],
+        "k int, vstart int, text string, _del string",
+    ).withColumn("_del", F.col("_del").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [(1, 15), (1, 25), (1, 35)], "k int, at int"
+    )
+    inner = asof_join(probes, hist, ["k"], "at", "vstart", deleted_col="_del")
+    got = {(r.k, r.at): r.text for r in inner.collect()}
+    assert got == {(1, 15): "a", (1, 35): "c"}  # (1,25) dropped: deleted
+    left = asof_join(
+        probes, hist, ["k"], "at", "vstart", how="left", deleted_col="_del"
+    )
+    lg = {(r.k, r.at): (r.vstart, r.text) for r in left.collect()}
+    assert lg[(1, 25)] == (None, None)
+    # boolean-flag convention too
+    hist_b = hist.withColumn("_del", F.col("_del").isNotNull())
+    inner_b = asof_join(probes, hist_b, ["k"], "at", "vstart", deleted_col="_del")
+    assert {(r.k, r.at) for r in inner_b.collect()} == {(1, 15), (1, 35)}
