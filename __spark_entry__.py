@@ -223,6 +223,22 @@ def q_cdc_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style generated data-quality tests (the reference emits these
+    per stream: dbt_schema_tests/schema_test.yml — unique_combination_of_
+    columns, not_null, expression tests). All not-null + expression tests
+    fold into ONE map-side aggregate; each uniqueness test is one groupBy."""
+    from airbyte_spark.lake.quality import schema_tests
+
+    e = _t(spark, sf_dir, "events")
+    return schema_tests(
+        e,
+        not_null=["user_id", "event_id", "ts"],
+        unique=[["event_id"], ["user_id", "event_id"]],
+        expressions={"value_non_negative": "value >= 0"},
+    )
+
+
 def q_cdc_child_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 wired into the sync path, oracle-checked end-to-end
     (stream_processor.py:347-384 per-child-stream final tables): a nested
@@ -668,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
+        "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
@@ -877,6 +894,32 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN h ON p.user_id = h.user_id
                          AND h.vstart <= p.probe_c
                          AND (h.vend IS NULL OR h.vend > p.probe_c)
+        """,
+        "cdc_schema_tests": """
+            SELECT 'not_null_user_id' AS test_name,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS failing_rows FROM events
+            UNION ALL
+            SELECT 'not_null_event_id',
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'not_null_ts',
+                   CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'expression_value_non_negative',
+                   CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'unique_event_id',
+                   CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_id)
+            UNION ALL
+            SELECT 'unique_user_id_event_id',
+                   CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+            FROM (SELECT COUNT(*) AS n FROM events GROUP BY user_id, event_id)
         """,
         "cdc_child_table_sync": f"""
             WITH w AS (

@@ -14,3 +14,11 @@ from .children import (  # noqa: F401
     merge_children_batch,
     read_children,
 )
+from .quality import (  # noqa: F401
+    expression_failures,
+    not_null_failures,
+    run_schema_tests,
+    scd_table_tests,
+    schema_tests,
+    unique_combination_failures,
+)

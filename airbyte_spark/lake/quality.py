@@ -1,0 +1,129 @@
+"""Schema tests — the reference's generated dbt data-quality tests as
+first-class checks.
+
+base-normalization emits a dbt schema test per stream
+(integration_tests/dbt_test_config/dbt_schema_tests/schema_test.yml): PK
+uniqueness via ``unique_combination_of_columns``, ``not_null`` on the
+surrogate/meta columns, and freeform expression tests. Spark-first shape:
+
+* all ``not_null`` columns and all expression tests fold into ONE
+  map-side hash aggregate (a single scan, no shuffle);
+* each uniqueness test is one groupBy on its column tuple (the one
+  genuinely shuffle-bound check — same exchange a dedup would need);
+* results come back as a tidy (test_name, failing_rows) DataFrame so the
+  report is itself queryable/unionable, plus ``run_schema_tests`` for a
+  bounded driver-side dict.
+
+The SCD convenience check mirrors the reference's generated test set for
+Type-2 tables: unique active row per key, not-null surrogate key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _folded_failures(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    expressions: Optional[dict[str, Column | str]] = None,
+) -> DataFrame:
+    """All not_null + expression tests in ONE map-side aggregate (a single
+    scan), unstacked to tidy (test_name, failing_rows) rows."""
+    aggs: list[Column] = []
+    labels: list[str] = []
+    for i, c in enumerate(not_null):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_t{len(labels)}"))
+        labels.append(f"not_null_{c}")
+    for name, e in (expressions or {}).items():
+        cond = F.expr(e) if isinstance(e, str) else e
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
+            .alias(f"_t{len(labels)}")
+        )
+        labels.append(f"expression_{name}")
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{lbl}', `_t{i}`" for i, lbl in enumerate(labels))
+    return wide.selectExpr(
+        f"stack({len(labels)}, {stack}) as (test_name, failing_rows)"
+    )
+
+
+def not_null_failures(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(test_name, failing_rows) for every ``not_null_<col>`` test — one
+    map-side aggregate for ALL columns."""
+    return _folded_failures(df, not_null=cols)
+
+
+def expression_failures(df: DataFrame, tests: dict[str, Column | str]) -> DataFrame:
+    """(test_name, failing_rows) for named expression tests (rows where
+    the expression is NOT satisfied fail — NULL counts as failing, like
+    dbt's expression_is_true). One aggregate for all expressions."""
+    return _folded_failures(df, expressions=tests)
+
+
+def unique_combination_failures(
+    df: DataFrame, cols: Sequence[str], name: Optional[str] = None
+) -> DataFrame:
+    """(test_name, failing_rows) for one ``unique_combination_of_columns``
+    test: failing_rows counts the EXTRA rows beyond one per key (0 ⇒
+    unique). NULL-keyed rows group together, matching dbt."""
+    name = name or "unique_" + "_".join(cols)
+    dupes = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("failing_rows"))
+    )
+    return dupes.select(F.lit(name).alias("test_name"), "failing_rows")
+
+
+def schema_tests(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    expressions: Optional[dict[str, Column | str]] = None,
+) -> DataFrame:
+    """The full dbt-style test battery as one tidy DataFrame — not_null
+    and expression tests share ONE scan/aggregate; each uniqueness test
+    adds its own groupBy."""
+    parts: list[DataFrame] = []
+    if not_null or expressions:
+        parts.append(_folded_failures(df, not_null, expressions))
+    for combo in unique:
+        parts.append(unique_combination_failures(df, list(combo)))
+    if not parts:
+        raise ValueError("no tests configured")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_schema_tests(df: DataFrame, **kwargs) -> dict[str, int]:
+    """Collect the (bounded: one row per test) report as a dict."""
+    return {
+        r.test_name: r.failing_rows for r in schema_tests(df, **kwargs).collect()
+    }
+
+
+def scd_table_tests(history: DataFrame, pk: Sequence[str]) -> DataFrame:
+    """The reference's generated test set for a Type-2 history table:
+    surrogate key not null, at most ONE active row per key, version rows
+    unique on (key, start cursor)."""
+    active = history.filter(F.col("_airbyte_active_row") == 1)
+    return (
+        not_null_failures(history, ["_airbyte_unique_key", "_airbyte_start_at"])
+        .unionByName(
+            unique_combination_failures(
+                active, list(pk), name="unique_active_row_per_key"
+            )
+        )
+        .unionByName(
+            unique_combination_failures(
+                history, [*pk, "_airbyte_start_at"], name="unique_version_rows"
+            )
+        )
+    )
