@@ -151,3 +151,71 @@ def test_asof_join_delete_tombstones(spark):
     hist_b = hist.withColumn("_del", F.col("_del").isNotNull())
     inner_b = asof_join(probes, hist_b, ["k"], "at", "vstart", deleted_col="_del")
     assert {(r.k, r.at) for r in inner_b.collect()} == {(1, 15), (1, 35)}
+
+
+def test_asof_lookup_broadcasts_small_history(spark, history, probes):
+    """The lookup shape plans a BroadcastHashJoin for a small (dim-sized)
+    history — no shuffle of the probe side."""
+    hist = history.withColumn(
+        "vend", F.lead("vstart").over(Window.partitionBy("k").orderBy("vstart"))
+    )
+    out = asof_lookup(probes, F.broadcast(hist), ["k"], "at", "vstart", "vend")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert {(r.k, r.at): r.vstart for r in out.collect()} == _expected()
+
+
+def test_micro_batch_temporal_enrichment(spark, tmp_path):
+    """CDC composition: a dim stream maintains an SCD history table while
+    a fact stream is enriched per micro-batch via as-of lookup against the
+    history READ SO FAR. With event-time aligned to processing order
+    (disjoint LSN windows), the incrementally-enriched output must equal
+    one batch asof_join of all facts against the full final history."""
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd, scd_merge_batch
+    from pyspark.sql import types as T
+
+    dim_struct = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("_ab_cdc_lsn", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "dim_scd"), dim_struct, ["k"],
+        bucket_cols=["k"], n_buckets=2, cursor="_ab_cdc_lsn",
+    )
+    # dim versions: two epochs per key; facts probe between and after
+    dim_batches = [
+        [(1, 10, "a1"), (2, 10, "b1")],
+        [(1, 100, "a2"), (2, 120, "b2")],
+    ]
+    fact_batches = [
+        [(1, 50), (2, 50)],     # after epoch 1, before epoch 2
+        [(1, 150), (2, 110)],   # (2, 110) still sees b1 (b2 starts at 120)
+    ]
+    enriched_parts = []
+    for i, (db, fb) in enumerate(zip(dim_batches, fact_batches)):
+        scd_merge_batch(
+            table, spark.createDataFrame(db, dim_struct), ["k"],
+            app_id="enrich", batch_id=i, strategy="mor", cursor="_ab_cdc_lsn",
+        )
+        facts = spark.createDataFrame(fb, "k int, at long")
+        hist = read_scd(table).select(
+            "k", F.col("_airbyte_start_at").alias("vstart"), "attr"
+        )
+        enriched_parts.append(asof_join(facts, hist, ["k"], "at", "vstart"))
+    incremental = enriched_parts[0].unionByName(enriched_parts[1])
+
+    all_facts = spark.createDataFrame(
+        [r for fb in fact_batches for r in fb], "k int, at long"
+    )
+    full_hist = read_scd(table).select(
+        "k", F.col("_airbyte_start_at").alias("vstart"), "attr"
+    )
+    batch = asof_join(all_facts, full_hist, ["k"], "at", "vstart")
+    assert sorted(map(tuple, incremental.collect())) == \
+           sorted(map(tuple, batch.collect()))
+    got = {(r.k, r.at): r.attr for r in incremental.collect()}
+    assert got == {(1, 50): "a1", (2, 50): "b1", (1, 150): "a2", (2, 110): "b1"}
