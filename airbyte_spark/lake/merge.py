@@ -110,7 +110,7 @@ def merge_batch(
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
                 lineage=_lineage(app_id, batch_id, 0, 0, 0, None, epoch, rows_invalid),
-                op="merge",
+                op="merge", retry_conflicts=2,
             )
             return MergeStats(skipped=False, version=version, rows_in=0)
 
@@ -155,7 +155,8 @@ def merge_batch(
             )
             lineage["rows_upserted"] = total
             version = table.commit(
-                snap, adds, [], fence=(app_id, batch_id), lineage=lineage, op="merge"
+                snap, adds, [], fence=(app_id, batch_id), lineage=lineage,
+                op="merge", retry_conflicts=2,
             )
             return MergeStats(
                 skipped=False, version=version, rows_in=rows_in,

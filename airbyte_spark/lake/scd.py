@@ -163,7 +163,8 @@ def scd_merge_batch(
         if rows_in == 0:
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
-                lineage=_scd_lineage(app_id, batch_id, 0, None, epoch), op="scd_merge",
+                lineage=_scd_lineage(app_id, batch_id, 0, None, epoch),
+                op="scd_merge", retry_conflicts=2,
             )
             return ScdMergeStats(skipped=False, version=version, rows_in=0)
         per_bucket = {
@@ -210,7 +211,7 @@ def scd_merge_batch(
             )
             version = table.commit(
                 snap, adds, [], fence=(app_id, batch_id), lineage=lineage,
-                op="scd_merge",
+                op="scd_merge", retry_conflicts=2,
             )
             return ScdMergeStats(
                 skipped=False, version=version, rows_in=rows_in,

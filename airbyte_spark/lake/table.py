@@ -351,7 +351,18 @@ class LakeTable:
         lineage: Optional[dict] = None,
         new_schema: Optional[TableSchema] = None,
         op: str = "merge",
+        retry_conflicts: int = 0,
     ) -> int:
+        """Publish one commit. Optimistic concurrency (Iceberg-style): the
+        version file is hard-linked create-exclusive, so of two writers
+        racing on the same base snapshot exactly one wins and the loser
+        gets ``CommitConflict``. With ``retry_conflicts > 0`` an ADD-ONLY
+        commit (delta/append — valid against any newer snapshot) re-reads
+        the log and retries at the next version; commits carrying removes
+        rewrote files chosen FROM the stale snapshot, so they must
+        re-plan, never blind-retry. A fenced retry re-checks the fence
+        first: if a concurrent writer already committed this (app_id,
+        batch_id), the conflict is a true duplicate and still raises."""
         entry: dict = {"op": op}
         if adds:
             entry["adds"] = adds
@@ -363,8 +374,24 @@ class LakeTable:
             entry["lineage"] = lineage
         if new_schema is not None:
             entry["schema"] = new_schema.to_json()
-        version = snap.version + 1
-        self._write_commit(version, entry)
+        for attempt in range(retry_conflicts + 1):
+            version = snap.version + 1
+            try:
+                self._write_commit(version, entry)
+                break
+            except CommitConflict:
+                if removes or attempt == retry_conflicts:
+                    raise
+                self._snap_cache = None
+                snap = self.snapshot()
+                if fence is not None and (
+                    snap.fences.get(fence[0]) is not None
+                    and snap.fences[fence[0]] >= fence[1]
+                ):
+                    raise CommitConflict(
+                        f"batch {fence} already committed by a concurrent "
+                        f"writer (fence advanced past it)"
+                    )
         self._snap_cache = None
         if self.checkpoint_interval and version % self.checkpoint_interval == 0:
             self._write_checkpoint()
