@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("--schema-tests", action="store_true",
+                   help="after a bounded sync, run the dbt-style data-"
+                   "quality battery (unique pk, not-null key cols; SCD "
+                   "battery on --scd-table) and exit 1 on failures — the "
+                   "reference runs its generated dbt tests after each sync")
     args = p.parse_args(argv)
 
     spark = build_session()
@@ -116,6 +121,30 @@ def main(argv: list[str] | None = None) -> None:
         table = LakeTable(spark, args.table)
         table.compact()
         table.vacuum()
+    if args.schema_tests and not args.continuous:
+        import json as _json
+        import sys as _sys
+
+        from .lake import LakeTable, run_schema_tests, scd_table_tests
+        from .schemas import PK
+
+        table = LakeTable(spark, args.table)
+        report = run_schema_tests(
+            table.read(), not_null=list(PK), unique=[list(PK)]
+        )
+        if args.scd_table:
+            from .lake import read_scd
+
+            scd_df = read_scd(LakeTable(spark, args.scd_table))
+            report.update(
+                {
+                    f"scd_{r.test_name}": r.failing_rows
+                    for r in scd_table_tests(scd_df, PK).collect()
+                }
+            )
+        print(_json.dumps({"schema_tests": report}))
+        if any(v for v in report.values()):
+            _sys.exit(1)
 
 
 if __name__ == "__main__":

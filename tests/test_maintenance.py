@@ -375,3 +375,37 @@ def test_job_cli_backfill(spark, tmp_path, tmp_path_factory):
     ])
     table = LakeTable(spark, str(tmp_path / "tbl"))
     assert_same(table.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas))
+
+
+def test_job_cli_schema_tests_gate(spark, tmp_path, tmp_path_factory):
+    """--schema-tests: green sync exits cleanly; a corrupted final table
+    (duplicate pk rows injected) makes the gate exit 1 — the reference's
+    post-sync generated dbt test run."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    feed = tmp_path_factory.mktemp("jqfeed")
+    generate_feed(
+        str(feed),
+        FeedSpec(n_convs=8, turns_per_conv=2, n_updates=20, n_deletes=3,
+                 dup_rate=0.05, late_rate=0.05, n_segments=2, seed=21),
+    )
+    from airbyte_spark import job
+
+    args = [
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--scd-table", str(tmp_path / "scd"),
+        "--n-buckets", "4", "--strategy", "mor",
+        "--schema-tests",
+    ]
+    job.main(args)  # green battery: returns without SystemExit
+
+    # corrupt: inject a NULL-pk row (a dup would be HEALED by the lake's
+    # latest-per-key resolution — by design)
+    table = LakeTable(spark, str(tmp_path / "tbl"))
+    bad = table.read().limit(1).withColumn("conv_id", F.lit(None).cast("string"))
+    table.append(bad)
+    with _pytest.raises(SystemExit):
+        job.main([*args, "--app-id", "second-pass"])
