@@ -223,6 +223,48 @@ def q_cdc_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_lake_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cursor read over the stored lake table with FILE-LEVEL
+    data skipping (Delta stats-skipping analog). The reference's
+    incremental read returns records with cursor > state
+    (airbyte-cdk abstract_source.py:238-270 stream-slice read +
+    IncrementalMixin state); here the table itself is the source: three
+    lsn-ordered append commits land per-file ``max_lsn`` footer stats in
+    the commit log, and ``read_incremental(watermark)`` at the 2/3 cut
+    prunes the first two commits' files BEFORE the scan is built — at
+    10^10 rows a resuming consumer opens only the newest commits' files,
+    never the table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    m = int(e.agg(F.max("event_id")).first()[0])
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_inc_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        spark, path, TableSchema.from_struct(e.schema),
+        primary_key=[], bucket_cols=["user_id"], n_buckets=8,
+    )
+    cuts = [-1, m // 3, (2 * m) // 3, m]
+    for lo, hi in zip(cuts, cuts[1:]):
+        table.append(
+            e.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)),
+            lsn_col="event_id",
+        )
+    since = (2 * m) // 3
+    inc = table.read_incremental(since)
+    return inc.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("__lsn").cast("long").alias("lsn"),
+    )
+
+
 def q_cdc_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt-style generated data-quality tests (the reference emits these
     per stream: dbt_schema_tests/schema_test.yml — unique_combination_of_
@@ -685,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
         "cdc_schema_tests": q_cdc_schema_tests,
+        "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
@@ -894,6 +937,17 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN h ON p.user_id = h.user_id
                          AND h.vstart <= p.probe_c
                          AND (h.vend IS NULL OR h.vend > p.probe_c)
+        """,
+        # lake built from 3 lsn-ordered appends of events, read back with
+        # cursor > (2*max)//3 — the stored rows ARE the source rows, so the
+        # filter over the raw table is the exact oracle
+        "cdc_lake_incremental_scan": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(event_id AS BIGINT) AS lsn
+            FROM events
+            WHERE event_id > (2 * (SELECT MAX(event_id) FROM events)) // 3
         """,
         "cdc_schema_tests": """
             SELECT 'not_null_user_id' AS test_name,

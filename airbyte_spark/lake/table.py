@@ -261,6 +261,10 @@ class LakeTable:
                     "schema_id": ad["schema_id"],
                     "rows": ad.get("rows"),
                     "kind": ad.get("kind", "base"),
+                    # per-file cursor bounds (data skipping); absent/None
+                    # in pre-stats commits ⇒ the file is never pruned
+                    "min_lsn": ad.get("min_lsn"),
+                    "max_lsn": ad.get("max_lsn"),
                     # commit that added the file — the MOR tiebreaker;
                     # rollback re-adds preserve their ORIGINAL commit so
                     # tie resolution is stable across restore
@@ -318,6 +322,7 @@ class LakeTable:
         adds = [
             {"path": p, "bucket": m["bucket"], "schema_id": m["schema_id"],
              "rows": m.get("rows"), "kind": m.get("kind", "base"),
+             "min_lsn": m.get("min_lsn"), "max_lsn": m.get("max_lsn"),
              "v": m.get("v", to_version)}
             for p, m in old.files.items()
             if p not in cur.files
@@ -534,6 +539,11 @@ class LakeTable:
                     rows = total
                 else:
                     rows = None  # split across files unknown; totals tracked in lineage
+                # per-file cursor bounds for read-time data skipping — a
+                # footer-only read of the file this commit just wrote
+                # (same O(files-this-commit) driver cost as the listing
+                # above; row counts still come from the write job)
+                mn, mx = _footer_lsn_stats(p)
                 adds.append(
                     {
                         "path": os.path.relpath(p, self.path),
@@ -541,6 +551,8 @@ class LakeTable:
                         "schema_id": snap.current_schema_id,
                         "rows": rows,
                         "kind": kind,
+                        "min_lsn": mn,
+                        "max_lsn": mx,
                     }
                 )
         return adds, total
@@ -586,6 +598,7 @@ class LakeTable:
         include_deleted: bool = False,
         snap: Optional[Snapshot] = None,
         resolve: bool = True,
+        since_lsn: Optional[int] = None,
     ) -> DataFrame:
         """Current-snapshot scan. Old-schema file groups are projected onto
         the current schema by field uid (rename/widen/null-pad), then
@@ -601,7 +614,15 @@ class LakeTable:
         deterministic and byte-equal to the COW result on tie-prone
         cursors. ``resolve=False`` returns raw rows (used by
         compaction-era internals and bronze append tables, which never
-        carry deltas)."""
+        carry deltas).
+
+        ``since_lsn`` is a PRE-resolution row filter ``__lsn > since_lsn``
+        with file-level data skipping: files whose footer-derived
+        ``max_lsn`` (recorded in the commit log at write time, Delta
+        stats-skipping analog) is ≤ the threshold never enter the scan at
+        all — no listing, no footer open. Files from pre-stats commits
+        carry no bounds and are conservatively scanned; the residual
+        filter keeps the result exact either way."""
         snap = snap or self.snapshot()
         cur = snap.schema
         groups: dict[int, list[str]] = {}
@@ -610,6 +631,12 @@ class LakeTable:
         for path, meta in snap.files.items():
             if buckets is not None and meta["bucket"] not in buckets:
                 continue
+            if (
+                since_lsn is not None
+                and meta.get("max_lsn") is not None
+                and meta["max_lsn"] <= since_lsn
+            ):
+                continue  # data skipping: whole file is ≤ the cursor bound
             if meta.get("kind", "base") == "delta":
                 has_delta = True
             selected.append((path, meta))
@@ -640,6 +667,11 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if since_lsn is not None:
+            # residual filter (exact even for un-stat'd files); lands in
+            # PushedFilters on the parquet scan, so surviving files still
+            # prune at row-group granularity
+            df = df.filter(F.col(META_LSN) > since_lsn)
         if need_commit_col and "_fname" in df.columns:
             from ..operators.dedup import latest_per_key
 
@@ -658,6 +690,47 @@ class LakeTable:
             ).drop("_neg_commit")
         if not include_deleted:
             df = df.filter(~F.col(META_DELETED))
+        if not include_meta:
+            df = df.drop(META_LSN, META_DELETED)
+        return df
+
+    def read_incremental(
+        self,
+        since_lsn: int,
+        buckets: Optional[Sequence[int]] = None,
+        include_meta: bool = True,
+        resolve: bool = False,
+    ) -> DataFrame:
+        """Incremental cursor scan over the lake (the reference's
+        incremental-read semantics — airbyte-cdk abstract_source.py reads
+        records with cursor > state — applied to the stored table): all
+        rows with ``__lsn > since_lsn``, tombstones included so a
+        downstream consumer sees deletes.
+
+        Unlike ``changes_between`` (the CDF, which needs the commit range
+        still in the log-retention window), this works off the CURRENT
+        snapshot plus per-file cursor stats, so it survives log expiry and
+        checkpoint folding: at 10^10 rows a consumer resuming from
+        yesterday's watermark scans only the files whose footer ``max_lsn``
+        exceeds it — typically the newest few commits — never the table.
+        ``resolve=True`` additionally collapses to latest-per-key WITHIN
+        the new window (an upsert feed) — exact because the merge path
+        enforces strictly-increasing ``__lsn`` per key, so (pk, lsn) is
+        unique and no commit-order tiebreak is needed; default is the raw
+        record feed. Pair with ``lineage_totals()['max_lsn']`` /
+        ``partition_watermarks()`` to checkpoint the next watermark."""
+        df = self.read(
+            buckets=buckets,
+            include_meta=True,
+            include_deleted=True,
+            resolve=False,
+            since_lsn=since_lsn,
+        )
+        snap = self.snapshot()
+        if resolve and snap.primary_key:
+            from ..operators.dedup import latest_per_key
+
+            df = latest_per_key(df, snap.primary_key, [META_LSN])
         if not include_meta:
             df = df.drop(META_LSN, META_DELETED)
         return df
@@ -1223,6 +1296,39 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
             p["deletes"] += v.get("deletes") or 0
             p["max_lsn"] = _mx(p["max_lsn"], v.get("max_lsn"))
     return t
+
+
+def _footer_lsn_stats(path: str) -> tuple[Optional[int], Optional[int]]:
+    """Per-file (min, max) of ``__lsn`` from the parquet FOOTER — a
+    few-KB metadata read, no data pages touched (Delta collects the same
+    stats in the write transaction; reading the footer the writer just
+    produced is the PySpark-reachable equivalent). Returns (None, None)
+    when the column is absent or the writer skipped statistics — such
+    files are simply never pruned."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(path)
+    except Exception:
+        return None, None
+    idx = None
+    for i in range(md.num_columns):
+        if md.schema.column(i).name == META_LSN:
+            idx = i
+            break
+    if idx is None:
+        return None, None
+    lo: Optional[int] = None
+    hi: Optional[int] = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None  # any stat-less row group ⇒ no file-level bound
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None, None
+    return int(lo), int(hi)
 
 
 def _typed(df: DataFrame) -> DataFrame:
