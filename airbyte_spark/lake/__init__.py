@@ -15,6 +15,8 @@ from .children import (  # noqa: F401
     read_children,
 )
 from .quality import (  # noqa: F401
+    AuditFailed,
+    audited_merge_batch,
     expression_failures,
     not_null_failures,
     run_schema_tests,

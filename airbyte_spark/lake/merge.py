@@ -46,6 +46,13 @@ class MergeStats:
     version: Optional[int] = None
     rows_in: int = 0
     touched_buckets: int = 0
+    #: set when the merge was STAGED (write-audit-publish) instead of
+    #: committed; audit via table.staged_view(staged_id), then
+    #: table.publish_staged / table.abort_staged
+    staged_id: Optional[str] = None
+    #: bucket ids the staged/committed batch touched — the audit scope
+    #: (pk-prefix invariants are exact per bucket; see quality.py)
+    buckets: Optional[list] = None
 
 
 def merge_batch(
@@ -61,6 +68,7 @@ def merge_batch(
     post_collapse: Optional[Callable[[DataFrame], DataFrame]] = None,
     strategy: str = "cow",
     rows_invalid: Optional[int] = None,
+    stage: bool = False,
 ) -> MergeStats:
     """strategy:
     * "cow" (copy-on-write) — read + full-outer-resolve + rewrite the
@@ -73,6 +81,11 @@ def merge_batch(
       write path that keeps 10^10-event streaming ingest from rewriting
       the table every trigger (Iceberg MOR / Paimon equivalent).
     Both are fenced identically; a replayed batch_id is a no-op either way.
+
+    ``stage=True`` STAGES the commit instead of publishing it (write-
+    audit-publish): data files are written and the fully-formed commit is
+    parked outside the log (``MergeStats.staged_id``); readers see nothing
+    until ``table.publish_staged``. Audit gate: ``quality.audited_merge_batch``.
     """
     snap = snap or table.snapshot()
     last = snap.fences.get(app_id)
@@ -107,12 +120,23 @@ def merge_batch(
         )
         rows_in = sum(r["n"] for r in stats_rows)
         if rows_in == 0:
+            empty_lineage = _lineage(
+                app_id, batch_id, 0, 0, 0, None, epoch, rows_invalid
+            )
+            if stage:
+                sid = table.stage_commit(
+                    snap, [], [], fence=(app_id, batch_id),
+                    lineage=empty_lineage, op="merge",
+                )
+                return MergeStats(
+                    skipped=False, rows_in=0, staged_id=sid, buckets=[]
+                )
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
-                lineage=_lineage(app_id, batch_id, 0, 0, 0, None, epoch, rows_invalid),
+                lineage=empty_lineage,
                 op="merge", retry_conflicts=2,
             )
-            return MergeStats(skipped=False, version=version, rows_in=0)
+            return MergeStats(skipped=False, version=version, rows_in=0, buckets=[])
 
         per_bucket = {
             int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"], "deletes": r["nd"]}
@@ -154,13 +178,23 @@ def merge_batch(
                 rows_per_bucket={b: v["rows"] for b, v in per_bucket.items()},
             )
             lineage["rows_upserted"] = total
+            if stage:
+                sid = table.stage_commit(
+                    snap, adds, [], fence=(app_id, batch_id),
+                    lineage=lineage, op="merge",
+                )
+                return MergeStats(
+                    skipped=False, rows_in=rows_in,
+                    touched_buckets=len(per_bucket), staged_id=sid,
+                    buckets=sorted(per_bucket),
+                )
             version = table.commit(
                 snap, adds, [], fence=(app_id, batch_id), lineage=lineage,
                 op="merge", retry_conflicts=2,
             )
             return MergeStats(
                 skipped=False, version=version, rows_in=rows_in,
-                touched_buckets=len(per_bucket),
+                touched_buckets=len(per_bucket), buckets=sorted(per_bucket),
             )
 
         # 2. bucket pruning
@@ -206,6 +240,15 @@ def merge_batch(
             snap, result, n_out_partitions=len(touched)
         )
         lineage["rows_upserted"] = total
+        if stage:
+            sid = table.stage_commit(
+                snap, adds, old_files, fence=(app_id, batch_id),
+                lineage=lineage, op="merge",
+            )
+            return MergeStats(
+                skipped=False, rows_in=rows_in, touched_buckets=len(touched),
+                staged_id=sid, buckets=sorted(touched),
+            )
         version = table.commit(
             snap,
             adds,
@@ -216,7 +259,7 @@ def merge_batch(
         )
         return MergeStats(
             skipped=False, version=version, rows_in=rows_in,
-            touched_buckets=len(touched),
+            touched_buckets=len(touched), buckets=sorted(touched),
         )
     finally:
         src.unpersist()

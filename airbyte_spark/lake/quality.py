@@ -109,6 +109,69 @@ def run_schema_tests(df: DataFrame, **kwargs) -> dict[str, int]:
     }
 
 
+class AuditFailed(RuntimeError):
+    """A write-audit-publish gate found failing schema tests; the staged
+    commit was aborted and the table is untouched."""
+
+    def __init__(self, failures: dict[str, int]):
+        self.failures = failures
+        super().__init__(f"schema-test audit failed: {failures}")
+
+
+def audited_merge_batch(
+    table,
+    batch: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    not_null: Sequence[str] = (),
+    unique: Sequence[Sequence[str]] = (),
+    expressions: Optional[dict[str, Column | str]] = None,
+    **merge_kwargs,
+):
+    """Write-audit-publish merge (Iceberg WAP analog): stage the merge,
+    run the dbt-style test battery against the STAGED post-merge state,
+    publish only if clean — readers can never observe a batch that fails
+    its data-quality gate. The reference runs generated dbt tests after
+    normalization (post-visibility); this moves the same battery before.
+
+    Scale contract: the audit scans ONLY the buckets the batch touched
+    (``MergeStats.buckets``), so per-batch audit cost is O(touched
+    buckets), never O(table). That scope is exact for row-local tests
+    (not_null / expressions) and for uniqueness on pk-prefix tuples (all
+    copies of a key share its bucket); uniqueness on columns the table is
+    NOT bucketed by would need a full-table pass — run those post-publish
+    via ``schema_tests(table.read())`` instead.
+
+    On failure the staged commit is aborted (files deleted) and
+    ``AuditFailed`` carries the per-test failing-row counts; the fence did
+    not advance, so the batch can be re-delivered after the data is fixed.
+    """
+    from .merge import merge_batch
+
+    stats = merge_batch(table, batch, order_cols, stage=True, **merge_kwargs)
+    if stats.skipped:
+        return stats
+    if not stats.buckets:  # empty batch: nothing to audit, publish the fence
+        stats.version = table.publish_staged(stats.staged_id)
+        stats.staged_id = None
+        return stats
+    view = table.staged_view(stats.staged_id)
+    audit_df = table.read(snap=view, buckets=stats.buckets)
+    failures = {
+        k: v
+        for k, v in run_schema_tests(
+            audit_df, not_null=not_null, unique=unique, expressions=expressions
+        ).items()
+        if v
+    }
+    if failures:
+        table.abort_staged(stats.staged_id)
+        raise AuditFailed(failures)
+    stats.version = table.publish_staged(stats.staged_id)
+    stats.staged_id = None
+    return stats
+
+
 def scd_table_tests(history: DataFrame, pk: Sequence[str]) -> DataFrame:
     """The reference's generated test set for a Type-2 history table:
     surrogate key not null, at most ONE active row per key, version rows

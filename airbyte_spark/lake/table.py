@@ -41,7 +41,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -161,6 +161,143 @@ class LakeTable:
 
     def _ckpt_path(self, version: int) -> str:
         return os.path.join(self.path, _LOG_DIR, f"{version:020d}.ckpt.json")
+
+    # ------------------------------------------------- write-audit-publish
+
+    def _staged_dir(self) -> str:
+        # dot-prefixed: snapshot()'s log listing skips it by construction
+        return os.path.join(self.path, _LOG_DIR, ".staged")
+
+    def _staged_path(self, staged_id: str) -> str:
+        return os.path.join(self._staged_dir(), f"{staged_id}.json")
+
+    def stage_commit(
+        self,
+        snap: Snapshot,
+        adds: list[dict],
+        removes: list[str],
+        fence: Optional[tuple[str, int]] = None,
+        lineage: Optional[dict] = None,
+        op: str = "merge",
+    ) -> str:
+        """Write-audit-publish step 1 (Iceberg WAP / ``spark.wap.id``
+        analog): persist a fully-formed commit OUTSIDE the numbered log —
+        its data files are on disk but invisible to every reader until
+        ``publish_staged``. Audit the staged state via ``staged_view`` +
+        ``read(snap=...)``; then publish (one ordinary atomic commit) or
+        ``abort_staged`` (files deleted, nothing ever happened). A crash
+        between stage and publish leaves only the staged marker + files:
+        readers are unaffected, deep vacuum protects the files, and the
+        orphaned stage can be aborted or re-published after restart."""
+        entry: dict = {"op": op, "base_version": snap.version}
+        if adds:
+            entry["adds"] = adds
+        if removes:
+            entry["removes"] = removes
+        if fence is not None:
+            entry["fence"] = {"app_id": fence[0], "batch_id": fence[1]}
+        if lineage is not None:
+            entry["lineage"] = lineage
+        staged_id = uuid.uuid4().hex
+        os.makedirs(self._staged_dir(), exist_ok=True)
+        tmp = os.path.join(self._staged_dir(), f".tmp-{staged_id}")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._staged_path(staged_id))
+        return staged_id
+
+    def _load_staged(self, staged_id: str) -> dict:
+        with open(self._staged_path(staged_id)) as f:
+            return json.load(f)
+
+    def list_staged(self) -> list[str]:
+        """Staged-but-unpublished commit ids (oldest first by mtime)."""
+        d = self._staged_dir()
+        if not os.path.isdir(d):
+            return []
+        out = [
+            (os.path.getmtime(os.path.join(d, f)), f[:-5])
+            for f in os.listdir(d)
+            if f.endswith(".json") and not f.startswith(".")
+        ]
+        return [sid for _, sid in sorted(out)]
+
+    def staged_view(self, staged_id: str) -> Snapshot:
+        """The table AS IF the staged commit were published — the audit
+        read. Pass to ``read(snap=...)``; cost is the same pruned scan a
+        published commit would serve (MOR staged adds resolve normally:
+        their tiebreak version is the would-be next version)."""
+        snap = self.snapshot()
+        e = self._load_staged(staged_id)
+        files = dict(snap.files)
+        for rm in e.get("removes", []):
+            files.pop(rm, None)
+        v_next = snap.version + 1
+        for ad in e.get("adds", []):
+            files[ad["path"]] = {
+                "bucket": ad["bucket"],
+                "schema_id": ad["schema_id"],
+                "rows": ad.get("rows"),
+                "kind": ad.get("kind", "base"),
+                "min_lsn": ad.get("min_lsn"),
+                "max_lsn": ad.get("max_lsn"),
+                "v": ad.get("v", v_next),
+            }
+        fences = dict(snap.fences)
+        if "fence" in e:
+            fences[e["fence"]["app_id"]] = e["fence"]["batch_id"]
+        return replace(snap, files=files, fences=fences)
+
+    def publish_staged(self, staged_id: str, retry_conflicts: int = 2) -> Optional[int]:
+        """WAP step 3: make a staged commit visible with one ordinary
+        atomic commit; returns the new version, or None when the staged
+        fence already advanced (a concurrent/earlier publish applied this
+        batch — the duplicate's files are cleaned up, exactly-once holds).
+
+        Validity vs commits that landed since staging: an add-only stage
+        (append / MOR delta) is valid against any newer snapshot; a stage
+        carrying removes rewrote files chosen from its base snapshot, so
+        every removed file must still be live — if a concurrent commit
+        rewrote any of them, publish raises ``CommitConflict`` and the
+        caller must re-plan (same rule as ``commit(retry_conflicts=...)``)."""
+        e = self._load_staged(staged_id)
+        snap = self.snapshot()
+        f = e.get("fence")
+        if f is not None and snap.fences.get(f["app_id"], -1) >= f["batch_id"]:
+            self.abort_staged(staged_id)
+            return None
+        removes = e.get("removes", [])
+        if removes and snap.version != e["base_version"]:
+            gone = [p for p in removes if p not in snap.files]
+            if gone:
+                raise CommitConflict(
+                    f"staged commit {staged_id} rewrites {len(gone)} file(s) "
+                    f"already rewritten by a commit after its base version "
+                    f"{e['base_version']} (e.g. {gone[0]}); re-plan the merge"
+                )
+        version = self.commit(
+            snap,
+            e.get("adds", []),
+            removes,
+            fence=(f["app_id"], f["batch_id"]) if f is not None else None,
+            lineage=e.get("lineage"),
+            op=e["op"],
+            retry_conflicts=0 if removes else retry_conflicts,
+        )
+        os.unlink(self._staged_path(staged_id))
+        return version
+
+    def abort_staged(self, staged_id: str) -> None:
+        """Drop a staged commit: delete its data files and marker. The
+        numbered log never saw it — readers were never affected."""
+        e = self._load_staged(staged_id)
+        for ad in e.get("adds", []):
+            full = os.path.join(self.path, ad["path"])
+            if os.path.exists(full):
+                os.unlink(full)
+        os.unlink(self._staged_path(staged_id))
 
     def snapshot(self, at_version: Optional[int] = None) -> Snapshot:
         """Current table state — or, with ``at_version``, TIME TRAVEL to a
@@ -1120,6 +1257,11 @@ class LakeTable:
         horizon = snap.version - grace_commits
         removed: list[str] = []
         if deep:
+            # staged (write-audit-publish) commits reference files outside
+            # the numbered log — protect them until published or aborted
+            for sid in self.list_staged():
+                for ad in self._load_staged(sid).get("adds", []):
+                    referenced.add(os.path.normpath(ad["path"]))
             # protect the grace window's dereferenced files
             for v in range(max(1, horizon + 1), snap.version + 1):
                 try:

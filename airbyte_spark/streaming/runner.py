@@ -74,6 +74,15 @@ class ReplayConfig:
     child_tables_path: Optional[str] = None
     #: root stream name for child-table naming (<stream>_<field>...)
     stream_name: str = "transcripts"
+    #: write-audit-publish gate: a dict of schema-test specs
+    #: ({"not_null": [...], "unique": [[...]], "expressions": {...}}) run
+    #: per micro-batch against the STAGED post-merge state of the touched
+    #: buckets (quality.audited_merge_batch). A failing batch is aborted
+    #: before it is ever visible and the QUERY fails — the reference's
+    #: dbt-test-failure-fails-the-sync contract, moved pre-visibility.
+    #: The checkpoint never advances past the failed batch, so fixing the
+    #: gate (or the data) and restarting resumes exactly-once.
+    audit_tests: Optional[dict] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -139,10 +148,7 @@ def _process_batch(
                 ),
                 strategy=cfg.scd_strategy,
             )
-        stats = merge_batch(
-            table,
-            batch_df,
-            ORDER_COLS,
+        merge_kwargs = dict(
             app_id=cfg.app_id,
             batch_id=batch_id,
             epoch=cfg.epoch,
@@ -153,6 +159,14 @@ def _process_batch(
             ),
             strategy=cfg.strategy,
         )
+        if cfg.audit_tests is not None:
+            from ..lake.quality import audited_merge_batch
+
+            stats = audited_merge_batch(
+                table, batch_df, ORDER_COLS, **cfg.audit_tests, **merge_kwargs
+            )
+        else:
+            stats = merge_batch(table, batch_df, ORDER_COLS, **merge_kwargs)
         if children is not None:
             from ..lake.children import merge_children_batch
 
