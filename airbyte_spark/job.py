@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="fold deltas / compact + vacuum after the bounded run")
     p.add_argument("--compact-every", type=int, default=None,
                    help="with --strategy mor: fold deltas every N micro-batches")
+    p.add_argument("--maintain-max-buckets", type=int, default=None,
+                   help="budget each --compact-every cycle: rewrite at most "
+                        "this many (worst-first) buckets per cycle instead "
+                        "of every fragmented bucket")
+    p.add_argument("--maintain-max-mb", type=int, default=None,
+                   help="byte budget per maintenance cycle (MiB)")
     p.add_argument("--scd-table", default=None,
                    help="also maintain a Type-2 <stream>_scd history table "
                         "at this path (incremental per micro-batch)")
@@ -110,6 +116,17 @@ def main(argv: list[str] | None = None) -> None:
         child_tables_path=args.child_tables,
         stream_name=args.stream_name,
     )
+    if args.maintain_max_buckets is not None or args.maintain_max_mb is not None:
+        from .lake import MaintenancePolicy
+
+        cfg.maintenance_policy = MaintenancePolicy(
+            max_buckets_per_cycle=args.maintain_max_buckets,
+            max_bytes_per_cycle=(
+                args.maintain_max_mb << 20
+                if args.maintain_max_mb is not None
+                else None
+            ),
+        )
     if args.feed_schema_ddl:
         from pyspark.sql import types as T
 
@@ -119,8 +136,13 @@ def main(argv: list[str] | None = None) -> None:
         from .lake import LakeTable
 
         table = LakeTable(spark, args.table)
-        table.compact()
-        table.vacuum()
+        if cfg.maintenance_policy is not None:
+            from .lake import maintain_until_clean
+
+            maintain_until_clean(table, cfg.maintenance_policy)
+        else:
+            table.compact()
+            table.vacuum()
     if args.schema_tests and not args.continuous:
         import json as _json
         import sys as _sys

@@ -14,6 +14,13 @@ from .children import (  # noqa: F401
     merge_children_batch,
     read_children,
 )
+from .maintenance import (  # noqa: F401
+    MaintenancePolicy,
+    MaintenanceReport,
+    maintain,
+    maintain_until_clean,
+    plan_maintenance,
+)
 from .quality import (  # noqa: F401
     AuditFailed,
     audited_merge_batch,

@@ -384,15 +384,22 @@ def resolve_scd_changelog(
     return window(versions, pk, cursor)
 
 
-def scd_compact(table: LakeTable, bounded: bool = False) -> int:
+def scd_compact(
+    table: LakeTable,
+    bounded: bool = False,
+    buckets: Optional[Sequence[int]] = None,
+) -> int:
     """Fold SCD delta files back into fully-resolved base files.
 
     Only buckets holding delta files are rewritten (all versions of a key
     share its bucket, so per-bucket re-windowing is exact); other buckets'
     materialized history is untouched. After this, ``read_scd`` is a plain
-    scan again. This is the periodic fold the streaming loop runs between
-    merges — the amortized cost that replaces per-batch full-bucket
-    rewrite amplification."""
+    scan again (over the folded buckets). This is the periodic fold the
+    streaming loop runs between merges — the amortized cost that replaces
+    per-batch full-bucket rewrite amplification. ``buckets`` restricts the
+    fold to a subset (the budgeted-maintenance path): per-bucket folding is
+    exact, so folding a prefix now and the rest next cycle converges to the
+    same state."""
     snap = table.snapshot()
     per_bucket: dict[int, list[str]] = {}
     delta_buckets: set[int] = set()
@@ -400,6 +407,8 @@ def scd_compact(table: LakeTable, bounded: bool = False) -> int:
         per_bucket.setdefault(meta["bucket"], []).append(path)
         if meta.get("kind", "base") == "delta":
             delta_buckets.add(meta["bucket"])
+    if buckets is not None:
+        delta_buckets &= set(buckets)
     if not delta_buckets:
         return snap.version
     targets = sorted(delta_buckets)

@@ -402,6 +402,9 @@ class LakeTable:
                     # in pre-stats commits ⇒ the file is never pruned
                     "min_lsn": ad.get("min_lsn"),
                     "max_lsn": ad.get("max_lsn"),
+                    # on-disk size recorded at write time — the budgeted-
+                    # maintenance planner's unit; None ⇒ getsize fallback
+                    "bytes": ad.get("bytes"),
                     # commit that added the file — the MOR tiebreaker;
                     # rollback re-adds preserve their ORIGINAL commit so
                     # tie resolution is stable across restore
@@ -460,7 +463,7 @@ class LakeTable:
             {"path": p, "bucket": m["bucket"], "schema_id": m["schema_id"],
              "rows": m.get("rows"), "kind": m.get("kind", "base"),
              "min_lsn": m.get("min_lsn"), "max_lsn": m.get("max_lsn"),
-             "v": m.get("v", to_version)}
+             "bytes": m.get("bytes"), "v": m.get("v", to_version)}
             for p, m in old.files.items()
             if p not in cur.files
         ]
@@ -657,19 +660,21 @@ class LakeTable:
                 total = None
         elif rows_per_bucket:
             total = sum(rows_per_bucket.values())
-        per_bucket_files: dict[int, list[str]] = {}
+        per_bucket_files: dict[int, list[tuple[str, int]]] = {}
         for entry in os.scandir(out):
             if not entry.is_dir() or not entry.name.startswith("_b="):
                 continue
             bucket = int(entry.name.split("=")[1])
             for f2 in os.scandir(entry.path):
                 if f2.name.endswith(".parquet"):
-                    per_bucket_files.setdefault(bucket, []).append(f2.path)
+                    per_bucket_files.setdefault(bucket, []).append(
+                        (f2.path, f2.stat().st_size)
+                    )
         known = rows_per_bucket or {}
         n_files = sum(len(v) for v in per_bucket_files.values())
         adds = []
         for bucket, paths in per_bucket_files.items():
-            for p in paths:
+            for p, nbytes in paths:
                 if len(paths) == 1 and bucket in known:
                     rows = known[bucket]
                 elif n_files == 1 and total is not None:
@@ -687,6 +692,7 @@ class LakeTable:
                         "bucket": bucket,
                         "schema_id": snap.current_schema_id,
                         "rows": rows,
+                        "bytes": nbytes,
                         "kind": kind,
                         "min_lsn": mn,
                         "max_lsn": mx,

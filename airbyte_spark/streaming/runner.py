@@ -58,6 +58,12 @@ class ReplayConfig:
     #: micro-batches — bounds scan-time resolution fan-in while keeping
     #: the per-batch write cost O(batch) between folds
     compact_every_batches: Optional[int] = None
+    #: bound each maintenance cycle's rewrite cost (lake.maintenance): the
+    #: cadence then rewrites only the worst buckets under the policy's
+    #: bucket-count/byte budgets instead of every fragmented bucket — at
+    #: 10^10 events a blunt compact() can rewrite the whole table inside
+    #: the ingest loop. None keeps the unbudgeted fold (test scale).
+    maintenance_policy: Optional[object] = None
     #: maintain a <stream>_scd Type-2 history table at this path alongside
     #: the SCD1 latest-state table (reference's incremental SCD contract,
     #: stream_processor.py:892-942); each table carries its own fence
@@ -196,20 +202,30 @@ def _process_batch(
             # single-writer window between merges: safe to fold; the grace
             # window keeps files referenced by the last few snapshots so a
             # concurrent reader mid-scan never loses its files
-            table.compact()
-            table.vacuum(grace_commits=2)
-            if scd_table is not None and cfg.scd_strategy == "mor":
-                from ..lake.scd import scd_compact
+            if cfg.maintenance_policy is not None:
+                from ..lake.maintenance import maintain
 
-                # re-windowing fold (NOT plain compact: the derived SCD
-                # columns must be materialized from the next-version lag)
-                scd_compact(scd_table)
-                scd_table.vacuum(grace_commits=2)
-            if children is not None:
-                # child tables use plain LSN resolution — ordinary fold
-                for ct in children[0].values():
-                    ct.compact()
-                    ct.vacuum(grace_commits=2)
+                maintain(table, cfg.maintenance_policy)
+                if scd_table is not None and cfg.scd_strategy == "mor":
+                    maintain(scd_table, cfg.maintenance_policy, scd=True)
+                if children is not None:
+                    for ct in children[0].values():
+                        maintain(ct, cfg.maintenance_policy)
+            else:
+                table.compact()
+                table.vacuum(grace_commits=2)
+                if scd_table is not None and cfg.scd_strategy == "mor":
+                    from ..lake.scd import scd_compact
+
+                    # re-windowing fold (NOT plain compact: the derived SCD
+                    # columns must be materialized from the next-version lag)
+                    scd_compact(scd_table)
+                    scd_table.vacuum(grace_commits=2)
+                if children is not None:
+                    # child tables use plain LSN resolution — ordinary fold
+                    for ct in children[0].values():
+                        ct.compact()
+                        ct.vacuum(grace_commits=2)
         if cfg.fault is not None:
             cfg.fault(batch_id)
 

@@ -409,3 +409,243 @@ def test_job_cli_schema_tests_gate(spark, tmp_path, tmp_path_factory):
     table.append(bad)
     with _pytest.raises(SystemExit):
         job.main([*args, "--app-id", "second-pass"])
+
+
+# ---------------------------------------------------------------- budgeted
+
+
+def _fragment_table(spark, table, ev, n_chunks=4):
+    import numpy as np
+    for idx in np.array_split(np.arange(len(ev)), n_chunks):
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        table.append(
+            spark.createDataFrame(pdf, schema=CHANGE_STRUCT).select(
+                *[f.name for f in TRANSCRIPT_STRUCT.fields]
+            )
+        )
+
+
+def test_budgeted_maintain_converges(spark, tmp_path, tmp_path_factory):
+    """maintain() under a 1-bucket-per-cycle budget: each cycle rewrites at
+    most one bucket, defers the rest, and repeated cycles converge to the
+    same state the blunt compact() produces — contents identical, one file
+    per bucket, orphans reclaimed."""
+    from airbyte_spark.lake import MaintenancePolicy, maintain, maintain_until_clean, plan_maintenance
+
+    feed = tmp_path_factory.mktemp("bmfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=24, turns_per_conv=4, n_updates=100, n_deletes=10,
+                 dup_rate=0.05, late_rate=0.05, n_segments=4, seed=19),
+    )
+    table = _mk_table(spark, tmp_path / "t", n_buckets=4)
+    _fragment_table(spark, table, ev, n_chunks=4)
+    before = table.read().toPandas()
+
+    # new add-entries carry on-disk byte sizes for the planner
+    snap = table.snapshot()
+    assert all(m.get("bytes", 0) > 0 for m in snap.files.values())
+    frag_buckets = {m["bucket"] for m in snap.files.values()}
+    assert len(frag_buckets) == 4
+
+    policy = MaintenancePolicy(min_files=2, max_buckets_per_cycle=1)
+    chosen, deferred, stats = plan_maintenance(table, policy)
+    assert len(chosen) == 1 and len(deferred) == 3
+    # worst-fragmented bucket first
+    assert stats[chosen[0]]["files"] == max(s["files"] for s in stats.values())
+
+    r1 = maintain(table, policy)
+    assert r1.compacted == chosen and len(r1.deferred) == 3
+    assert r1.bytes_rewritten > 0 and r1.files_rewritten >= 2
+    # grace=2 protects the just-dereferenced files (a reader on a recent
+    # snapshot may still be scanning them) — reclaimed by later cycles
+    assert r1.vacuumed_files == 0
+
+    reports = maintain_until_clean(table, policy)
+    assert reports[-1].compacted == []  # terminated clean
+    assert sum(r.vacuumed_files for r in reports) >= 1  # reclaim caught up
+    snap2 = table.snapshot()
+    per_bucket = {}
+    for p, m in snap2.files.items():
+        per_bucket.setdefault(m["bucket"], []).append(p)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    keys = ("conv_id", "turn_idx", "text")
+    assert_same(table.read(), before, keys=keys)
+    # after the grace window drains, disk holds exactly the live files
+    table.vacuum(grace_commits=0)
+    on_disk = set()
+    for root, _dirs, names in os.walk(os.path.join(table.path, "data")):
+        for nm in names:
+            if nm.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, nm), table.path))
+    assert on_disk == set(snap2.files)
+    # nothing left to do: planner finds no candidates
+    chosen3, deferred3, _ = plan_maintenance(table, policy)
+    assert chosen3 == [] and deferred3 == []
+
+
+def test_plan_prioritizes_deltas_and_respects_budgets(spark, tmp_path):
+    """Planner unit contract over synthetic snapshot metadata: buckets
+    carrying MOR delta files outrank merely-fragmented buckets (deltas tax
+    every read with collapse work; fragments only cost opens); the
+    bucket-count and byte budgets bound the chosen set; and the FIRST
+    bucket is always admitted even when it alone exceeds the byte budget,
+    so one oversized bucket can't deadlock maintenance."""
+    from airbyte_spark.lake import MaintenancePolicy, plan_maintenance
+
+    table = _mk_table(spark, tmp_path / "t", n_buckets=8)
+    snap = table.snapshot()
+    # bucket 0: 2 files 1 delta / 1: 6 base files / 2: 3 base / 3: 1 base
+    fake = {}
+    sizes = {0: 100, 1: 50, 2: 40, 3: 10}
+    counts = {0: 2, 1: 6, 2: 3, 3: 1}
+    deltas = {0: 1, 1: 0, 2: 0, 3: 0}
+    for b, n in counts.items():
+        for i in range(n):
+            fake[f"data/x/_b={b}/f{i}.parquet"] = {
+                "bucket": b, "schema_id": 0, "rows": 1,
+                "kind": "delta" if i < deltas[b] else "base",
+                "bytes": sizes[b],
+            }
+    snap.files.clear()
+    snap.files.update(fake)
+
+    # delta bucket first, then most-fragmented; bucket 3 is healthy
+    chosen, deferred, stats = plan_maintenance(
+        table, MaintenancePolicy(min_files=3, max_buckets_per_cycle=None,
+                                 max_bytes_per_cycle=None), snap=snap)
+    assert chosen == [0, 1, 2] and deferred == []
+    # count budget
+    chosen, deferred, _ = plan_maintenance(
+        table, MaintenancePolicy(min_files=3, max_buckets_per_cycle=2,
+                                 max_bytes_per_cycle=None), snap=snap)
+    assert chosen == [0, 1] and deferred == [2]
+    # byte budget: bucket 0 costs 200, bucket 1 would add 300 > 250 cap
+    chosen, deferred, _ = plan_maintenance(
+        table, MaintenancePolicy(min_files=3, max_buckets_per_cycle=None,
+                                 max_bytes_per_cycle=250), snap=snap)
+    assert chosen == [0] and deferred == [1, 2]
+    # oversized first bucket still admitted (no deadlock)
+    chosen, deferred, _ = plan_maintenance(
+        table, MaintenancePolicy(min_files=3, max_buckets_per_cycle=None,
+                                 max_bytes_per_cycle=1), snap=snap)
+    assert chosen == [0] and deferred == [1, 2]
+
+
+def test_budgeted_maintain_mor_merge_table_converges(
+    spark, tmp_path, tmp_path_factory
+):
+    """Budgeted cycles over a MOR merge table: every intermediate state
+    (deltas partially folded) still reads exactly the oracle final state,
+    and the loop terminates with all-base one-file buckets."""
+    import numpy as np
+    from airbyte_spark.lake import MaintenancePolicy, maintain_until_clean
+
+    feed = tmp_path_factory.mktemp("bdfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=24, turns_per_conv=4, n_updates=100, n_deletes=10,
+                 dup_rate=0.05, late_rate=0.05, n_segments=4, seed=23),
+    )
+    table = _mk_table(spark, tmp_path / "t", n_buckets=4)
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 4)):
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        merge_batch(
+            table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+            ORDER_COLS, batch_id=i, strategy="mor",
+        )
+    oracle = oracle_final_state(ev)
+    keys = ("conv_id", "turn_idx", "text")
+    policy = MaintenancePolicy(min_files=2, max_buckets_per_cycle=1)
+    from airbyte_spark.lake import maintain
+
+    # one bounded cycle: partially-folded table still reads exact
+    r1 = maintain(table, policy)
+    assert len(r1.compacted) == 1 and r1.deferred
+    assert_same(table.read(), oracle, keys=keys)
+
+    maintain_until_clean(table, policy)
+    snap = table.snapshot()
+    assert {m["kind"] for m in snap.files.values()} == {"base"}
+    per_bucket = {}
+    for p, m in snap.files.items():
+        per_bucket.setdefault(m["bucket"], []).append(p)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    assert_same(table.read(), oracle, keys=keys)
+
+
+def test_budgeted_maintain_scd_history(spark, tmp_path, tmp_path_factory):
+    """maintain(scd=True) folds delta buckets through the re-windowing
+    scd_compact (never plain compaction: derived columns must be
+    re-materialized) one budgeted cycle at a time; after every cycle
+    read_scd stays byte-equal to the full batch scd2 build, and the final
+    clean table serves it from a plain scan."""
+    import numpy as np
+    from airbyte_spark.lake import MaintenancePolicy, maintain_until_clean
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd, scd_merge_batch
+    from airbyte_spark.operators.dedup import scd2
+    from airbyte_spark.operators.skew import salted_scd2_input
+    from airbyte_spark.plans.replay import prepare_changes
+    from airbyte_spark.schemas import CURSOR
+
+    feed = tmp_path_factory.mktemp("bsfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=20, turns_per_conv=4, n_updates=120, n_deletes=15,
+                 dup_rate=0.08, late_rate=0.08, n_segments=5, seed=29),
+    )
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, bucket_cols=["conv_id"],
+        n_buckets=4,
+    )
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 3)):
+        scd_merge_batch(
+            table, spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT),
+            PK, app_id="bm", batch_id=i, post_dedup=prepare_changes, strategy="mor",
+        )
+    raw = spark.createDataFrame(ev[cols], schema=CHANGE_STRUCT)
+    expected = scd2(
+        prepare_changes(salted_scd2_input(raw, PK, CURSOR)), PK, CURSOR
+    ).toPandas()
+    keys = ("conv_id", "turn_idx", "_airbyte_start_at")
+
+    policy = MaintenancePolicy(min_files=1, max_buckets_per_cycle=1)
+    reports = maintain_until_clean(table, policy, scd=True)
+    assert len([r for r in reports if r.compacted]) >= 2  # really incremental
+    for _ in reports:
+        pass
+    snap = table.snapshot()
+    assert {m["kind"] for m in snap.files.values()} == {"base"}
+    assert_same(read_scd(table), expected, keys=keys)
+    assert_same(table.read(), expected, keys=keys)  # materialized, plain scan
+
+
+def test_streaming_cadence_uses_policy(spark, tmp_path, tmp_path_factory):
+    """run_replay_stream with maintenance_policy: the compaction cadence
+    runs budgeted cycles instead of blunt full compaction; end state still
+    matches the oracle and the per-cycle rewrite stays within budget."""
+    from airbyte_spark.lake import MaintenancePolicy
+    from airbyte_spark.streaming import ReplayConfig, run_replay_stream
+
+    feed = tmp_path_factory.mktemp("smfeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=20, turns_per_conv=4, n_updates=120, n_deletes=15,
+                 dup_rate=0.05, late_rate=0.05, n_segments=5, seed=43),
+    )
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        strategy="mor",
+        compact_every_batches=2,
+        maintenance_policy=MaintenancePolicy(min_files=2, max_buckets_per_cycle=2),
+    )
+    run_replay_stream(spark, cfg)
+    table = LakeTable(spark, cfg.table_path)
+    assert_same(
+        table.read(),
+        oracle_final_state(ev, canonicalize=canonicalize_pandas),
+    )
