@@ -73,6 +73,10 @@ class Snapshot:
     #: rollup of folded-out lineage: global counters + per-bucket
     #: {rows, deletes, max_lsn} high-watermarks
     lineage_totals: dict = field(default_factory=dict)
+    #: payload columns whose per-file (min, max) footer stats are recorded
+    #: in every add-entry for file-level range skipping (``__lsn`` is
+    #: always recorded; list e.g. the event-time column here)
+    stats_cols: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> TableSchema:
@@ -118,6 +122,7 @@ class LakeTable:
         primary_key: Sequence[str],
         bucket_cols: Optional[Sequence[str]] = None,
         n_buckets: int = 32,
+        stats_cols: Optional[Sequence[str]] = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
@@ -130,6 +135,7 @@ class LakeTable:
                 "n_buckets": n_buckets,
                 "bucket_cols": list(bucket_cols or primary_key[:1]),
                 "primary_key": list(primary_key),
+                "stats_cols": list(stats_cols or []),
             },
         )
         return t
@@ -356,6 +362,7 @@ class LakeTable:
         lineage: list[dict] = []
         totals: dict = {}
         n_buckets, bucket_cols, pk, cur_sid = 32, [], [], 0
+        stats_cols: list[str] = []
         base_v = max((c for c in ckpt_vs if c <= latest), default=None)
         if base_v is not None:
             with open(self._ckpt_path(base_v)) as f:
@@ -373,6 +380,7 @@ class LakeTable:
             n_buckets = ck["n_buckets"]
             bucket_cols = ck["bucket_cols"]
             pk = ck["primary_key"]
+            stats_cols = ck.get("stats_cols", [])
 
         for v in commit_vs:
             if base_v is not None and v <= base_v:
@@ -388,6 +396,7 @@ class LakeTable:
                 n_buckets = e["n_buckets"]
                 bucket_cols = e["bucket_cols"]
                 pk = e["primary_key"]
+                stats_cols = e.get("stats_cols", [])
             elif "n_buckets" in e:  # rebucket: layout evolution
                 n_buckets = e["n_buckets"]
             for rm in e.get("removes", []):
@@ -405,6 +414,9 @@ class LakeTable:
                     # on-disk size recorded at write time — the budgeted-
                     # maintenance planner's unit; None ⇒ getsize fallback
                     "bytes": ad.get("bytes"),
+                    # per-file (min, max) of the table's stats_cols —
+                    # generic range skipping (event-time etc.)
+                    "stats": ad.get("stats") or {},
                     # commit that added the file — the MOR tiebreaker;
                     # rollback re-adds preserve their ORIGINAL commit so
                     # tie resolution is stable across restore
@@ -430,6 +442,7 @@ class LakeTable:
             primary_key=pk,
             lineage=lineage,
             lineage_totals=totals,
+            stats_cols=stats_cols,
         )
         if at_version is None:
             self._snap_cache = snap
@@ -463,7 +476,8 @@ class LakeTable:
             {"path": p, "bucket": m["bucket"], "schema_id": m["schema_id"],
              "rows": m.get("rows"), "kind": m.get("kind", "base"),
              "min_lsn": m.get("min_lsn"), "max_lsn": m.get("max_lsn"),
-             "bytes": m.get("bytes"), "v": m.get("v", to_version)}
+             "bytes": m.get("bytes"), "stats": m.get("stats") or {},
+             "v": m.get("v", to_version)}
             for p, m in old.files.items()
             if p not in cur.files
         ]
@@ -573,6 +587,7 @@ class LakeTable:
             "primary_key": snap.primary_key,
             "lineage": lineage,
             "lineage_totals": totals,
+            "stats_cols": snap.stats_cols,
         }
         tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -651,6 +666,12 @@ class LakeTable:
             writer = writer.observe(obs, F.count(F.lit(1)).alias("rows"))
         if n_out_partitions:
             writer = writer.repartition(n_out_partitions, "_b")
+        # INT96 (Spark's default parquet timestamp encoding) carries no
+        # column statistics, which would silence event-time data skipping;
+        # TIMESTAMP_MICROS is the modern stats-bearing encoding
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         writer.write.partitionBy("_b").parquet(out, compression="zstd")
         total: Optional[int] = None
         if obs is not None:
@@ -681,11 +702,12 @@ class LakeTable:
                     rows = total
                 else:
                     rows = None  # split across files unknown; totals tracked in lineage
-                # per-file cursor bounds for read-time data skipping — a
-                # footer-only read of the file this commit just wrote
-                # (same O(files-this-commit) driver cost as the listing
-                # above; row counts still come from the write job)
-                mn, mx = _footer_lsn_stats(p)
+                # per-file cursor + stats-column bounds for read-time data
+                # skipping — ONE footer-only read of the file this commit
+                # just wrote (same O(files-this-commit) driver cost as the
+                # listing above; row counts still come from the write job)
+                st = _footer_col_stats(p, [META_LSN, *snap.stats_cols])
+                lsn_b = st.get(META_LSN)
                 adds.append(
                     {
                         "path": os.path.relpath(p, self.path),
@@ -694,8 +716,11 @@ class LakeTable:
                         "rows": rows,
                         "bytes": nbytes,
                         "kind": kind,
-                        "min_lsn": mn,
-                        "max_lsn": mx,
+                        "min_lsn": int(lsn_b[0]) if lsn_b else None,
+                        "max_lsn": int(lsn_b[1]) if lsn_b else None,
+                        "stats": {
+                            c: list(b) for c, b in st.items() if c != META_LSN
+                        },
                     }
                 )
         return adds, total
@@ -742,6 +767,7 @@ class LakeTable:
         snap: Optional[Snapshot] = None,
         resolve: bool = True,
         since_lsn: Optional[int] = None,
+        ranges: Optional[dict] = None,
     ) -> DataFrame:
         """Current-snapshot scan. Old-schema file groups are projected onto
         the current schema by field uid (rename/widen/null-pad), then
@@ -765,12 +791,27 @@ class LakeTable:
         stats-skipping analog) is ≤ the threshold never enter the scan at
         all — no listing, no footer open. Files from pre-stats commits
         carry no bounds and are conservatively scanned; the residual
-        filter keeps the result exact either way."""
+        filter keeps the result exact either way.
+
+        ``ranges`` ({col: (lo, hi)}, either end None = open) generalizes
+        the same contract to the table's ``stats_cols`` (e.g. event
+        time): files whose recorded (min, max) is provably disjoint from
+        the queried interval are pruned before the scan exists, and a
+        residual ``col BETWEEN lo AND hi`` filter keeps the result exact
+        for unpruned files. Like ``since_lsn`` it is PRE-resolution: on a
+        MOR table combine it with ``resolve=False`` (or a delta-free
+        snapshot) unless a version-filtered resolution is intended —
+        filtering versions before latest-per-key changes which version
+        wins."""
         snap = snap or self.snapshot()
         cur = snap.schema
         groups: dict[int, list[str]] = {}
         has_delta = False
         selected: list[tuple[str, dict]] = []
+        qranges = {
+            c: (_stat_value(lo), _stat_value(hi))
+            for c, (lo, hi) in (ranges or {}).items()
+        }
         for path, meta in snap.files.items():
             if buckets is not None and meta["bucket"] not in buckets:
                 continue
@@ -780,6 +821,8 @@ class LakeTable:
                 and meta["max_lsn"] <= since_lsn
             ):
                 continue  # data skipping: whole file is ≤ the cursor bound
+            if qranges and _ranges_disjoint(meta.get("stats") or {}, qranges):
+                continue  # data skipping: stats prove no row can match
             if meta.get("kind", "base") == "delta":
                 has_delta = True
             selected.append((path, meta))
@@ -815,6 +858,11 @@ class LakeTable:
             # PushedFilters on the parquet scan, so surviving files still
             # prune at row-group granularity
             df = df.filter(F.col(META_LSN) > since_lsn)
+        for c, (lo, hi) in (ranges or {}).items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
         if need_commit_col and "_fname" in df.columns:
             from ..operators.dedup import latest_per_key
 
@@ -1446,37 +1494,86 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
     return t
 
 
-def _footer_lsn_stats(path: str) -> tuple[Optional[int], Optional[int]]:
-    """Per-file (min, max) of ``__lsn`` from the parquet FOOTER — a
-    few-KB metadata read, no data pages touched (Delta collects the same
-    stats in the write transaction; reading the footer the writer just
-    produced is the PySpark-reachable equivalent). Returns (None, None)
-    when the column is absent or the writer skipped statistics — such
-    files are simply never pruned."""
+def _ranges_disjoint(stats: dict, qranges: dict) -> bool:
+    """True iff the file's recorded per-column (min, max) bounds prove it
+    holds NO row matching every queried range (conjunctive filter ⇒ one
+    provably-empty column suffices). Columns without recorded stats are
+    conservatively assumed to match."""
+    for c, (qlo, qhi) in qranges.items():
+        st = stats.get(c)
+        if st is None:
+            continue
+        smn, smx = st[0], st[1]
+        if qlo is not None and smx is not None and smx < qlo:
+            return True
+        if qhi is not None and smn is not None and smn > qhi:
+            return True
+    return False
+
+
+def _stat_value(v):
+    """JSON-safe, totally-ordered encoding of a parquet stat (or a query
+    bound): timestamps → epoch micros, numerics/strings pass through.
+    Both sides of every pruning comparison go through this, so the
+    ordering is consistent regardless of source."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None  # not a range-pruning type
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, (int, float, str)) or v is None:
+        return v
+    return None  # unorderable/unknown type ⇒ no bound
+
+
+def _footer_col_stats(path: str, cols: Sequence[str]) -> dict[str, tuple]:
+    """Per-file (min, max) for the requested columns from the parquet
+    FOOTER — one few-KB metadata read, no data pages touched (Delta
+    collects the same stats in the write transaction; reading the footer
+    the writer just produced is the PySpark-reachable equivalent).
+    Columns that are absent or stat-less (e.g. INT96 timestamps — which
+    is why ``write_data_files`` pins TIMESTAMP_MICROS) are omitted —
+    such files are simply never pruned on that column."""
     import pyarrow.parquet as pq
 
     try:
         md = pq.read_metadata(path)
     except Exception:
-        return None, None
-    idx = None
+        return {}
+    idx = {}
     for i in range(md.num_columns):
-        if md.schema.column(i).name == META_LSN:
-            idx = i
-            break
-    if idx is None:
+        nm = md.schema.column(i).name
+        if nm in cols:
+            idx[nm] = i
+    out: dict[str, tuple] = {}
+    for nm, i in idx.items():
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False  # any stat-less row group ⇒ no file-level bound
+                break
+            smn, smx = _stat_value(st.min), _stat_value(st.max)
+            if smn is None or smx is None:
+                ok = False
+                break
+            lo = smn if lo is None else min(lo, smn)
+            hi = smx if hi is None else max(hi, smx)
+        if ok and lo is not None:
+            out[nm] = (lo, hi)
+    return out
+
+
+def _footer_lsn_stats(path: str) -> tuple[Optional[int], Optional[int]]:
+    """Back-compat shim: (min, max) of ``__lsn`` via ``_footer_col_stats``."""
+    st = _footer_col_stats(path, [META_LSN]).get(META_LSN)
+    if st is None:
         return None, None
-    lo: Optional[int] = None
-    hi: Optional[int] = None
-    for rg in range(md.num_row_groups):
-        st = md.row_group(rg).column(idx).statistics
-        if st is None or not st.has_min_max:
-            return None, None  # any stat-less row group ⇒ no file-level bound
-        lo = st.min if lo is None else min(lo, st.min)
-        hi = st.max if hi is None else max(hi, st.max)
-    if lo is None:
-        return None, None
-    return int(lo), int(hi)
+    return int(st[0]), int(st[1])
 
 
 def _typed(df: DataFrame) -> DataFrame:

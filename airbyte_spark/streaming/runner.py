@@ -129,6 +129,9 @@ def bootstrap_table(
         primary_key=list(PK),
         bucket_cols=["conv_id"],
         n_buckets=n_buckets,
+        # record per-file event-time bounds so time-windowed reads prune
+        # at file granularity (ingest order correlates with event time)
+        stats_cols=["ts"] if any(f.name == "ts" for f in struct.fields) else None,
     )
 
 

@@ -168,3 +168,124 @@ def test_stats_survive_rollback_and_checkpoint(spark, tmp_path):
     inc = table.read_incremental(10**9)
     assert inc.count() == 0
     assert inc.inputFiles() == []
+
+
+# ------------------------------------------------- generic range skipping
+
+
+def _mk_timed(spark, path, n_days=4, rows_per_day=200):
+    """Bronze table with stats_cols=["ts"]: append i holds day i only —
+    the time-correlated ingest shape where event-time skipping pays."""
+    import datetime as dt
+
+    schema_df = spark.range(1).select(
+        F.lit(0).cast("long").alias("id"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("x").alias("payload"),
+    )
+    table = LakeTable.create(
+        spark, path, TableSchema.from_struct(schema_df.schema),
+        primary_key=[], bucket_cols=["id"], n_buckets=2,
+        stats_cols=["ts"],
+    )
+    for day in range(n_days):
+        df = spark.range(day * rows_per_day, (day + 1) * rows_per_day).select(
+            F.col("id"),
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(days=F.lit(day), mins=F.col("id") % 1000)
+            ).alias("ts"),
+            F.concat(F.lit("p"), F.col("id")).alias("payload"),
+        )
+        table.append(df, lsn_col="id")
+    return table, dt.datetime(2025, 1, 1)
+
+
+def test_event_time_stats_recorded(spark, tmp_path):
+    table, _ = _mk_timed(spark, str(tmp_path / "t"))
+    snap = table.snapshot()
+    assert snap.stats_cols == ["ts"]
+    for meta in snap.files.values():
+        st = meta["stats"].get("ts")
+        assert st is not None and st[0] <= st[1]  # epoch-micros bounds
+
+
+def test_event_time_range_read_prunes_and_is_exact(spark, tmp_path):
+    import datetime as dt
+
+    table, day0 = _mk_timed(spark, str(tmp_path / "t"))
+    lo = day0 + dt.timedelta(days=1)
+    hi = day0 + dt.timedelta(days=2) - dt.timedelta(seconds=1)
+
+    got = table.read(ranges={"ts": (lo, hi)}, resolve=False)
+    full = table.read(resolve=False)
+    want = full.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+    # file-level pruning: only day-1's files enter the scan
+    snap = table.snapshot()
+    lo_us = int(lo.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    hi_us = int(hi.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    matching = {
+        p for p, m in snap.files.items()
+        if not (m["stats"]["ts"][1] < lo_us or m["stats"]["ts"][0] > hi_us)
+    }
+    scanned = {
+        os.path.relpath(os.path.realpath(f.replace("file:", "")), table.path)
+        for f in got.inputFiles()
+    }
+    assert scanned == {os.path.normpath(p) for p in matching}
+    assert len(scanned) < len(snap.files)
+
+    # open-ended ranges work and stay exact
+    tail = table.read(ranges={"ts": (lo, None)}, resolve=False)
+    want_tail = full.filter(F.col("ts") >= F.lit(lo))
+    assert tail.exceptAll(want_tail).count() == 0
+    assert want_tail.exceptAll(tail).count() == 0
+    assert len(tail.inputFiles()) < len(snap.files)
+
+
+def test_range_read_without_stats_cols_is_exact_not_pruned(spark, tmp_path):
+    """A table created without stats_cols records no per-column bounds:
+    ranges still filters exactly (residual), it just can't skip files."""
+    import datetime as dt
+
+    schema_df = spark.range(1).select(
+        F.lit(0).cast("long").alias("id"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(schema_df.schema),
+        primary_key=[], bucket_cols=["id"], n_buckets=2,
+    )
+    for day in range(3):
+        df = spark.range(day * 100, (day + 1) * 100).select(
+            F.col("id"),
+            (
+                F.lit("2025-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(days=F.lit(day))
+            ).alias("ts"),
+        )
+        table.append(df, lsn_col="id")
+    lo = dt.datetime(2025, 1, 2)
+    got = table.read(ranges={"ts": (lo, lo)}, resolve=False)
+    assert got.count() == 100
+    # conservative: every file scanned (no bounds recorded)
+    assert len(got.inputFiles()) == len(table.snapshot().files)
+
+
+def test_event_time_stats_survive_checkpoint_and_fresh_handle(spark, tmp_path):
+    import datetime as dt
+
+    table, day0 = _mk_timed(spark, str(tmp_path / "t"))
+    table._write_checkpoint()
+    fresh = LakeTable(spark, table.path)
+    snap = fresh.snapshot()
+    assert snap.stats_cols == ["ts"]
+    assert all(m["stats"].get("ts") for m in snap.files.values())
+    lo = day0 + dt.timedelta(days=3)
+    got = fresh.read(ranges={"ts": (lo, None)}, resolve=False)
+    assert got.count() == 200
+    assert len(got.inputFiles()) < len(snap.files)
