@@ -265,6 +265,62 @@ def q_cdc_lake_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read (Iceberg CDF / Delta table_changes analog),
+    oracle-checked end-to-end: the events feed is merged into a lake table
+    in three MOR micro-batches (event_id % 3 slices, latest-per-user
+    collapse per batch, ``value < DELETE_THRESHOLD`` rows as tombstones),
+    then ``changes_between(0)`` tails the full commit range. MOR commits'
+    delta files ARE the per-commit change sets, coalesced into ONE scan
+    with a broadcast per-file version manifest — O(schema eras), not
+    O(commits). Expected rows: per (user, batch-residue) the max-event_id
+    winner, `_change_version` = that batch's commit (residue + 1), typed
+    upsert/delete — exactly expressible in SQL over the raw feed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable, merge_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.when(
+            F.col("value") < DELETE_THRESHOLD,
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("deleted_at"),
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_cdf_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        spark, path,
+        TableSchema.from_struct(e.drop("deleted_at").schema),
+        primary_key=["user_id"], bucket_cols=["user_id"], n_buckets=8,
+    )
+    for i in range(3):
+        merge_batch(
+            table,
+            e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            order_cols=["event_id"],
+            cursor="event_id",
+            deleted_col="deleted_at",
+            app_id="oracle-cdf",
+            batch_id=i,
+            strategy="mor",
+        )
+    ch = table.changes_between(0)
+    return ch.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.col("__lsn").cast("long").alias("lsn"),
+        F.col("_change_version").cast("long").alias("change_version"),
+        F.col("_change_type").alias("change_type"),
+    )
+
+
 def q_cdc_schema_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt-style generated data-quality tests (the reference emits these
     per stream: dbt_schema_tests/schema_test.yml — unique_combination_of_
@@ -728,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
         "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
+        "cdc_changelog_feed": q_cdc_changelog_feed,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
@@ -948,6 +1005,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS lsn
             FROM events
             WHERE event_id > (2 * (SELECT MAX(event_id) FROM events)) // 3
+        """,
+        # per (user, event_id%3 batch) the max-event_id winner is the MOR
+        # delta row commit (residue+1) appended; value<threshold winners
+        # are tombstones typed 'delete'
+        "cdc_changelog_feed": f"""
+            SELECT user_id,
+                   event_id,
+                   event_type,
+                   event_id AS lsn,
+                   r + 1 AS change_version,
+                   CASE WHEN value < {DELETE_THRESHOLD}
+                        THEN 'delete' ELSE 'upsert' END AS change_type
+            FROM (
+                SELECT user_id, event_id, event_type, value,
+                       event_id % 3 AS r,
+                       row_number() OVER (PARTITION BY user_id, event_id % 3
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            WHERE rn = 1
         """,
         "cdc_schema_tests": """
             SELECT 'not_null_user_id' AS test_name,
