@@ -265,6 +265,50 @@ def q_cdc_lake_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed read over the stored lake table with per-file
+    range skipping on RECORDED column stats (generalizes the ``__lsn``
+    skipping of ``cdc_lake_incremental_scan`` to arbitrary stats_cols).
+    The table is built from lsn-ordered appends of a time-correlated feed
+    (ts/event_id correlation ≈ 1 — the WAL shape), so each data file's
+    footer (min_ts, max_ts) spans a narrow slice and a 10-day window read
+    proves most files disjoint BEFORE the scan is planned — at 10^10
+    events a dashboard's "last day" query opens only the matching files.
+    The residual BETWEEN filter keeps the result exact regardless."""
+    import atexit
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts"),
+        F.col("event_type"),
+    )
+    m = int(e.agg(F.max("event_id")).first()[0])
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_tw_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        spark, path, TableSchema.from_struct(e.schema),
+        primary_key=[], bucket_cols=["user_id"], n_buckets=8,
+        stats_cols=["ts"],
+    )
+    cuts = [-1, m // 4, m // 2, (3 * m) // 4, m]
+    for lo_c, hi_c in zip(cuts, cuts[1:]):
+        table.append(
+            e.filter((F.col("event_id") > lo_c) & (F.col("event_id") <= hi_c)),
+            lsn_col="event_id",
+        )
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 20)
+    win = table.read(ranges={"ts": (lo, hi)}, resolve=False)
+    return win.select("event_id", "user_id", "ts", "event_type")
+
+
 def q_cdc_changelog_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data-feed read (Iceberg CDF / Delta table_changes analog),
     oracle-checked end-to-end: the events feed is merged into a lake table
@@ -785,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
         "cdc_changelog_feed": q_cdc_changelog_feed,
+        "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
@@ -1005,6 +1050,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS lsn
             FROM events
             WHERE event_id > (2 * (SELECT MAX(event_id) FROM events)) // 3
+        """,
+        # the stored rows ARE the source rows; the window filter over the
+        # raw table is the exact oracle for the stats-pruned lake read
+        "cdc_time_window_scan": """
+            SELECT event_id, user_id, ts, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         """,
         # per (user, event_id%3 batch) the max-event_id winner is the MOR
         # delta row commit (residue+1) appended; value<threshold winners
