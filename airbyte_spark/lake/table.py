@@ -77,6 +77,12 @@ class Snapshot:
     #: in every add-entry for file-level range skipping (``__lsn`` is
     #: always recorded; list e.g. the event-time column here)
     stats_cols: list[str] = field(default_factory=list)
+    #: table sort order (Iceberg write.sort-order analog) applied when
+    #: buckets are REWRITTEN (compact/rebucket) — not on the streaming
+    #: hot path, where per-batch sorts would tax every trigger. Sorted
+    #: base files give parquet row-group pruning tight bounds on top of
+    #: the file-level stats skipping.
+    sort_cols: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> TableSchema:
@@ -123,7 +129,12 @@ class LakeTable:
         bucket_cols: Optional[Sequence[str]] = None,
         n_buckets: int = 32,
         stats_cols: Optional[Sequence[str]] = None,
+        sort_cols: Optional[Sequence[str]] = None,
     ) -> "LakeTable":
+        names = {f.name for f in schema.fields}
+        for c in (*(stats_cols or []), *(sort_cols or [])):
+            if c not in names:
+                raise ValueError(f"stats/sort column {c!r} not in schema")
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         t = LakeTable(spark, path)
@@ -136,6 +147,7 @@ class LakeTable:
                 "bucket_cols": list(bucket_cols or primary_key[:1]),
                 "primary_key": list(primary_key),
                 "stats_cols": list(stats_cols or []),
+                "sort_cols": list(sort_cols or []),
             },
         )
         return t
@@ -363,6 +375,7 @@ class LakeTable:
         totals: dict = {}
         n_buckets, bucket_cols, pk, cur_sid = 32, [], [], 0
         stats_cols: list[str] = []
+        sort_cols: list[str] = []
         base_v = max((c for c in ckpt_vs if c <= latest), default=None)
         if base_v is not None:
             with open(self._ckpt_path(base_v)) as f:
@@ -381,6 +394,7 @@ class LakeTable:
             bucket_cols = ck["bucket_cols"]
             pk = ck["primary_key"]
             stats_cols = ck.get("stats_cols", [])
+            sort_cols = ck.get("sort_cols", [])
 
         for v in commit_vs:
             if base_v is not None and v <= base_v:
@@ -397,6 +411,7 @@ class LakeTable:
                 bucket_cols = e["bucket_cols"]
                 pk = e["primary_key"]
                 stats_cols = e.get("stats_cols", [])
+                sort_cols = e.get("sort_cols", [])
             elif "n_buckets" in e:  # rebucket: layout evolution
                 n_buckets = e["n_buckets"]
             for rm in e.get("removes", []):
@@ -443,6 +458,7 @@ class LakeTable:
             lineage=lineage,
             lineage_totals=totals,
             stats_cols=stats_cols,
+            sort_cols=sort_cols,
         )
         if at_version is None:
             self._snap_cache = snap
@@ -588,6 +604,7 @@ class LakeTable:
             "lineage": lineage,
             "lineage_totals": totals,
             "stats_cols": snap.stats_cols,
+            "sort_cols": snap.sort_cols,
         }
         tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -642,6 +659,7 @@ class LakeTable:
         n_out_partitions: Optional[int] = None,
         kind: str = "base",
         rows_per_bucket: Optional[dict] = None,
+        sort_within: Optional[Sequence[str]] = None,
     ) -> tuple[list[dict], Optional[int]]:
         """Write rows (payload + meta cols, with ``_b`` bucket col already
         attached) under a fresh commit subdir; return (add-entries,
@@ -666,6 +684,12 @@ class LakeTable:
             writer = writer.observe(obs, F.count(F.lit(1)).alias("rows"))
         if n_out_partitions:
             writer = writer.repartition(n_out_partitions, "_b")
+        if sort_within:
+            # table sort order (compaction-time): leading "_b" keeps each
+            # output file's rows contiguous per bucket and clustered on
+            # the sort columns — tight per-row-group min/max bounds, so
+            # pushed-down range predicates prune inside surviving files
+            writer = writer.sortWithinPartitions("_b", *sort_within)
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # column statistics, which would silence event-time data skipping;
         # TIMESTAMP_MICROS is the modern stats-bearing encoding
@@ -1227,7 +1251,10 @@ class LakeTable:
         df = self.read(
             buckets=targets, include_meta=True, include_deleted=True, snap=snap
         ).withColumn("_b", self.bucket_expr(snap))
-        adds, _ = self.write_data_files(snap, df, n_out_partitions=len(targets))
+        adds, _ = self.write_data_files(
+            snap, df, n_out_partitions=len(targets),
+            sort_within=snap.sort_cols or None,
+        )
         removes = [p for b in targets for p in per_bucket[b]]
         return self.commit(snap, adds, removes, op="compact")
 
@@ -1256,6 +1283,7 @@ class LakeTable:
             Snapshot(**{**snap.__dict__, "n_buckets": new_n_buckets}),
             rows,
             n_out_partitions=new_n_buckets,
+            sort_within=snap.sort_cols or None,
         )
         entry: dict = {
             "op": "rebucket",

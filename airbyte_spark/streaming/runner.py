@@ -132,6 +132,10 @@ def bootstrap_table(
         # record per-file event-time bounds so time-windowed reads prune
         # at file granularity (ingest order correlates with event time)
         stats_cols=["ts"] if any(f.name == "ts" for f in struct.fields) else None,
+        # compaction-time sort order: cluster each bucket's rewritten files
+        # by conversation so downstream assembly reads transcripts
+        # contiguously and pk range predicates prune row groups
+        sort_cols=[c for c in PK if any(f.name == c for f in struct.fields)],
     )
 
 

@@ -649,3 +649,70 @@ def test_streaming_cadence_uses_policy(spark, tmp_path, tmp_path_factory):
         table.read(),
         oracle_final_state(ev, canonicalize=canonicalize_pandas),
     )
+
+
+def test_sorted_compaction(spark, tmp_path, tmp_path_factory):
+    """Table sort order (Iceberg write.sort-order analog) applied at
+    rewrite time: after compact(), every base file's rows are clustered on
+    the sort columns (verified from the raw parquet bytes), contents are
+    unchanged, and the hot write path never paid a per-batch sort."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    feed = tmp_path_factory.mktemp("sofeed")
+    ev = generate_feed(
+        str(feed),
+        FeedSpec(n_convs=24, turns_per_conv=4, n_updates=100, n_deletes=10,
+                 dup_rate=0.05, late_rate=0.05, n_segments=4, seed=47),
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
+        sort_cols=["conv_id", "turn_idx"],
+    )
+    for i, idx in enumerate(np.array_split(np.arange(len(ev)), 4)):
+        pdf = ev.iloc[idx][[f.name for f in CHANGE_STRUCT.fields]]
+        merge_batch(
+            table, spark.createDataFrame(pdf, schema=CHANGE_STRUCT),
+            ORDER_COLS, batch_id=i, strategy="mor",
+        )
+    before = table.read().toPandas()
+
+    table.compact()
+    snap = table.snapshot()
+    assert snap.sort_cols == ["conv_id", "turn_idx"]
+    for p in snap.files:
+        t = pq.read_table(
+            os.path.join(table.path, p), columns=["conv_id", "turn_idx"]
+        ).to_pandas()
+        assert (
+            t.sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+            .equals(t.reset_index(drop=True))
+        ), f"{p} not clustered on sort order"
+    keys = ("conv_id", "turn_idx", "text")
+    assert_same(table.read(), before, keys=keys)
+
+    # survives rebucket (sorted under the new layout) and a fresh handle
+    table.rebucket(8)
+    fresh = LakeTable(spark, table.path)
+    assert fresh.snapshot().sort_cols == ["conv_id", "turn_idx"]
+    for p in fresh.snapshot().files:
+        t = pq.read_table(
+            os.path.join(table.path, p), columns=["conv_id", "turn_idx"]
+        ).to_pandas()
+        assert (
+            t.sort_values(["conv_id", "turn_idx"], kind="stable")
+            .reset_index(drop=True)
+            .equals(t.reset_index(drop=True))
+        )
+    assert_same(fresh.read(), before, keys=keys)
+
+    # unknown sort column is rejected at create time
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"),
+            TableSchema.from_struct(TRANSCRIPT_STRUCT),
+            primary_key=list(PK), sort_cols=["nope"],
+        )
