@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--scd-table", default=None,
                    help="also maintain a Type-2 <stream>_scd history table "
                         "at this path (incremental per micro-batch)")
+    p.add_argument("--scd-strategy", choices=["cow", "mor"], default="cow",
+                   help="history-table write strategy: cow re-windows the "
+                        "touched buckets per batch; mor appends immutable "
+                        "version deltas (O(batch)/trigger, folded by "
+                        "--compact / --compact-every)")
     p.add_argument("--child-tables", default=None,
                    help="persist nested child streams (one fenced LakeTable "
                         "per array column of the feed, any depth) under "
@@ -113,6 +118,7 @@ def main(argv: list[str] | None = None) -> None:
         strategy=args.strategy,
         compact_every_batches=args.compact_every,
         scd_table_path=args.scd_table,
+        scd_strategy=args.scd_strategy,
         child_tables_path=args.child_tables,
         stream_name=args.stream_name,
     )
@@ -135,14 +141,34 @@ def main(argv: list[str] | None = None) -> None:
     if args.compact and not args.continuous:
         from .lake import LakeTable
 
-        table = LakeTable(spark, args.table)
-        if cfg.maintenance_policy is not None:
-            from .lake import maintain_until_clean
+        # fold EVERY table the sync maintains (main + SCD history + child
+        # streams) — the SCD table through the re-windowing fold, never a
+        # plain compact (derived columns must be re-materialized)
+        targets: list[tuple[LakeTable, bool]] = [
+            (LakeTable(spark, args.table), False)
+        ]
+        if args.scd_table:
+            targets.append((LakeTable(spark, args.scd_table), True))
+        if args.child_tables:
+            import os as _os
 
-            maintain_until_clean(table, cfg.maintenance_policy)
-        else:
-            table.compact()
-            table.vacuum()
+            for name in sorted(_os.listdir(args.child_tables)):
+                p = _os.path.join(args.child_tables, name)
+                if LakeTable.exists(p):
+                    targets.append((LakeTable(spark, p), False))
+        for t, is_scd in targets:
+            if cfg.maintenance_policy is not None:
+                from .lake import maintain_until_clean
+
+                maintain_until_clean(t, cfg.maintenance_policy, scd=is_scd)
+            elif is_scd:
+                from .lake import scd_compact
+
+                scd_compact(t)
+                t.vacuum()
+            else:
+                t.compact()
+                t.vacuum()
     if args.schema_tests and not args.continuous:
         import json as _json
         import sys as _sys

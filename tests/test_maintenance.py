@@ -716,3 +716,34 @@ def test_sorted_compaction(spark, tmp_path, tmp_path_factory):
             TableSchema.from_struct(TRANSCRIPT_STRUCT),
             primary_key=list(PK), sort_cols=["nope"],
         )
+
+
+def test_job_cli_compact_folds_all_tables(spark, tmp_path, tmp_path_factory):
+    """--compact after a bounded MOR sync with --scd-table: BOTH tables end
+    delta-free, the SCD table via the re-windowing fold (derived columns
+    materialized, read_scd fast path exact)."""
+    from airbyte_spark import job
+    from airbyte_spark.lake import read_scd
+
+    feed = tmp_path_factory.mktemp("jcfeed")
+    generate_feed(
+        str(feed),
+        FeedSpec(n_convs=10, turns_per_conv=3, n_updates=40, n_deletes=5,
+                 dup_rate=0.05, late_rate=0.05, n_segments=3, seed=53),
+    )
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--scd-table", str(tmp_path / "scd"),
+        "--n-buckets", "4", "--strategy", "mor", "--scd-strategy", "mor",
+        "--max-files-per-trigger", "1",
+        "--compact",
+    ])
+    for p in ("tbl", "scd"):
+        snap = LakeTable(spark, str(tmp_path / p)).snapshot()
+        kinds = {m["kind"] for m in snap.files.values()}
+        assert kinds == {"base"}, f"{p}: deltas left unfolded ({kinds})"
+    scd = LakeTable(spark, str(tmp_path / "scd"))
+    hist = read_scd(scd).toPandas()
+    assert hist["_airbyte_active_row"].notna().all()  # materialized
