@@ -442,6 +442,70 @@ def q_cdc_child_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Singer tap adapter (S10) end-to-end: serialize the events table as a
+    captured Singer tap run (RECORD envelopes via distributed ``to_json``,
+    plus driver-written SCHEMA / STATE / ACTIVATE_VERSION / log-noise
+    lines), read it back through the adapter
+    (``sources/singer.py`` ≈ singer_helpers.py:239-262 classification) and
+    return the TYPED live rows. Records carry ``version = 1 + event_id%2``
+    and version 2 is activated, so the Singer full-table sweep must drop
+    exactly the even-id rows — the oracle is that filter over the raw
+    table. Agreement proves envelope classification, schema-directed
+    typing (long/timestamp/double round-trip to the microsecond) and the
+    ACTIVATE_VERSION semantics the reference delegates to its destinations.
+    Every per-row step is a column expression (json_tuple / from_json);
+    the driver writes only the 4 control lines."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from airbyte_spark.sources import singer as sg
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+    tap_dir = tempfile.mkdtemp(prefix="airbyte_spark_q_singer_")
+    atexit.register(shutil.rmtree, tap_dir, ignore_errors=True)
+    lines = sg.serialize_records(
+        e, "events",
+        version_col=F.lit(1) + F.pmod(F.col("event_id"), F.lit(2)),
+    )
+    lines.write.mode("overwrite").text(os.path.join(tap_dir, "records"))
+    with open(os.path.join(tap_dir, "control.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _json.dumps(
+                        {
+                            "type": "SCHEMA",
+                            "stream": "events",
+                            "schema": {"type": "object"},
+                            "key_properties": ["event_id"],
+                        }
+                    ),
+                    "INFO tap run captured (non-protocol line)",
+                    _json.dumps(
+                        {"type": "ACTIVATE_VERSION", "stream": "events", "version": 2}
+                    ),
+                    _json.dumps(
+                        {"type": "STATE", "value": {"bookmarks": {"events": {}}}}
+                    ),
+                ]
+            )
+            + "\n"
+        )
+    env = sg.read_singer_output(spark, os.path.join(tap_dir, "*"))
+    live = sg.active_records(env, "events", e.schema)
+    return live.select("event_id", "ts", "user_id", "event_type", "value")
+
+
 def q_cdc_intra_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: at-least-once feed re-delivers events; dropDuplicates on the LSN
     collapses them (here: the feed unioned with itself)."""
@@ -831,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_feed": q_cdc_changelog_feed,
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
+        "cdc_singer_roundtrip": q_cdc_singer_roundtrip,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
@@ -1128,6 +1193,14 @@ def oracle_sql() -> dict[str, str]:
                              generate_series(1, len(items)),
                              i -> struct_pack(pos := i - 1, elem := items[i]))) u
                   FROM arr)
+        """,
+        # Singer round trip: records carry version 1+event_id%2 and
+        # ACTIVATE_VERSION 2 is emitted, so the full-table sweep keeps
+        # exactly the odd-id rows; typing round-trips through JSON
+        "cdc_singer_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            WHERE event_id % 2 = 1
         """,
         "cdc_intra_batch_dedup": """
             SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
