@@ -506,6 +506,69 @@ def q_cdc_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live.select("event_id", "ts", "user_id", "event_type", "value")
 
 
+def q_cdc_normalization_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization SQL codegen (O4) end-to-end: the events table is
+    packed into the reference's raw shape (`_airbyte_ab_id`,
+    `_airbyte_data` JSON, `_airbyte_emitted_at`), and the GENERATED
+    spark-dialect model chain (ab1 extract → stg hash+type → scd window →
+    final active rows; stream_processor.py:237-316) runs via ``spark.sql``.
+    The oracle is the SAME generator rendered in the duckdb dialect over an
+    identically-packed raw CTE — agreement proves the codegen emits
+    semantically identical SQL across engines, the reference's
+    dbt-adapter-portability contract. Timestamps are pre-formatted into
+    the JSON (both engines' to_json render timestamps differently);
+    deduplication keeps the max-event_id record per user."""
+    from airbyte_spark.normalization import generate_normalization_sql
+
+    e = _t(spark, sf_dir, "events")
+    raw = e.select(
+        F.md5(F.col("event_id").cast("string")).alias("_airbyte_ab_id"),
+        F.to_json(
+            F.struct(
+                F.col("event_id").cast("long").alias("event_id"),
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            )
+        ).alias("_airbyte_data"),
+        F.col("ts").alias("_airbyte_emitted_at"),
+    )
+    view = "_airbyte_raw_events_codegen"
+    raw.createOrReplaceTempView(view)
+    stream = _codegen_stream()
+    out = spark.sql(generate_normalization_sql(stream, view, "spark"))
+    return out.select(
+        "_airbyte_unique_key", "event_id", "user_id", "event_type",
+        "value", "ts", "_airbyte_events_hashid",
+    )
+
+
+def _codegen_stream():
+    """Stream config shared by q_cdc_normalization_codegen and its oracle."""
+    from pyspark.sql import types as T
+
+    from airbyte_spark.catalog import ConfiguredStream, TableSchema
+
+    struct = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return ConfiguredStream(
+        name="events",
+        schema=TableSchema.from_struct(struct),
+        primary_key=["user_id"],
+        cursor_field="event_id",
+        sync_mode="incremental",
+        destination_sync_mode="append_dedup",
+    )
+
+
 def q_cdc_intra_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: at-least-once feed re-delivers events; dropDuplicates on the LSN
     collapses them (here: the feed unioned with itself)."""
@@ -896,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_singer_roundtrip": q_cdc_singer_roundtrip,
+        "cdc_normalization_codegen": q_cdc_normalization_codegen,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
@@ -1029,6 +1093,32 @@ def _lang_cnt(words: list[str]) -> str:
         for w in words
     )
     return f"CAST({parts} AS BIGINT)"
+
+
+def _codegen_oracle_sql() -> str:
+    """The duckdb-dialect render of the SAME generator the Spark query runs
+    (normalization/codegen.py), over an identically-packed raw CTE — the
+    oracle IS the codegen's portability contract."""
+    from airbyte_spark.normalization import generate_normalization_sql
+
+    gen = generate_normalization_sql(
+        _codegen_stream(), "_airbyte_raw_events_codegen", "duckdb"
+    )
+    raw_cte = """_airbyte_raw_events_codegen AS (
+    SELECT md5(CAST(event_id AS VARCHAR)) AS _airbyte_ab_id,
+           to_json(struct_pack(
+               event_id := CAST(event_id AS BIGINT),
+               user_id := CAST(user_id AS BIGINT),
+               event_type := event_type,
+               value := value,
+               ts := strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))) AS _airbyte_data,
+           ts AS _airbyte_emitted_at
+    FROM events)"""
+    full = gen.replace("WITH ", f"WITH {raw_cte},\n", 1)
+    return (
+        'SELECT _airbyte_unique_key, event_id, user_id, event_type, value, '
+        'ts, _airbyte_events_hashid FROM (' + full + ") q"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1202,6 +1292,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id % 2 = 1
         """,
+        # the duckdb-dialect render of the same generated model chain the
+        # Spark query executes (codegen portability contract)
+        "cdc_normalization_codegen": _codegen_oracle_sql(),
         "cdc_intra_batch_dedup": """
             SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
             FROM (SELECT * FROM events UNION ALL SELECT * FROM events)

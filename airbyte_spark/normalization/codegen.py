@@ -1,0 +1,221 @@
+"""Normalization SQL codegen (O4) — the reference's dbt-model generator.
+
+The reference's base-normalization walks the configured catalog and EMITS
+SQL models per stream (``normalization/transform_catalog/
+stream_processor.py:237-316``): ``_ab1`` JSON extraction (:386), ``_ab2``
+column typing (:471), ``_ab3``/``_stg`` surrogate-key hashing (:667), an
+``_scd`` Type-2 history for append_dedup streams (:734) and a final model
+(active rows only, :1068), each rendered per warehouse dialect through
+dbt adapter macros.
+
+This module is that generator re-expressed for a Spark engine: given a
+:class:`~airbyte_spark.catalog.ConfiguredStream` it emits ONE executable
+SQL statement (a WITH-chain of the same stages) in either the ``spark`` or
+``duckdb`` dialect — the dialect table plays the role of the dbt adapter.
+Running the spark-dialect output through ``spark.sql`` must produce the
+same rows as the duckdb-dialect output over the same raw table; the driver
+oracle (`cdc_normalization_codegen`) checks exactly that.
+
+Deliberate deviations from the reference, with reasons:
+
+* the surrogate hash covers the EXTRACTED JSON TEXT (ab1 strings), not the
+  typed ab2 columns: engines print typed values differently (Spark trims
+  trailing timestamp zeros, warehouses vary float text), so hashing typed
+  values is only reproducible inside one engine — hashing the raw token
+  text is identical everywhere the raw document is identical. The stage
+  order is therefore extract -> hash -> cast instead of extract -> cast ->
+  hash.
+* dedup within equal cursor values tiebreaks on ``_airbyte_ab_id``
+  (deterministic) where the reference relies on warehouse row order.
+
+Raw-table contract (the reference's ``_airbyte_raw_<stream>``):
+``_airbyte_ab_id`` (string), ``_airbyte_data`` (JSON text),
+``_airbyte_emitted_at`` (timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from ..catalog import ConfiguredStream
+from ..functions.names import NameRegistry
+
+RAW_ID = "_airbyte_ab_id"
+RAW_DATA = "_airbyte_data"
+RAW_EMITTED = "_airbyte_emitted_at"
+
+
+import re
+
+_PLAIN_PROP = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _json_path(prop: str, bracket: str) -> str:
+    """JSON path literal for a property name; quoted form for names the
+    dot syntax can't carry (spaces, dashes — stream_processor handles these
+    through adapter macros). ``bracket`` is the dialect's quoted-member
+    syntax: spark JsonPath brackets, duckdb double-quoted members."""
+    if _PLAIN_PROP.match(prop):
+        return f"$.{prop}"
+    if "'" in prop or '"' in prop:
+        raise ValueError(f"unsupported quote character in property name {prop!r}")
+    return bracket.format(prop=prop)
+
+
+_SPARK_BRACKET = "$['{prop}']"
+_DUCKDB_BRACKET = '$."{prop}"'
+
+def _sql_str(s: str) -> str:
+    """Embed in a single-quoted SQL literal (spark's bracket path syntax
+    itself contains single quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_DIALECTS = {
+    "spark": {
+        "extract": lambda data, prop: (
+            f"get_json_object({data}, {_sql_str(_json_path(prop, _SPARK_BRACKET))})"
+        ),
+        "quote": lambda name: f"`{name}`",
+        "string_type": "STRING",
+    },
+    "duckdb": {
+        "extract": lambda data, prop: (
+            f"json_extract_string({data}, {_sql_str(_json_path(prop, _DUCKDB_BRACKET))})"
+        ),
+        "quote": lambda name: f'"{name}"',
+        "string_type": "VARCHAR",
+    },
+}
+
+
+def _sql_type(dtype: T.DataType, dialect: dict) -> str:
+    if isinstance(dtype, T.LongType):
+        return "BIGINT"
+    if isinstance(dtype, T.IntegerType):
+        return "INT"
+    if isinstance(dtype, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dtype, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP"
+    if isinstance(dtype, T.DateType):
+        return "DATE"
+    if isinstance(dtype, T.DecimalType):
+        return f"DECIMAL({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.StringType):
+        return dialect["string_type"]
+    raise ValueError(
+        f"normalization codegen maps scalar JSON columns only, got {dtype}; "
+        "nested objects/arrays route through unnest_children (P8)"
+    )
+
+
+def _hash_expr(cols: list[str]) -> str:
+    """dbt_utils.surrogate_key semantics (stream_processor.py:667-696),
+    matching operators/dedup.surrogate_hash_id: md5 over '-'-joined
+    null-coalesced values."""
+    parts = ", ".join(f"coalesce({c}, '')" for c in cols)
+    return f"md5(concat_ws('-', {parts}))"
+
+
+def normalization_stages(
+    stream: ConfiguredStream, raw_table: str, dialect: str = "spark"
+) -> dict[str, str]:
+    """The per-stage SELECTs, keyed by the reference's model suffixes
+    (ab1/stg/scd/final). Compose with :func:`generate_normalization_sql`;
+    exposed separately so tests can audit one stage at a time."""
+    d = _DIALECTS[dialect]
+    q = d["quote"]
+    reg = NameRegistry()
+    cols = [(reg.register(f.name), f) for f in stream.schema.fields]
+    names = [n for n, _ in cols]
+    name_of = dict(zip([f.name for _, f in cols], names))
+
+    stages: dict[str, str] = {}
+
+    # --- ab1: JSON extraction (generate_json_parsing_model, :386) --------
+    extracts = ",\n        ".join(
+        f"{d['extract'](RAW_DATA, f.name)} AS {q(n)}" for n, f in cols
+    )
+    stages["ab1"] = (
+        f"SELECT\n        {extracts},\n"
+        f"        {RAW_ID},\n        {RAW_EMITTED}\n    FROM {raw_table}"
+    )
+
+    # --- stg: surrogate hash over the extracted text, then typing --------
+    # (generate_id_hashing_model :667 + generate_column_typing_model :471,
+    # fused — see module docstring for the hash-before-cast rationale)
+    hashid = f"_airbyte_{stream.name}_hashid"
+    casts = ",\n        ".join(
+        f"CAST({q(n)} AS {_sql_type(f.dtype, d)}) AS {q(n)}" for n, f in cols
+    )
+    stages["stg"] = (
+        f"SELECT\n        {_hash_expr([q(n) for n in names])} AS {q(hashid)},\n"
+        f"        {casts},\n        {RAW_ID},\n        {RAW_EMITTED}\n    FROM ab1"
+    )
+
+    if stream.destination_sync_mode != "append_dedup":
+        # non-dedup path: the hash model IS the final model (:275-279)
+        stages["final"] = (
+            f"SELECT {', '.join(q(n) for n in names)}, "
+            f"{q(hashid)}, {RAW_ID}, {RAW_EMITTED} FROM stg"
+        )
+        return stages
+
+    if not stream.primary_key:
+        raise ValueError("append_dedup requires a primary_key")
+    pk = [q(name_of[c]) for c in stream.primary_key]
+    cursor = q(name_of[stream.cursor_field]) if stream.cursor_field else RAW_EMITTED
+    unique_key = "_airbyte_unique_key"
+    uk_expr = _hash_expr([f"CAST({c} AS {d['string_type']})" for c in pk])
+
+    # --- scd: Type-2 window (generate_scd_type_2_model, :734-990) --------
+    # row_number dedups exact cursor re-deliveries (input_data CTE), lead()
+    # derives end_at/active_row, and the scd unique key extends the pk hash
+    # with the version start (:968-980).
+    payload = ", ".join(q(n) for n in names)
+    stages["scd"] = f"""SELECT
+        {uk_expr} AS {unique_key},
+        {_hash_expr([f"{uk_expr}", f"CAST({cursor} AS {d['string_type']})"])}
+            AS {unique_key}_scd,
+        {payload},
+        {q(hashid)},
+        {RAW_ID},
+        {RAW_EMITTED},
+        {cursor} AS _airbyte_start_at,
+        lead({cursor}) OVER (
+            PARTITION BY {', '.join(pk)}
+            ORDER BY {cursor} ASC, {RAW_ID} ASC) AS _airbyte_end_at,
+        CASE WHEN lead({cursor}) OVER (
+            PARTITION BY {', '.join(pk)}
+            ORDER BY {cursor} ASC, {RAW_ID} ASC) IS NULL
+             THEN 1 ELSE 0 END AS _airbyte_active_row
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY {', '.join(pk)}, {cursor}
+            ORDER BY {RAW_ID} ASC) AS _airbyte_rn
+        FROM stg
+    ) deduped
+    WHERE _airbyte_rn = 1"""
+
+    # --- final: active rows only (:1068 + active_row where-clause :307) --
+    stages["final"] = (
+        f"SELECT {unique_key}, {payload}, {q(hashid)}, {RAW_ID}, "
+        f"{RAW_EMITTED} FROM scd WHERE _airbyte_active_row = 1"
+    )
+    return stages
+
+
+def generate_normalization_sql(
+    stream: ConfiguredStream, raw_table: str, dialect: str = "spark"
+) -> str:
+    """One executable statement: the stage chain as CTEs ending in the
+    final model. ``spark.sql(generate_normalization_sql(s, raw, "spark"))``
+    and DuckDB running the ``"duckdb"`` render of the same stream must
+    agree row-for-row."""
+    stages = normalization_stages(stream, raw_table, dialect)
+    final = stages.pop("final")
+    ctes = ",\n".join(f"{name} AS (\n    {sql}\n)" for name, sql in stages.items())
+    return f"WITH {ctes}\n{final}"
