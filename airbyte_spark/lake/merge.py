@@ -69,6 +69,7 @@ def merge_batch(
     strategy: str = "cow",
     rows_invalid: Optional[int] = None,
     stage: bool = False,
+    commit_empty: bool = True,
 ) -> MergeStats:
     """strategy:
     * "cow" (copy-on-write) — read + full-outer-resolve + rewrite the
@@ -131,6 +132,17 @@ def merge_batch(
                 return MergeStats(
                     skipped=False, rows_in=0, staged_id=sid, buckets=[]
                 )
+            if not commit_empty:
+                # Idle-tail policy (commit_empty=False): a zero-row trigger
+                # leaves NO commit — the fence needn't advance because a
+                # re-delivered empty batch no-ops again, and any later
+                # non-empty batch_id advances past it. At 10^10 scale a
+                # continuous tail polling through quiet hours would
+                # otherwise grow the log by one empty commit per trigger
+                # (Iceberg likewise skips empty commits). Default stays
+                # True: per-batch lineage accounting is itself a feature
+                # (O2) and bounded-sync tests rely on it.
+                return MergeStats(skipped=False, version=None, rows_in=0, buckets=[])
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
                 lineage=empty_lineage,

@@ -89,6 +89,11 @@ class ReplayConfig:
     #: The checkpoint never advances past the failed batch, so fixing the
     #: gate (or the data) and restarting resumes exactly-once.
     audit_tests: Optional[dict] = None
+    #: False = zero-row triggers leave no commit (idle continuous tails
+    #: would otherwise grow the log one empty commit per trigger; safe
+    #: because an empty batch is a no-op on re-delivery). True keeps the
+    #: reference's complete per-batch lineage accounting.
+    commit_empty_batches: bool = True
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -171,6 +176,7 @@ def _process_batch(
                 df, canonicalize=cfg.canonicalize
             ),
             strategy=cfg.strategy,
+            commit_empty=cfg.commit_empty_batches,
         )
         if cfg.audit_tests is not None:
             from ..lake.quality import audited_merge_batch

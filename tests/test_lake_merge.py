@@ -218,3 +218,36 @@ def test_schema_evolution_no_rewrite(spark, tmp_path):
     assert len(got) == 2
     assert got.loc[got.conv_id == "c2", "tool_version"].iloc[0] == "v2"
     assert pd.isna(got.loc[got.conv_id == "c1", "tool_version"].iloc[0])
+
+
+def test_empty_batch_commit_policy(spark, tmp_path):
+    """commit_empty=False: zero-row batches leave NO commit (idle-tail log
+    churn guard), re-delivery stays a no-op, and a later non-empty batch
+    advances the fence normally; default (True) keeps the empty-lineage
+    commit for complete per-batch accounting."""
+    table = _mk_table(spark, tmp_path / "t")
+    empty = spark.createDataFrame([], schema=CHANGE_STRUCT)
+    v0 = table.snapshot().version
+
+    stats = merge_batch(table, empty, ORDER_COLS, batch_id=0, commit_empty=False)
+    assert not stats.skipped and stats.rows_in == 0 and stats.version is None
+    assert table.snapshot().version == v0  # no log growth
+
+    # re-delivery of the uncommitted empty batch: still a no-op
+    stats = merge_batch(table, empty, ORDER_COLS, batch_id=0, commit_empty=False)
+    assert stats.version is None and table.snapshot().version == v0
+
+    # a later real batch commits and fences past the skipped id
+    batch = _batch(spark, [_row("c1", 0, 5, "hello")])
+    stats = merge_batch(table, batch, ORDER_COLS, batch_id=1, commit_empty=False)
+    assert stats.version is not None and stats.rows_in == 1
+    assert table.read().count() == 1
+    # replaying the old empty id after the fence advanced: fenced no-op
+    stats = merge_batch(table, empty, ORDER_COLS, batch_id=0, commit_empty=False)
+    assert stats.skipped
+
+    # default policy still records the empty commit + lineage row
+    stats = merge_batch(table, empty, ORDER_COLS, batch_id=2)
+    assert stats.version is not None
+    lin = table.lineage_df().toPandas()
+    assert 2 in set(lin["batch_id"])
