@@ -214,6 +214,16 @@ def get_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Split sizing: the bench feed is 64 ~5 MB segment files; with the
+        # 128 MB default + 4 MB open-cost Spark bins the WHOLE sf0.1 feed
+        # into ~9 scan partitions, so the map-heavy stages (canonicalize,
+        # per-event hashing) leave most of local[32] idle and the N-vs-4N
+        # ratio measures partition starvation, not the plan. A production
+        # 100 TB table carries 128 MB+ files (thousands of splits per
+        # stage); pinning small splits here keeps the bench's task/core
+        # ratio representative of that shape.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
