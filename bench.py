@@ -28,6 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Measurement epoch: bump when a config/plan change alters what the bench
+# MEASURES (not merely how fast the code is), so persisted quiet-window
+# bests never pair measurements of different plans. Epoch 2 = scan split
+# sizing pinned to 4 MB (the 128 MB default binned the whole feed into ~9
+# partitions — a different, partition-starved job at high core counts).
+BENCH_EPOCH = 2
 try:
     SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", ""))
 except ValueError:
@@ -127,7 +134,7 @@ def update_bench_state(sections: dict, meta: dict):
     import datetime
 
     st = _load_state()
-    key = f"{meta['cpus']}@{meta['sf']}"
+    key = f"{meta['cpus']}@{meta['sf']}#e{BENCH_EPOCH}"
     entry = st.setdefault(key, {"sections": {}})
     entry.update({k: meta[k] for k in ("cpus", "sf", "replay_events")})
     for name, rec in sections.items():
@@ -388,6 +395,7 @@ def main():
                     "replay_events_per_sec": round(n_events / replay_sec, 1),
                     "cpus": CPUS,
                     "cpu_calibration_sec": max(calib, calib_post),
+                    "bench_epoch": BENCH_EPOCH,
                 }
             )
         )
@@ -411,6 +419,7 @@ def main():
                     "stream_events_per_sec": round(n_events / stream_sec, 1),
                     "cpus": CPUS,
                     "cpu_calibration_sec": max(calib, calib_post),
+                    "bench_epoch": BENCH_EPOCH,
                 }
             )
         )
@@ -473,6 +482,7 @@ def main():
                 "stream_events_per_sec": round(n_events / stream_sec, 1),
                 "cpus": CPUS,
                 "cpu_calibration_sec": calib0,
+                "bench_epoch": BENCH_EPOCH,
                 # official storm-free composite (see BENCH/bench_state.json);
                 # judge stormy runs against this, not the raw line above
                 "quiet_best": quiet_best,

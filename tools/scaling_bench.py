@@ -20,6 +20,12 @@ import sys
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from bench import BENCH_EPOCH  # noqa: E402  (epoch-scoped state keys)
+
+def _epoch_suffix(epoch: int) -> str:
+    # epoch 1 keys predate the suffix scheme and stay bare
+    return "" if epoch == 1 else f"#e{epoch}"
 
 
 FEED_SCALE = os.environ.get("SPARK_GRAFT_FEED_SCALE", "8")
@@ -87,7 +93,10 @@ def _adopt(st: dict, r: dict) -> bool:
     calib = r.get("cpu_calibration_sec")
     if calib is None or calib >= 5:
         return False
-    key = f"{KEY_PREFIX}{r['cpus']}@{r['replay_events']}"
+    key = (
+        f"{KEY_PREFIX}{r['cpus']}@{r['replay_events']}"
+        f"{_epoch_suffix(r.get('bench_epoch', 1))}"
+    )
     cur = st.get(key)
     if cur is None or r["replay_events_per_sec"] > cur["replay_events_per_sec"]:
         st[key] = r
@@ -112,21 +121,23 @@ def main():
                 print(json.dumps({**r, "adopted": adopted}))
 
     def _parse(k):
-        body = k[len(KEY_PREFIX):]
+        body = k[len(KEY_PREFIX):].split("#")[0]
         cpus_s, ev_s = body.split("@")
         return int(cpus_s), int(ev_s)
 
+    suffix = _epoch_suffix(BENCH_EPOCH)
     mine = [
         k for k in st
         if (k.startswith(KEY_PREFIX) if KEY_PREFIX else ":" not in k)
+        and (k.endswith(suffix) if suffix else "#" not in k)
     ]
     events = None
     for k in sorted(mine, key=lambda k: -_parse(k)[1]):
         if _parse(k)[0] == LEVEL_N:
             events = _parse(k)[1]
             break
-    r8 = st.get(f"{KEY_PREFIX}{LEVEL_N}@{events}")
-    r32 = st.get(f"{KEY_PREFIX}{LEVEL_4N}@{events}")
+    r8 = st.get(f"{KEY_PREFIX}{LEVEL_N}@{events}{suffix}")
+    r32 = st.get(f"{KEY_PREFIX}{LEVEL_4N}@{events}{suffix}")
     if not (r8 and r32):
         print(
             f"NOT writing BASELINE.md: no quiet-window measurement yet for "
