@@ -314,6 +314,35 @@ def run_replay_compute(spark, feed_dir: str, runs: int = 2) -> float:
     return best
 
 
+def run_replay_jvm(spark, feed_dir: str, runs: int = 2) -> float:
+    """JVM-ONLY compute-bound replay variant (scaling evidence): per-event
+    fingerprint = 8 chained sha2-256 rounds inside whole-stage codegen, no
+    Python workers at all. The pandas-UDF "compute" variant oversubscribes
+    local[N]: N JVM task threads PLUS N Python worker processes share the
+    same N cores (plus Arrow IPC copies), so its 8->32 point measures that
+    2x oversubscription, not the plan. This variant runs exactly N
+    compute-bound threads, so N-vs-4N isolates the PLAN's thread scaling
+    below both the memory-bus ceiling and the worker-pool artifact."""
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.plans.replay import replay_df
+    from airbyte_spark.schemas import CHANGE_STRUCT
+
+    out = "/tmp/airbyte_spark_bench/replay_jvm_out"
+    best = float("inf")
+    for _ in range(runs):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.time()
+        raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{feed_dir}/*.parquet")
+        fp = F.concat_ws("|", *[F.col(c).cast("string") for c in raw.columns])
+        for _i in range(8):
+            fp = F.sha2(fp, 256)
+        heavy = raw.withColumn("row_fingerprint", fp)
+        replay_df(heavy, canonicalize=False).write.mode("overwrite").parquet(out)
+        best = min(best, time.time() - t0)
+    return best
+
+
 def run_stream_replay(spark, feed_dir: str) -> float:
     """Exactly-once Structured-Streaming replay (watermarked dedup ->
     fenced merge-on-read ingest) of the same feed — the north_rule metric's
@@ -377,7 +406,10 @@ def main():
         # variant (canonicalize+hash every event) for scaling evidence
         # below the memory-bus ceiling.
         variant = os.environ.get("SPARK_GRAFT_REPLAY_VARIANT", "base")
-        runner = run_replay_compute if variant == "compute" else run_replay
+        runner = {
+            "compute": run_replay_compute,
+            "jvm": run_replay_jvm,
+        }.get(variant, run_replay)
         calib = wait_for_quiet_host()
         runner(spark, feed_dir, runs=1)  # warm
         replay_sec = runner(spark, feed_dir, runs=2)
@@ -387,7 +419,7 @@ def main():
                 {
                     "metric": "cdc_replay"
                     if variant == "base"
-                    else "cdc_replay_compute",
+                    else f"cdc_replay_{variant}",
                     "value": round(replay_sec, 3),
                     "unit": "sec",
                     "sf": SF,

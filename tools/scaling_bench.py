@@ -238,6 +238,27 @@ plan scale on a real cluster.
     print(f"wrote {md}")
 
 
+_VARIANT_DESCRIPTIONS = {
+    "compute": """Same replay job with canonicalize + md5-fingerprint applied to EVERY event
+BEFORE the collapse (bench.run_replay_compute): per-row work dominates, so
+both parallelism points sit below the single-VM memory-bus ceiling that
+caps the base replay at ~2.7M events/s — this N-vs-4N ratio measures the
+PLAN's scaling at high core counts, complementing the base variant's
+2-vs-8 evidence. CAVEAT discovered after measuring: the pandas-UDF stage
+OVERSUBSCRIBES local[N] — N JVM task threads plus N Python worker
+processes (plus Arrow IPC copies) share the same N cores — so the 8->32
+ratio of THIS variant measures the worker-pool contention artifact, not
+the plan. The `jvm` variant below removes it.""",
+    "jvm": """Same replay job with a JVM-ONLY heavy map stage: 8 chained sha2-256
+rounds over every event inside whole-stage codegen
+(bench.run_replay_jvm) — zero Python workers, so local[N] runs exactly N
+compute-bound threads. Per-row work dominates (far below the memory-bus
+ceiling) and there is no Python worker-pool oversubscription, so this
+N-vs-4N ratio isolates the PLAN's thread scaling at high core counts —
+the cleanest 8->32 evidence this single-VM sandbox can produce.""",
+}
+
+
 def _write_variant_section(md: str, report: dict, ladder: str):
     """Replace/append the compute-bound-variant section, preserving every
     other '## ' section of BASELINE.md."""
@@ -247,12 +268,7 @@ def _write_variant_section(md: str, report: dict, ladder: str):
 Generated {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')} by
 `SPARK_GRAFT_REPLAY_VARIANT={VARIANT} python tools/scaling_bench.py`.
 
-Same replay job with canonicalize + md5-fingerprint applied to EVERY event
-BEFORE the collapse (bench.run_replay_compute): per-row work dominates, so
-both parallelism points sit below the single-VM memory-bus ceiling that
-caps the base replay at ~2.7M events/s — this N-vs-4N ratio measures the
-PLAN's scaling at high core counts, complementing the base variant's
-2-vs-8 evidence.
+{_VARIANT_DESCRIPTIONS.get(VARIANT, "")}
 
 {ladder}
 
