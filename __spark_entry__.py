@@ -442,6 +442,79 @@ def q_cdc_child_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table incremental pipeline (``lake.pipeline.tail_into`` —
+    Delta readChangeFeed->MERGE / medallion bronze->silver parity),
+    oracle-checked end-to-end ACROSS A TRUNCATE BOUNDARY: the source table
+    ingests two MOR micro-batches (event_id%3 slices 0,1; value <
+    threshold rows as CDC deletes), is then fully OVERWRITTEN (full
+    refresh — drops tombstones wholesale, the non-row-attributable
+    commit), then ingests slice 2. ONE ``tail_into`` call with an
+    uppercasing silver transform must bring a fresh downstream table to
+    the same state: coalesced change-merge for the pre-boundary stretch,
+    fenced snapshot re-sync AT the boundary, change-merge for the rest —
+    all expressible in SQL as (latest-per-user over slices 0,1, alive
+    only) full-outer-merged with (latest-per-user over slice 2) under
+    strictly-newer-LSN wins + tombstone-drop semantics."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable, merge_batch
+    from airbyte_spark.lake.pipeline import tail_into
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.when(
+            F.col("value") < F.lit(DELETE_THRESHOLD),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("deleted_at"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_q_tail_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    schema = TableSchema.from_struct(e.drop("deleted_at").schema)
+    src = LakeTable.create(
+        spark, f"{base}/src", schema,
+        primary_key=["user_id"], bucket_cols=["user_id"], n_buckets=8,
+    )
+    dst = LakeTable.create(
+        spark, f"{base}/dst", schema,
+        primary_key=["user_id"], bucket_cols=["user_id"], n_buckets=8,
+    )
+    for i in (0, 1):
+        merge_batch(
+            src, e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            order_cols=["event_id"], cursor="event_id",
+            deleted_col="deleted_at", app_id="oracle-tail-ing",
+            batch_id=i, strategy="mor",
+        )
+    # full refresh = truncate boundary (preserve source LSNs)
+    src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    merge_batch(
+        src, e.filter(F.pmod(F.col("event_id"), F.lit(3)) == 2),
+        order_cols=["event_id"], cursor="event_id",
+        deleted_col="deleted_at", app_id="oracle-tail-ing",
+        batch_id=2, strategy="mor",
+    )
+    tail_into(
+        src, dst, app_id="oracle-tail-hop",
+        transform=lambda df: df.withColumn(
+            "event_type", F.upper(F.col("event_type"))
+        ),
+    )
+    out = dst.read(include_meta=True)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("__lsn").cast("long").alias("lsn"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_cdc_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer tap adapter (S10) end-to-end: serialize the events table as a
     captured Singer tap run (RECORD envelopes via distributed ``to_json``,
@@ -958,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog_feed": q_cdc_changelog_feed,
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
+        "cdc_table_tail": q_cdc_table_tail,
         "cdc_singer_roundtrip": q_cdc_singer_roundtrip,
         "cdc_normalization_codegen": q_cdc_normalization_codegen,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
@@ -1283,6 +1357,47 @@ def oracle_sql() -> dict[str, str]:
                              generate_series(1, len(items)),
                              i -> struct_pack(pos := i - 1, elem := items[i]))) u
                   FROM arr)
+        """,
+        # table-to-table tail across a truncate boundary: dst state =
+        # (latest-per-user over slices 0,1, alive only — the overwritten
+        # snapshot) full-outer-merged with (latest-per-user over slice 2)
+        # under strictly-newer-LSN wins; a slice-2 delete that wins drops
+        # the key; the silver hop uppercases event_type on both paths
+        "cdc_table_tail": f"""
+            WITH a AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id % 3 < 2),
+            aw AS (SELECT user_id, event_id, event_type, value FROM a
+                   WHERE rn = 1 AND value >= {DELETE_THRESHOLD}),
+            c AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events WHERE event_id % 3 = 2),
+            cw AS (SELECT user_id, event_id, event_type, value FROM c
+                   WHERE rn = 1),
+            m AS (
+                SELECT COALESCE(aw.user_id, cw.user_id) AS user_id,
+                       CASE WHEN cw.user_id IS NOT NULL
+                                 AND (aw.user_id IS NULL
+                                      OR cw.event_id > aw.event_id)
+                            THEN 1 ELSE 0 END AS c_wins,
+                       aw.event_id AS a_id, aw.event_type AS a_et,
+                       aw.value AS a_v,
+                       cw.event_id AS c_id, cw.event_type AS c_et,
+                       cw.value AS c_v
+                FROM aw FULL OUTER JOIN cw ON aw.user_id = cw.user_id)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(CASE WHEN c_wins = 1 THEN c_id ELSE a_id END
+                        AS BIGINT) AS lsn,
+                   upper(CASE WHEN c_wins = 1 THEN c_et ELSE a_et END)
+                       AS event_type,
+                   CAST(CASE WHEN c_wins = 1 THEN c_v ELSE a_v END
+                        AS DOUBLE) AS value
+            FROM m
+            WHERE NOT (c_wins = 1 AND c_v < {DELETE_THRESHOLD})
         """,
         # Singer round trip: records carry version 1+event_id%2 and
         # ACTIVATE_VERSION 2 is emitted, so the full-table sweep keeps

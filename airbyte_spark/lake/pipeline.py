@@ -1,0 +1,159 @@
+"""Table-to-table incremental pipeline — tail one LakeTable's change feed
+into another (Delta `readChangeFeed` -> MERGE / medallion bronze->silver
+parity; the reference's equivalent is chaining one connection's
+destination into another source, which Airbyte users do via the warehouse).
+
+``tail_into(src, dst)`` advances dst to src's committed state by applying
+only the commits dst has not seen, exactly-once, resumable across crashes:
+
+1. The last APPLIED SOURCE VERSION is dst's fence for this pipeline's
+   ``app_id`` — stored in dst's own commit log, so pipeline progress
+   survives restarts with no side-channel state (same contract as the
+   streaming sync's batch fences).
+2. ``src.commit_ops`` (tiny driver-side JSON reads, no data scan) segments
+   the unseen range at non-row-attributable commits (overwrite/rollback =
+   the CDF truncate boundary). Row-attributable stretches are read with
+   ONE ``changes_between`` call each — MOR/append commits coalesce into
+   one scan per schema era, so the plan is O(schema eras + rewrite
+   commits), not O(commits), however far behind dst is.
+3. Each stretch lands in dst via ``merge_batch`` keyed by dst's pk and
+   ordered by the change rows' ``__lsn`` (ties broken by commit version),
+   fenced at the stretch's last source version — one atomic dst commit
+   per stretch.
+4. A truncate boundary re-syncs: dst is OVERWRITTEN with src's snapshot
+   AT the boundary version (source LSNs preserved so later low-LSN
+   stragglers still lose), fenced at that version, then tailing resumes
+   past it — the Delta-CDF consumer contract for non-row-attributable
+   commits, automated.
+
+Scale shape: everything is bucket-pruned/coalesced scans + one fenced
+merge per stretch; nothing is O(history). A hop's ``transform`` runs on
+change rows (|changes|, not |table|) — put silver-layer projections /
+enrichment there. Chain hops by calling ``tail_into`` per edge
+(bronze->silver->gold), each edge fenced independently in its own dst.
+
+SCD-history sources are out of scope here: their change rows carry NULL
+derived columns by contract (see ``LakeTable.changes_between`` docstring)
+and a consumer must re-derive them via ``scd.resolve_scd_changelog``;
+``tail_into`` targets SCD1 latest-state tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .merge import merge_batch
+from .table import LakeTable, META_DELETED, META_LSN
+
+#: commits that change no logical row state — physical reorganization and
+#: schema/bookkeeping commits contribute nothing to the feed
+_NOOP_OPS = {"create", "evolve", "compact", "scd_compact", "rebucket"}
+#: commits whose change rows are exactly derivable (see changes_between)
+_ATTRIBUTABLE_OPS = {"append", "merge", "scd_merge"}
+
+#: sentinel non-null value for the synthesized deleted-at column — only
+#: its null-ness matters to merge_batch
+_DELETED_COL = "_cdf_deleted_at"
+
+
+@dataclass
+class TailStats:
+    """One ``tail_into`` call's outcome."""
+
+    from_version: int
+    to_version: int
+    #: dst merge/overwrite commits made (0 = dst was already caught up)
+    applied: int = 0
+    #: source versions where a truncate boundary forced a snapshot re-sync
+    resyncs: list = field(default_factory=list)
+
+
+def _segments(ops: list[tuple[int, str]], lo: int) -> list[tuple]:
+    """Split ``(version, op)`` commits after ``lo`` into maximal
+    row-attributable stretches and truncate points:
+    ``("changes", from_v, to_v)`` / ``("resync", v)``."""
+    segs: list[tuple] = []
+    cursor = lo
+    last_attributable = lo
+    for v, op in ops:
+        if op in _NOOP_OPS:
+            continue
+        if op in _ATTRIBUTABLE_OPS:
+            last_attributable = v
+            continue
+        # truncate (overwrite / rollback / unknown op — conservative)
+        if last_attributable > cursor:
+            segs.append(("changes", cursor, last_attributable))
+        segs.append(("resync", v))
+        cursor = v
+        last_attributable = v
+    if last_attributable > cursor:
+        segs.append(("changes", cursor, last_attributable))
+    return segs
+
+
+def tail_into(
+    src: LakeTable,
+    dst: LakeTable,
+    app_id: str = "table_tail",
+    transform: Optional[Callable[[DataFrame], DataFrame]] = None,
+    max_segments: Optional[int] = None,
+) -> TailStats:
+    """Apply src commits dst hasn't seen; see module docstring.
+
+    ``transform`` (the silver hop) receives the rows about to land —
+    change rows (with ``__lsn`` and ``{_DELETED_COL}``) on the merge path,
+    full-state rows (with ``__lsn``) on the re-sync path — and must
+    preserve dst's pk, ``__lsn`` and (when present) the deleted column;
+    payload columns it emits are conformed onto dst's schema (missing ->
+    null, extras dropped). ``max_segments`` bounds one call's work (the
+    budgeted-maintenance pattern); call again to continue — each segment
+    is fenced, so stopping between segments is exactly the crash-resume
+    path."""
+    src_head = src.snapshot().version
+    last = dst.snapshot().fences.get(app_id)
+    lo = last if last is not None else 0
+    stats = TailStats(from_version=lo, to_version=src_head)
+    if src_head <= lo:
+        return stats
+    segs = _segments(src.commit_ops(lo, src_head), lo)
+    if max_segments is not None:
+        segs = segs[:max_segments]
+    for seg in segs:
+        if seg[0] == "resync":
+            v = seg[1]
+            # faithful mirror of src AT the boundary: resolved state,
+            # tombstones dropped (src's own overwrite dropped them too),
+            # source LSNs preserved so later low-LSN stragglers still lose
+            state = src.read(include_meta=True, snap=src.snapshot(at_version=v))
+            if transform is not None:
+                state = transform(state)
+            if dst.overwrite(state, lsn_col=META_LSN, fence=(app_id, v)) is not None:
+                stats.applied += 1
+            stats.resyncs.append(v)
+            continue
+        _, a, b = seg
+        ch = src.changes_between(a, b)
+        batch = ch.withColumn(
+            _DELETED_COL,
+            F.when(F.col(META_DELETED), F.lit(1).cast("long")),
+        )
+        if transform is not None:
+            batch = transform(batch)
+        r = merge_batch(
+            dst,
+            batch,
+            order_cols=[META_LSN, "_change_version"],
+            cursor=META_LSN,
+            deleted_col=_DELETED_COL,
+            app_id=app_id,
+            batch_id=b,
+            strategy="mor",
+        )
+        if not r.skipped:
+            stats.applied += 1
+    return stats

@@ -760,16 +760,70 @@ class LakeTable:
         adds, _ = self.write_data_files(snap, prepared)
         return self.commit(snap, adds, [], op="append")
 
-    def overwrite(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
-        """Full-refresh overwrite (D9): replace all files in one commit."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        lsn_col: Optional[str] = None,
+        fence: Optional[tuple[str, int]] = None,
+    ) -> Optional[int]:
+        """Full-refresh overwrite (D9): replace all files in one commit.
+
+        ``fence`` gives the overwrite the same exactly-once contract as
+        ``merge_batch``: a replayed (app_id, batch_id) is a no-op (returns
+        None) BEFORE any compute — the re-sync step of a changelog
+        consumer (lake.pipeline.tail_into) relies on this to make crash
+        replays of a snapshot re-sync idempotent."""
         snap = self.snapshot()
-        prepared = self._conform(df, snap).withColumn("_b", self.bucket_expr(snap))
-        prepared = prepared.withColumn(
-            META_LSN,
-            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
-        ).withColumn(META_DELETED, F.lit(False))
+        if fence is not None:
+            last = snap.fences.get(fence[0])
+            if last is not None and fence[1] <= last:
+                return None
+        # resolve the LSN from the INCOMING frame in the same select as the
+        # conform: the cursor may be a column the table schema doesn't
+        # carry (e.g. the __lsn meta column of another table's read — the
+        # pipeline re-sync path), which a conform-then-resolve order would
+        # have dropped already
+        lsn = (
+            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
+        )
+        cols = []
+        for fs in snap.schema.fields:
+            if fs.name in df.columns:
+                cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
+            else:
+                cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
+        prepared = (
+            df.select(*cols, lsn.alias(META_LSN))
+            .withColumn(META_DELETED, F.lit(False))
+            .withColumn("_b", self.bucket_expr(snap))
+        )
         adds, _ = self.write_data_files(snap, prepared)
-        return self.commit(snap, adds, list(snap.files), op="overwrite")
+        return self.commit(
+            snap, adds, list(snap.files), fence=fence, op="overwrite"
+        )
+
+    def commit_ops(
+        self, from_version: int, to_version: Optional[int] = None
+    ) -> list[tuple[int, str]]:
+        """``(version, op)`` of every commit in ``(from_version,
+        to_version]`` — the driver-side commit-kind probe an incremental
+        consumer uses to segment a tail range at non-row-attributable
+        commits (overwrite/rollback) WITHOUT scanning any data. O(range)
+        tiny JSON reads; the range must be inside the log-retention
+        window (same contract as ``changes_between``)."""
+        if to_version is None:
+            to_version = self.snapshot().version
+        out: list[tuple[int, str]] = []
+        for v in range(from_version + 1, to_version + 1):
+            try:
+                with open(self._log_path(v)) as f:
+                    e = json.load(f)
+            except FileNotFoundError as err:
+                raise ValueError(
+                    f"commit {v} expired from the log window"
+                ) from err
+            out.append((v, e.get("op", "merge")))
+        return out
 
     def _conform(self, df: DataFrame, snap: Snapshot) -> DataFrame:
         """Project/cast a frame onto the current schema (null-pad missing)."""

