@@ -46,6 +46,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import diff_schemas
 from .merge import merge_batch
 from .table import LakeTable, META_DELETED, META_LSN
 
@@ -102,6 +103,8 @@ def tail_into(
     app_id: str = "table_tail",
     transform: Optional[Callable[[DataFrame], DataFrame]] = None,
     max_segments: Optional[int] = None,
+    propagate_schema: Optional[bool] = None,
+    rename_hints: Optional[dict] = None,
 ) -> TailStats:
     """Apply src commits dst hasn't seen; see module docstring.
 
@@ -113,13 +116,37 @@ def tail_into(
     null, extras dropped). ``max_segments`` bounds one call's work (the
     budgeted-maintenance pattern); call again to continue — each segment
     is fenced, so stopping between segments is exactly the crash-resume
-    path."""
+    path.
+
+    SCHEMA EVOLUTION PROPAGATES DOWNSTREAM: when src's current schema
+    differs from dst's, the catalog diff (add / widen / rename-with-hints
+    / remove — the same ``diff_schemas`` the ingest path applies) is
+    applied to dst as a metadata-only ``evolve`` commit BEFORE any rows
+    land, so change rows carrying new/widened columns are never silently
+    conformed away. Defaults to on for a mirror hop (``transform is
+    None``) and OFF when a transform is given (a silver hop owns its own
+    output schema); pass ``propagate_schema`` explicitly to override.
+    The evolve is idempotent across crashes (re-diffing an evolved dst
+    yields no transforms). A breaking diff (pk/cursor removal or lossy
+    type change) raises ``BreakingChangeError`` — same guard as ingest."""
     src_head = src.snapshot().version
     last = dst.snapshot().fences.get(app_id)
     lo = last if last is not None else 0
     stats = TailStats(from_version=lo, to_version=src_head)
     if src_head <= lo:
         return stats
+    if propagate_schema is None:
+        propagate_schema = transform is None
+    if propagate_schema:
+        dst_snap = dst.snapshot()
+        transforms = diff_schemas(
+            dst_snap.schema,
+            src.snapshot().schema.to_struct(),
+            primary_key=list(dst_snap.primary_key),
+            rename_hints=rename_hints,
+        )
+        if transforms:
+            dst.evolve(transforms)
     segs = _segments(src.commit_ops(lo, src_head), lo)
     if max_segments is not None:
         segs = segs[:max_segments]

@@ -14,6 +14,7 @@ from airbyte_spark.lake.pipeline import tail_into
 from airbyte_spark.schemas import CHANGE_STRUCT, ORDER_COLS, PK, TRANSCRIPT_STRUCT
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 SPEC = FeedSpec(n_convs=14, turns_per_conv=3, n_updates=70, n_deletes=10,
                 dup_rate=0.05, late_rate=0.05, n_segments=2, seed=77)
@@ -144,6 +145,44 @@ def test_tail_into_bounded_work_resumes(spark, tmp_path, tmp_path_factory):
         applied.append((st.applied, tuple(st.resyncs)))
     assert len(applied) >= 4  # stretch, resync, stretch, resync, stretch
     assert _rows(dst) == _rows(src)
+
+
+def test_tail_into_propagates_schema_evolution(spark, tmp_path, tmp_path_factory):
+    """src evolves (add tool_version, widen turn_idx) mid-stream; the next
+    tail evolves dst FIRST, so post-evolve change rows land with the new
+    column instead of being conformed away."""
+    from airbyte_spark.catalog import diff_schemas
+
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed6"), 2)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    tail_into(src, dst)
+
+    target = T.StructType(
+        [
+            f if f.name != "turn_idx" else T.StructField("turn_idx", T.LongType(), True)
+            for f in TRANSCRIPT_STRUCT.fields
+        ]
+        + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    src.evolve(diff_schemas(src.snapshot().schema, target, primary_key=list(PK)))
+    b2 = batches[1].withColumn(
+        "tool_version", F.concat(F.lit("v"), F.col("turn_idx").cast("string"))
+    )
+    merge_batch(src, b2, ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+
+    st = tail_into(src, dst)
+    assert st.applied == 1
+    assert dst.snapshot().schema.to_struct()["tool_version"].dataType == T.StringType()
+    assert dst.snapshot().schema.to_struct()["turn_idx"].dataType == T.LongType()
+    cols = ("conv_id", "turn_idx", "text", "tool_version")
+    assert _rows(dst, cols) == _rows(src, cols)
+
+    # a transform hop does NOT auto-evolve (it owns its output schema)
+    dst2 = _mk_table(spark, tmp_path / "dst2")
+    tail_into(src, dst2, transform=lambda df: df)
+    assert "tool_version" not in [f.name for f in dst2.snapshot().schema.to_struct().fields]
 
 
 def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
