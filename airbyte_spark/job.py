@@ -78,6 +78,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("--tail-to", default=None,
+                   help="after a bounded sync, advance a DOWNSTREAM lake "
+                        "table to this table's committed state via the "
+                        "change-feed pipeline (fenced, exactly-once, "
+                        "schema evolution propagated; auto-bootstraps the "
+                        "destination with this table's layout) — the "
+                        "medallion bronze->silver hop as a CLI step")
+    p.add_argument("--tail-app-id", default="table_tail",
+                   help="fence id for the --tail-to hop (one per edge)")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -169,6 +178,26 @@ def main(argv: list[str] | None = None) -> None:
             else:
                 t.compact()
                 t.vacuum()
+    if args.tail_to and not args.continuous:
+        from .lake import LakeTable, tail_into
+
+        src_table = LakeTable(spark, args.table)
+        if not LakeTable.exists(args.tail_to):
+            s = src_table.snapshot()
+            LakeTable.create(
+                spark, args.tail_to, s.schema,
+                primary_key=list(s.primary_key),
+                bucket_cols=list(s.bucket_cols),
+                n_buckets=s.n_buckets,
+            )
+        st = tail_into(
+            src_table, LakeTable(spark, args.tail_to), app_id=args.tail_app_id
+        )
+        print(
+            f"tail: {args.table} -> {args.tail_to} "
+            f"versions ({st.from_version}, {st.to_version}] "
+            f"applied={st.applied} resyncs={st.resyncs}"
+        )
     if args.schema_tests and not args.continuous:
         import json as _json
         import sys as _sys

@@ -185,6 +185,33 @@ def test_tail_into_propagates_schema_evolution(spark, tmp_path, tmp_path_factory
     assert "tool_version" not in [f.name for f in dst2.snapshot().schema.to_struct().fields]
 
 
+def test_job_cli_tail_to(spark, tmp_path, tmp_path_factory):
+    """--tail-to: bounded sync then a CLI medallion hop — downstream table
+    auto-bootstrapped with the source's layout and caught up, fenced so a
+    second identical run applies nothing."""
+    feed = tmp_path_factory.mktemp("jtfeed")
+    generate_feed(str(feed), SPEC)
+    from airbyte_spark import job
+
+    args = [
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--strategy", "mor",
+        "--tail-to", str(tmp_path / "silver"),
+    ]
+    job.main(args)
+    src = LakeTable(spark, str(tmp_path / "tbl"))
+    silver = LakeTable(spark, str(tmp_path / "silver"))
+    assert silver.snapshot().n_buckets == src.snapshot().n_buckets
+    assert _rows(silver) == _rows(src)
+    # rerun: the shared checkpoint yields no new micro-batches, src is
+    # unchanged, and the tail applies nothing — no new silver commit
+    v = silver.snapshot().version
+    job.main(args)
+    assert silver.snapshot().version == v
+
+
 def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
     """bronze -> silver -> gold: each hop fenced independently in its dst."""
     batches = _batches(spark, tmp_path_factory.mktemp("plfeed5"), 2)
