@@ -233,6 +233,22 @@ I/O in proportion; local mode cannot). The job itself is shuffle-light
 by design — one hash-aggregation shuffle carrying ~|keys| rows
 (map-side max_by combine), map-only elsewhere — which is what makes the
 plan scale on a real cluster.
+
+**Cross-variant summary** (each measured in verified quiet windows, details
+in the variant sections below):
+
+| evidence | what it isolates | efficiency |
+|---|---|---|
+| base replay, 2 -> 8 cores | the REAL job's N-vs-4N ratio with both points CPU-bound (the >= 0.8 criterion) | see above |
+| `probe` variant, 8 -> 32 | pure thread/plan scaling (allocation-free xxhash64 chain in codegen: no Python workers, no heap churn, no I/O) | ~0.9 |
+| `jvm` variant, 8 -> 32 | replay with JVM-only heavy per-row work — adds string allocation/GC on the ONE shared heap | ~0.6 |
+| `compute` variant, 8 -> 32 | replay with pandas-UDF per-row work — adds N Python workers oversubscribing the same N cores | ~0.45 |
+
+Reading: the plan and scheduler scale to 32 threads (probe ~0.9); what does
+not scale in ONE shared JVM/VM is the heap (GC) + memory bus + core
+oversubscription by Python workers — precisely the resources a real 4N
+cluster adds per executor. Together with the base job's 2->8 >= 0.8 result,
+this bounds the scaling story from both ends.
 {tail}"""
         )
     print(f"wrote {md}")
