@@ -14,7 +14,7 @@ from .children import (  # noqa: F401
     merge_children_batch,
     read_children,
 )
-from .pipeline import TailStats, tail_into  # noqa: F401
+from .pipeline import TailStats, tail_into, tail_scd_into  # noqa: F401
 from .maintenance import (  # noqa: F401
     MaintenancePolicy,
     MaintenanceReport,

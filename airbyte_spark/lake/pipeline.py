@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import diff_schemas
 from .merge import merge_batch
+from .scd import SCD_OUT_COLS, _resolved_history, scd_merge_batch
 from .table import LakeTable, META_DELETED, META_LSN
 
 #: commits that change no logical row state — physical reorganization and
@@ -180,6 +181,73 @@ def tail_into(
             app_id=app_id,
             batch_id=b,
             strategy="mor",
+        )
+        if not r.skipped:
+            stats.applied += 1
+    return stats
+
+
+def tail_scd_into(
+    src: LakeTable,
+    dst: LakeTable,
+    app_id: str = "scd_tail",
+    bounded: bool = False,
+    max_segments: Optional[int] = None,
+) -> TailStats:
+    """Mirror a ``<stream>_scd`` Type-2 HISTORY table downstream through
+    its change feed — ``tail_into``'s sibling for SCD tables (e.g.
+    shipping the history cross-region, or a silver history replica).
+
+    Version rows are immutable by the SCD-table contract, so every
+    row-attributable stretch is ONE coalesced ``changes_between`` read
+    whose rows are appended into dst via ``scd_merge_batch(strategy=
+    "mor")`` — O(changes) per stretch, fenced at the stretch's last
+    source version, no history read at all. The change rows' NULL derived
+    columns are irrelevant: dst re-derives them at read/compaction
+    exactly like any MOR SCD table (the consumer-side contract
+    ``changes_between`` documents, here automated). A truncate boundary
+    (overwrite/rollback on src) re-syncs dst with the RESOLVED history at
+    the boundary snapshot — derived columns materialized, source cursors
+    preserved — as one fenced overwrite, then tailing resumes.
+
+    dst must be bootstrapped with the same (pk..., cursor) primary key
+    (``bootstrap_scd_table``). After a tail, ``read_scd(dst)`` equals
+    ``read_scd(src)`` byte-for-byte; fold dst with ``scd_compact`` on the
+    same cadence as any MOR history table."""
+    src_head = src.snapshot().version
+    dst_snap = dst.snapshot()
+    last = dst_snap.fences.get(app_id)
+    lo = last if last is not None else 0
+    stats = TailStats(from_version=lo, to_version=src_head)
+    if src_head <= lo:
+        return stats
+    pk = list(dst_snap.primary_key[:-1])
+    cursor = dst_snap.primary_key[-1]
+    segs = _segments(src.commit_ops(lo, src_head), lo)
+    if max_segments is not None:
+        segs = segs[:max_segments]
+    for seg in segs:
+        if seg[0] == "resync":
+            v = seg[1]
+            bsnap = src.snapshot(at_version=v)
+            raw = src.read(
+                snap=bsnap, resolve=False, include_deleted=True,
+                include_meta=False,
+            )
+            state = _resolved_history(bsnap, raw, bounded)
+            if dst.overwrite(state, lsn_col=cursor, fence=(app_id, v)) is not None:
+                stats.applied += 1
+            stats.resyncs.append(v)
+            continue
+        _, a, b = seg
+        ch = src.changes_between(a, b)
+        batch = ch.drop(
+            "_change_version", "_change_type", META_LSN, META_DELETED,
+            *SCD_OUT_COLS,
+        )
+        r = scd_merge_batch(
+            dst, batch, pk, cursor=cursor, app_id=app_id, batch_id=b,
+            strategy="mor", bounded=bounded,
         )
         if not r.skipped:
             stats.applied += 1

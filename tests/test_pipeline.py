@@ -212,6 +212,46 @@ def test_job_cli_tail_to(spark, tmp_path, tmp_path_factory):
     assert silver.snapshot().version == v
 
 
+def test_tail_scd_into_mirror_and_rollback_resync(spark, tmp_path, tmp_path_factory):
+    """SCD-history mirror: version rows tail downstream as O(changes) MOR
+    appends (across mixed MOR and COW source commits), read_scd(dst) byte-
+    equals read_scd(src); a source rollback re-syncs dst from the resolved
+    boundary snapshot and tailing resumes."""
+    from airbyte_spark.lake.pipeline import tail_scd_into
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd, scd_merge_batch
+    from airbyte_spark.schemas import CHANGE_STRUCT, CURSOR
+
+    def assert_scd_equal(a, b):
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed7"), 3)
+    src = bootstrap_scd_table(
+        spark, str(tmp_path / "src"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    dst = bootstrap_scd_table(
+        spark, str(tmp_path / "dst"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    scd_merge_batch(src, batches[0], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=0, strategy="mor")
+    scd_merge_batch(src, batches[1], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=1, strategy="cow")
+    st = tail_scd_into(src, dst)
+    assert st.applied >= 1 and not st.resyncs
+    assert_scd_equal(read_scd(dst), read_scd(src))
+    assert tail_scd_into(src, dst).applied == 0  # idempotent
+
+    v_keep = src.snapshot().version - 1
+    src.rollback(v_keep)
+    scd_merge_batch(src, batches[2], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=5, strategy="mor")
+    st = tail_scd_into(src, dst)
+    assert len(st.resyncs) == 1
+    assert_scd_equal(read_scd(dst), read_scd(src))
+
+
 def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
     """bronze -> silver -> gold: each hop fenced independently in its dst."""
     batches = _batches(spark, tmp_path_factory.mktemp("plfeed5"), 2)
