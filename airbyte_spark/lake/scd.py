@@ -296,8 +296,14 @@ def _resolved_history(
     )
 
 
-def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
+def read_scd(
+    table: LakeTable,
+    bounded: bool = False,
+    at_version: Optional[int] = None,
+) -> DataFrame:
     """Resolved scan of an SCD history table — bucket-pruned hybrid.
+    ``at_version`` time-travels the resolution to a historical COMMIT
+    (``read_scd_asof`` answers the business-cursor question instead).
 
     With no delta files (pure COW history, or right after ``scd_compact``)
     this is a plain columnar scan — the derived columns are materialized
@@ -310,7 +316,7 @@ def read_scd(table: LakeTable, bounded: bool = False) -> DataFrame:
     invariant ``scd_compact`` relies on. At 10^10 events this turns the
     resolved read from O(table) shuffle+window into O(delta buckets):
     reads stay pruned, writes stay O(batch)."""
-    snap = table.snapshot()
+    snap = table.snapshot(at_version=at_version)
     all_buckets: set[int] = set()
     delta_buckets: set[int] = set()
     for meta in snap.files.values():

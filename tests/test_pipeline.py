@@ -243,6 +243,10 @@ def test_tail_scd_into_mirror_and_rollback_resync(spark, tmp_path, tmp_path_fact
     assert_scd_equal(read_scd(dst), read_scd(src))
     assert tail_scd_into(src, dst).applied == 0  # idempotent
 
+    # time-traveled resolution: read_scd at a historical commit
+    v0 = src.snapshot().version
+    hist0 = read_scd(src).collect()
+
     v_keep = src.snapshot().version - 1
     src.rollback(v_keep)
     scd_merge_batch(src, batches[2], PK, cursor=CURSOR, app_id="ing",
@@ -250,6 +254,49 @@ def test_tail_scd_into_mirror_and_rollback_resync(spark, tmp_path, tmp_path_fact
     st = tail_scd_into(src, dst)
     assert len(st.resyncs) == 1
     assert_scd_equal(read_scd(dst), read_scd(src))
+    key = lambda r: tuple(map(repr, r))  # noqa: E731 (None-safe sort)
+    assert sorted(map(tuple, read_scd(src, at_version=v0).collect()), key=key) == \
+        sorted(map(tuple, hist0), key=key)
+
+
+from hypothesis import given, settings, strategies as st
+
+_OPS = ["create", "evolve", "compact", "scd_compact", "rebucket",
+        "append", "merge", "scd_merge", "overwrite", "rollback"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(ops=st.lists(st.sampled_from(_OPS), max_size=30), lo=st.integers(0, 3))
+def test_segments_partition_property(ops, lo):
+    """_segments invariants for ANY commit-op sequence: (a) stretches and
+    resync points are strictly increasing and disjoint; (b) every
+    row-attributable commit falls inside exactly one stretch; (c) every
+    truncate commit appears as exactly one resync point; (d) no stretch
+    spans a truncate; (e) noop commits create no segment."""
+    from airbyte_spark.lake.pipeline import (
+        _ATTRIBUTABLE_OPS, _NOOP_OPS, _segments,
+    )
+
+    versioned = [(lo + 1 + i, op) for i, op in enumerate(ops)]
+    segs = _segments(versioned, lo)
+    truncates = [v for v, op in versioned
+                 if op not in _ATTRIBUTABLE_OPS and op not in _NOOP_OPS]
+    attributable = [v for v, op in versioned if op in _ATTRIBUTABLE_OPS]
+
+    assert [s[1] for s in segs if s[0] == "resync"] == truncates
+    covered = set()
+    last_hi = lo
+    for s in segs:
+        if s[0] == "resync":
+            assert s[1] > last_hi
+            last_hi = s[1]
+            continue
+        _, a, b = s
+        assert a >= last_hi and b > a
+        assert not any(a < t <= b for t in truncates)  # no stretch spans one
+        covered.update(v for v in attributable if a < v <= b)
+        last_hi = b
+    assert covered == set(attributable)
 
 
 def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
