@@ -515,6 +515,56 @@ def q_cdc_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state by BUSINESS cursor over a streaming-built MOR
+    SCD2 history table (``read_scd_asof`` — the "what did the table say
+    the world looked like at cursor C" read; Iceberg/Delta can only
+    answer the commit-time question). The events feed lands in three
+    interleaved MOR micro-batches (deletes below the value threshold kept
+    as delete versions), then the table is asked for the state at the
+    2/3-max cursor: each user's latest version with ``event_id <= C`` —
+    excluded if that version is a delete — which is exactly one
+    window + filter in SQL over the raw feed. The Spark side pays a
+    bucket-pruned hybrid resolution + interval filter, never a join."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd_asof, scd_merge_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+        F.when(
+            F.col("value") < F.lit(DELETE_THRESHOLD),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("_del"),
+    )
+    m = int(e.agg(F.max("event_id")).first()[0])
+    at = (2 * m) // 3
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_asof_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = bootstrap_scd_table(
+        spark, path, e.schema, ["user_id"], cursor="event_id", n_buckets=8
+    )
+    for i in range(3):
+        scd_merge_batch(
+            table, e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            ["user_id"], cursor="event_id", app_id="oracle-asof",
+            batch_id=i, strategy="mor",
+        )
+    state = read_scd_asof(table, at, deleted_col="_del")
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_cdc_singer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Singer tap adapter (S10) end-to-end: serialize the events table as a
     captured Singer tap run (RECORD envelopes via distributed ``to_json``,
@@ -1032,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_table_tail": q_cdc_table_tail,
+        "cdc_scd2_asof_state": q_cdc_scd2_asof_state,
         "cdc_singer_roundtrip": q_cdc_singer_roundtrip,
         "cdc_normalization_codegen": q_cdc_normalization_codegen,
         "cdc_intra_batch_dedup": q_cdc_intra_batch_dedup,
@@ -1357,6 +1408,24 @@ def oracle_sql() -> dict[str, str]:
                              generate_series(1, len(items)),
                              i -> struct_pack(pos := i - 1, elem := items[i]))) u
                   FROM arr)
+        """,
+        # point-in-time by business cursor: each user's latest version at
+        # or below the 2/3-max cursor, excluded when that version is a
+        # delete — one window + filter over the raw feed
+        "cdc_scd2_asof_state": f"""
+            WITH w AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+                WHERE event_id <=
+                      (2 * (SELECT MAX(event_id) FROM events)) // 3)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS lsn,
+                   event_type,
+                   CAST(value AS DOUBLE) AS value
+            FROM w
+            WHERE rn = 1 AND value >= {DELETE_THRESHOLD}
         """,
         # table-to-table tail across a truncate boundary: dst state =
         # (latest-per-user over slices 0,1, alive only — the overwritten
