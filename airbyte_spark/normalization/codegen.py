@@ -10,11 +10,15 @@ dbt adapter macros.
 
 This module is that generator re-expressed for a Spark engine: given a
 :class:`~airbyte_spark.catalog.ConfiguredStream` it emits ONE executable
-SQL statement (a WITH-chain of the same stages) in either the ``spark`` or
-``duckdb`` dialect — the dialect table plays the role of the dbt adapter.
-Running the spark-dialect output through ``spark.sql`` must produce the
-same rows as the duckdb-dialect output over the same raw table; the driver
-oracle (`cdc_normalization_codegen`) checks exactly that.
+SQL statement (a WITH-chain of the same stages) per dialect — the dialect
+table plays the role of the dbt adapter. ``spark`` and ``duckdb`` are
+EXECUTABLE here: running the spark-dialect output through ``spark.sql``
+must produce the same rows as the duckdb-dialect output over the same raw
+table; the driver oracle (`cdc_normalization_codegen`) checks exactly
+that. ``bigquery`` / ``snowflake`` / ``postgres`` are RENDER-ONLY in this
+sandbox (no engine to run them) — their adapter rules (JSON extraction
+function, quoting, type names, surrogate-hash shape) mirror the
+reference's per-warehouse macros and are pinned by golden tests.
 
 Deliberate deviations from the reference, with reasons:
 
@@ -71,6 +75,25 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _concat_ws_hash(cols: list[str]) -> str:
+    """md5 over '-'-joined null-coalesced values — engines where md5()
+    returns a hex string and concat_ws exists (spark/duckdb/snowflake/
+    postgres)."""
+    parts = ", ".join(f"coalesce({c}, '')" for c in cols)
+    return f"md5(concat_ws('-', {parts}))"
+
+
+def _bigquery_hash(cols: list[str]) -> str:
+    """BigQuery: MD5() returns BYTES and CONCAT_WS doesn't exist — the
+    reference's surrogate_key macro renders TO_HEX(MD5(ARRAY_TO_STRING()))
+    there (dbt_utils cross-db surrogate_key; macros/cross_db_utils)."""
+    parts = ", ".join(f"coalesce({c}, '')" for c in cols)
+    return f"to_hex(md5(array_to_string([{parts}], '-')))"
+
+
+#: the dbt-adapter-macro table (json_operations.sql / type macros of
+#: normalization/macros/cross_db_utils rendered per warehouse). "types"
+#: overrides the ANSI defaults of _sql_type per Spark type-class name.
 _DIALECTS = {
     "spark": {
         "extract": lambda data, prop: (
@@ -78,6 +101,7 @@ _DIALECTS = {
         ),
         "quote": lambda name: f"`{name}`",
         "string_type": "STRING",
+        "hash": _concat_ws_hash,
     },
     "duckdb": {
         "extract": lambda data, prop: (
@@ -85,11 +109,65 @@ _DIALECTS = {
         ),
         "quote": lambda name: f'"{name}"',
         "string_type": "VARCHAR",
+        "hash": _concat_ws_hash,
+    },
+    # ----- render-only warehouse dialects (no engine in this sandbox to
+    # execute them; string contracts pinned by golden tests, mirroring the
+    # reference's per-adapter macro renders) -----
+    "bigquery": {
+        "extract": lambda data, prop: (
+            f"json_extract_scalar({data}, "
+            f"{_sql_str(_json_path(prop, _SPARK_BRACKET))})"
+        ),
+        "quote": lambda name: f"`{name}`",
+        "string_type": "STRING",
+        "hash": _bigquery_hash,
+        "types": {
+            "LongType": "INT64",
+            "IntegerType": "INT64",
+            "DoubleType": "FLOAT64",
+            "BooleanType": "BOOL",
+            "DecimalType": "NUMERIC({p},{s})",
+        },
+    },
+    "snowflake": {
+        # adapter macro json_extract_scalar -> to_varchar(get_path(
+        # parse_json(...), ...)); quoted path members for exotic names
+        "extract": lambda data, prop: (
+            f"to_varchar(get_path(parse_json({data}), "
+            f"{_sql_str(prop if _PLAIN_PROP.match(prop) else chr(34) + prop + chr(34))}))"
+        ),
+        "quote": lambda name: f'"{name}"',
+        "string_type": "VARCHAR",
+        "hash": _concat_ws_hash,
+        "types": {
+            "LongType": "NUMBER(38,0)",
+            "IntegerType": "NUMBER(38,0)",
+            "DoubleType": "FLOAT",
+            "TimestampType": "TIMESTAMP_NTZ",
+            "TimestampNTZType": "TIMESTAMP_NTZ",
+        },
+    },
+    "postgres": {
+        "extract": lambda data, prop: (
+            f"jsonb_extract_path_text({data}::jsonb, {_sql_str(prop)})"
+        ),
+        "quote": lambda name: f'"{name}"',
+        "string_type": "VARCHAR",
+        "hash": _concat_ws_hash,
+        "types": {
+            "DoubleType": "DOUBLE PRECISION",
+        },
     },
 }
 
 
 def _sql_type(dtype: T.DataType, dialect: dict) -> str:
+    override = dialect.get("types", {}).get(type(dtype).__name__)
+    if override is not None:
+        if isinstance(dtype, T.DecimalType):
+            return override.format(p=dtype.precision, s=dtype.scale)
+        return override
     if isinstance(dtype, T.LongType):
         return "BIGINT"
     if isinstance(dtype, T.IntegerType):
@@ -110,14 +188,6 @@ def _sql_type(dtype: T.DataType, dialect: dict) -> str:
         f"normalization codegen maps scalar JSON columns only, got {dtype}; "
         "nested objects/arrays route through unnest_children (P8)"
     )
-
-
-def _hash_expr(cols: list[str]) -> str:
-    """dbt_utils.surrogate_key semantics (stream_processor.py:667-696),
-    matching operators/dedup.surrogate_hash_id: md5 over '-'-joined
-    null-coalesced values."""
-    parts = ", ".join(f"coalesce({c}, '')" for c in cols)
-    return f"md5(concat_ws('-', {parts}))"
 
 
 def normalization_stages(
@@ -152,7 +222,7 @@ def normalization_stages(
         f"CAST({q(n)} AS {_sql_type(f.dtype, d)}) AS {q(n)}" for n, f in cols
     )
     stages["stg"] = (
-        f"SELECT\n        {_hash_expr([q(n) for n in names])} AS {q(hashid)},\n"
+        f"SELECT\n        {d['hash']([q(n) for n in names])} AS {q(hashid)},\n"
         f"        {casts},\n        {RAW_ID},\n        {RAW_EMITTED}\n    FROM ab1"
     )
 
@@ -169,7 +239,7 @@ def normalization_stages(
     pk = [q(name_of[c]) for c in stream.primary_key]
     cursor = q(name_of[stream.cursor_field]) if stream.cursor_field else RAW_EMITTED
     unique_key = "_airbyte_unique_key"
-    uk_expr = _hash_expr([f"CAST({c} AS {d['string_type']})" for c in pk])
+    uk_expr = d["hash"]([f"CAST({c} AS {d['string_type']})" for c in pk])
 
     # --- scd: Type-2 window (generate_scd_type_2_model, :734-990) --------
     # row_number dedups exact cursor re-deliveries (input_data CTE), lead()
@@ -178,7 +248,7 @@ def normalization_stages(
     payload = ", ".join(q(n) for n in names)
     stages["scd"] = f"""SELECT
         {uk_expr} AS {unique_key},
-        {_hash_expr([f"{uk_expr}", f"CAST({cursor} AS {d['string_type']})"])}
+        {d["hash"]([f"{uk_expr}", f"CAST({cursor} AS {d['string_type']})"])}
             AS {unique_key}_scd,
         {payload},
         {q(hashid)},

@@ -171,3 +171,42 @@ def test_name_canonicalization_and_collisions(spark):
     # first claimant keeps the canonical form, second gets the _1 suffix
     assert row["user_name"] == "x" and row["user_name_1"] == "y"
     assert row["deja_vu"] == 7
+
+
+def test_warehouse_dialect_renders():
+    """Render-only warehouse dialects (bigquery/snowflake/postgres): the
+    adapter rules the reference's per-warehouse macros encode — JSON
+    extraction function, identifier quoting, type names, surrogate-hash
+    shape — pinned as golden substrings so a dialect-table edit can't
+    silently drift."""
+    s = _stream()
+    bq = generate_normalization_sql(s, "raw_users", dialect="bigquery")
+    sf = generate_normalization_sql(s, "raw_users", dialect="snowflake")
+    pg = generate_normalization_sql(s, "raw_users", dialect="postgres")
+
+    # BigQuery: JSON_EXTRACT_SCALAR, bytes-md5 wrapped in TO_HEX over
+    # ARRAY_TO_STRING (no concat_ws), INT64/FLOAT64/BOOL types, backticks
+    assert "json_extract_scalar(_airbyte_data, '$.id')" in bq
+    assert "to_hex(md5(array_to_string([" in bq
+    assert "concat_ws" not in bq
+    assert "CAST(`id` AS INT64)" in bq
+    assert "CAST(`balance` AS FLOAT64)" in bq
+    assert "CAST(`vip` AS BOOL)" in bq
+
+    # Snowflake: parse_json/get_path + to_varchar, NUMBER(38,0),
+    # TIMESTAMP_NTZ, double-quoted identifiers
+    assert "to_varchar(get_path(parse_json(_airbyte_data), 'id'))" in sf
+    assert 'CAST("id" AS NUMBER(38,0))' in sf
+    assert 'CAST("joined" AS TIMESTAMP_NTZ)' in sf
+    assert "md5(concat_ws('-'" in sf
+
+    # Postgres: jsonb_extract_path_text, DOUBLE PRECISION
+    assert "jsonb_extract_path_text(_airbyte_data::jsonb, 'id')" in pg
+    assert 'CAST("balance" AS DOUBLE PRECISION)' in pg
+    assert "md5(concat_ws('-'" in pg
+
+    # every dialect emits the same stage chain
+    for sql in (bq, sf, pg):
+        for stage in ("ab1 AS (", "stg AS (", "scd AS ("):
+            assert stage in sql
+        assert "_airbyte_active_row = 1" in sql

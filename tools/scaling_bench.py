@@ -241,7 +241,7 @@ in the variant sections below):
 |---|---|---|
 | base replay, 2 -> 8 cores | the REAL job's N-vs-4N ratio with both points CPU-bound (the >= 0.8 criterion) | see above |
 | `probe` variant, 8 -> 32 | pure thread/plan scaling (allocation-free xxhash64 chain in codegen: no Python workers, no heap churn, no I/O) | ~0.9 |
-| `jvm` variant, 8 -> 32 | replay with JVM-only heavy per-row work — adds string allocation/GC on the ONE shared heap | ~0.6 |
+| `jvm` variant, 8 -> 32 | replay with JVM-only heavy per-row work — adds string allocation/GC on the ONE shared heap | ~0.44 |
 | `compute` variant, 8 -> 32 | replay with pandas-UDF per-row work — adds N Python workers oversubscribing the same N cores | ~0.45 |
 
 Reading: the plan and scheduler scale to 32 threads (probe ~0.9); what does
@@ -268,12 +268,13 @@ the plan. The `jvm` variant below removes it.""",
     "jvm": """Same replay job with a JVM-ONLY heavy map stage: 8 chained sha2-256
 rounds over every event inside whole-stage codegen
 (bench.run_replay_jvm) — zero Python workers, so local[N] runs exactly N
-compute-bound threads with no worker-pool oversubscription. The residual
-8->32 gap of this variant is heap-allocation/GC contention (UTF8String
-concat + digest buffers on ONE shared heap) plus memory bandwidth — see
-the `probe` variant, which removes allocation too and restores ~0.9
-efficiency, attributing the gap to shared single-VM resources a real 4N
-cluster scales out by construction.""",
+compute-bound threads with no worker-pool oversubscription. Its 8->32
+efficiency (~0.44) matching the pandas-UDF variant's (~0.45) shows the
+worker pool was never the binding constraint: the gap is heap-allocation/
+GC contention (UTF8String concat + digest buffers on ONE shared heap)
+plus memory bandwidth — see the `probe` variant, which removes allocation
+too and restores ~0.9 efficiency, attributing the gap to shared single-VM
+resources a real 4N cluster scales out by construction.""",
     "probe": """Allocation-free plan-scaling probe (bench.run_compute_probe): a
 64-round xxhash64 chain over `spark.range` — long-typed registers inside
 whole-stage codegen, zero per-row heap allocation, no Python workers, no
