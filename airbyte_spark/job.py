@@ -180,18 +180,13 @@ def main(argv: list[str] | None = None) -> None:
                 t.vacuum()
     if args.tail_to and not args.continuous:
         from .lake import LakeTable, tail_into
+        from .streaming.runner import bootstrap_mirror
 
         src_table = LakeTable(spark, args.table)
-        if not LakeTable.exists(args.tail_to):
-            s = src_table.snapshot()
-            LakeTable.create(
-                spark, args.tail_to, s.schema,
-                primary_key=list(s.primary_key),
-                bucket_cols=list(s.bucket_cols),
-                n_buckets=s.n_buckets,
-            )
         st = tail_into(
-            src_table, LakeTable(spark, args.tail_to), app_id=args.tail_app_id
+            src_table,
+            bootstrap_mirror(spark, src_table, args.tail_to),
+            app_id=args.tail_app_id,
         )
         print(
             f"tail: {args.table} -> {args.tail_to} "

@@ -94,6 +94,17 @@ class ReplayConfig:
     #: because an empty batch is a no-op on re-delivery). True keeps the
     #: reference's complete per-batch lineage accounting.
     commit_empty_batches: bool = True
+    #: continuous medallion hop: advance a DOWNSTREAM lake table to this
+    #: table's state via the change-feed pipeline (lake.pipeline.tail_into)
+    #: every ``tail_every_batches`` micro-batches — fenced, exactly-once,
+    #: schema evolution propagated; the destination is bootstrapped with
+    #: this table's layout. The tail runs BEFORE the compaction/vacuum
+    #: cycle of its trigger so it always consumes delta files while they
+    #: are still referenced; keep tail_every_batches <= compact_every_
+    #: batches (or rely on vacuum grace) so the tail can never lag behind
+    #: a vacuum of the commits it still has to read.
+    tail_to_path: Optional[str] = None
+    tail_every_batches: int = 1
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -144,11 +155,26 @@ def bootstrap_table(
     )
 
 
+def bootstrap_mirror(spark: SparkSession, src: LakeTable, path: str) -> LakeTable:
+    """Create (or open) a downstream table with ``src``'s layout — the
+    destination of a medallion tail hop (lake.pipeline.tail_into)."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    s = src.snapshot()
+    return LakeTable.create(
+        spark, path, s.schema,
+        primary_key=list(s.primary_key),
+        bucket_cols=list(s.bucket_cols),
+        n_buckets=s.n_buckets,
+    )
+
+
 def _process_batch(
     table: LakeTable,
     cfg: ReplayConfig,
     scd_table: Optional[LakeTable] = None,
     children: Optional[tuple[dict, list]] = None,
+    tail_dst: Optional[LakeTable] = None,
 ):
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if scd_table is not None:
@@ -203,6 +229,16 @@ def _process_batch(
                 batch_id=batch_id,
                 strategy=cfg.strategy,
             )
+        if (
+            tail_dst is not None
+            and not stats.skipped
+            and (batch_id + 1) % cfg.tail_every_batches == 0
+        ):
+            # continuous medallion hop — BEFORE this trigger's compaction/
+            # vacuum so the delta files it reads are still referenced
+            from ..lake.pipeline import tail_into
+
+            tail_into(table, tail_dst, app_id=f"{cfg.app_id}-tail")
         if stats.skipped:
             # fenced re-delivery: still drain every partition so the upstream
             # stateful operator (dropDuplicatesWithinWatermark) can commit its
@@ -268,6 +304,9 @@ def run_replay_stream(
             spark, cfg.scd_table_path, cfg.feed_struct, PK,
             bucket_cols=["conv_id"],
         )
+    tail_dst = None
+    if cfg.tail_to_path:
+        tail_dst = bootstrap_mirror(spark, table, cfg.tail_to_path)
     children = None
     if cfg.child_tables_path:
         from ..lake.children import bootstrap_child_tables
@@ -307,7 +346,9 @@ def run_replay_stream(
         stream = stream.dropDuplicatesWithinWatermark([*PK, "_ab_cdc_lsn"])
 
     writer = (
-        stream.writeStream.foreachBatch(_process_batch(table, cfg, scd_table, children))
+        stream.writeStream.foreachBatch(
+            _process_batch(table, cfg, scd_table, children, tail_dst)
+        )
         .option("checkpointLocation", cfg.checkpoint_dir)
         .queryName(cfg.app_id)
     )

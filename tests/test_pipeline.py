@@ -299,6 +299,30 @@ def test_segments_partition_property(ops, lo):
     assert covered == set(attributable)
 
 
+def test_streaming_continuous_tail(spark, tmp_path, tmp_path_factory):
+    """tail_to_path in the streaming loop: the downstream mirror advances
+    per micro-batch (before that trigger's compaction/vacuum, so the tail
+    never races a fold) and ends byte-equal to the main table."""
+    from airbyte_spark.streaming import ReplayConfig, run_replay_stream
+
+    feed = tmp_path_factory.mktemp("sctfeed")
+    generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,  # several micro-batches
+        strategy="mor",
+        compact_every_batches=2,  # interleave folds + vacuum with the tail
+        tail_to_path=str(tmp_path / "silver"),
+    )
+    run_replay_stream(spark, cfg)
+    table = LakeTable(spark, str(tmp_path / "tbl"))
+    silver = LakeTable(spark, str(tmp_path / "silver"))
+    assert silver.snapshot().version > 2  # advanced per micro-batch
+    assert _rows(silver) == _rows(table)
+
+
 def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
     """bronze -> silver -> gold: each hop fenced independently in its dst."""
     batches = _batches(spark, tmp_path_factory.mktemp("plfeed5"), 2)
