@@ -1004,6 +1004,29 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from MinHash-LSH candidate pairs — the step every
+    curation pipeline runs after pair generation (keep one canonical doc
+    per component, not per pair). Spark side: iterative min-label
+    propagation with pointer jumping (`ops/graph.py::connected_components`
+    — O(log diameter) rounds, each round two equi-joins + a hash agg over
+    (node, comp) longs, lineage truncated per round). Isolated documents
+    are their own cluster. Oracle: DuckDB recursive CTE computing min
+    reachable id over the same band-bucket pair set."""
+    from airbyte_spark.ops.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup_docs.minhash_lsh_candidates(docs)
+    cc = connected_components(
+        docs.select(F.col("doc_id").cast("long").alias("node")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    return cc.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs form — retained as the small-corpus verifier tier."""
     return dedup_docs.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=1)
@@ -1109,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_banded": q_dedup_simhash_banded,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1698,6 +1722,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                         AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        # connected components of the SAME band-bucket pair graph: min
+        # reachable doc_id per node via a recursive CTE (transitive
+        # closure is fine at oracle scale; the Spark side is the O(log)
+        # label-propagation loop)
+        "dedup_minhash_clusters": f"""
+            {_minhash_sig_sql().replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS ({band_rows}),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a
+                JOIN bands b ON a.band_idx = b.band_idx
+                            AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach AS (
+                SELECT a AS node, b AS m FROM edges
+                UNION
+                SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT)
+                       AS cluster_id
+            FROM documents d
+            LEFT JOIN (SELECT node, MIN(m) AS m FROM reach GROUP BY node) mn
+                   ON mn.node = d.doc_id
         """,
         "dedup_simhash": f"""
             WITH {_SIMHASH_SIG_CTE}

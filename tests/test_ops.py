@@ -219,3 +219,27 @@ def test_multimodal_plumbing(docs):
     assert meta[1].media_kind == "image"
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Pointer-jumping CC: a 12-node path (needs multiple propagation
+    rounds — diameter >> 1), a triangle, a 2-clique and isolated nodes all
+    resolve to min-id components; edge direction/dups/self-loops are
+    normalized away."""
+    from airbyte_spark.ops.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]          # 100..111 path
+    tri = [(1, 2), (2, 3), (3, 1)]
+    pair = [(7, 8), (8, 7), (7, 7)]                        # dup + self-loop
+    edges = spark.createDataFrame(chain + tri + pair, ["src", "dst"])
+    nodes = spark.createDataFrame(
+        [(n,) for n in ([*range(100, 112), 1, 2, 3, 7, 8, 55])], ["node"]
+    )
+    out = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert all(out[n] == 100 for n in range(100, 112))
+    assert out[1] == out[2] == out[3] == 1
+    assert out[7] == out[8] == 7
+    assert out[55] == 55  # isolated node is its own canonical
