@@ -129,7 +129,17 @@ def tail_into(
     output schema); pass ``propagate_schema`` explicitly to override.
     The evolve is idempotent across crashes (re-diffing an evolved dst
     yields no transforms). A breaking diff (pk/cursor removal or lossy
-    type change) raises ``BreakingChangeError`` — same guard as ingest."""
+    type change) raises ``BreakingChangeError`` — same guard as ingest.
+
+    LAGGING-CONSUMER RECOVERY: a dst that fell behind the source's
+    log-retention/vacuum window cannot read the old change sets any more
+    (compaction folded the delta files and vacuum removed them, or the
+    commits expired from the log). Instead of surfacing the plan-time
+    error forever, the unreadable stretch degrades to a fenced snapshot
+    re-sync at its end version (recorded in ``TailStats.resyncs``) and
+    tailing continues — the Delta-CDF "consumer must re-sync" contract,
+    automated. Keep vacuum ``grace_commits`` / compaction cadence wider
+    than the consumer's polling interval to stay on the cheap path."""
     src_head = src.snapshot().version
     last = dst.snapshot().fences.get(app_id)
     lo = last if last is not None else 0
@@ -148,24 +158,39 @@ def tail_into(
         )
         if transforms:
             dst.evolve(transforms)
-    segs = _segments(src.commit_ops(lo, src_head), lo)
+
+    def _resync(v: int) -> None:
+        # faithful mirror of src AT the boundary: resolved state,
+        # tombstones dropped (src's own overwrite dropped them too),
+        # source LSNs preserved so later low-LSN stragglers still lose
+        state = src.read(include_meta=True, snap=src.snapshot(at_version=v))
+        if transform is not None:
+            state = transform(state)
+        if dst.overwrite(state, lsn_col=META_LSN, fence=(app_id, v)) is not None:
+            stats.applied += 1
+        stats.resyncs.append(v)
+
+    try:
+        segs = _segments(src.commit_ops(lo, src_head), lo)
+    except ValueError:
+        # fence predates the log window: nothing row-attributable remains
+        segs = [("resync", src_head)]
     if max_segments is not None:
         segs = segs[:max_segments]
     for seg in segs:
         if seg[0] == "resync":
-            v = seg[1]
-            # faithful mirror of src AT the boundary: resolved state,
-            # tombstones dropped (src's own overwrite dropped them too),
-            # source LSNs preserved so later low-LSN stragglers still lose
-            state = src.read(include_meta=True, snap=src.snapshot(at_version=v))
-            if transform is not None:
-                state = transform(state)
-            if dst.overwrite(state, lsn_col=META_LSN, fence=(app_id, v)) is not None:
-                stats.applied += 1
-            stats.resyncs.append(v)
+            _resync(seg[1])
             continue
         _, a, b = seg
-        ch = src.changes_between(a, b)
+        try:
+            ch = src.changes_between(a, b)
+        except ValueError:
+            # stretch's deltas were folded+vacuumed behind us; historical
+            # snapshots in that window reference the same dead files, so
+            # the only fully-on-disk state is the CURRENT head — re-sync
+            # there; any remaining (older) segments then no-op via fences
+            _resync(src_head)
+            continue
         batch = ch.withColumn(
             _DELETED_COL,
             F.when(F.col(META_DELETED), F.lit(1).cast("long")),

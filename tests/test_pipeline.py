@@ -299,6 +299,30 @@ def test_segments_partition_property(ops, lo):
     assert covered == set(attributable)
 
 
+def test_tail_into_lagging_consumer_resyncs_after_vacuum(spark, tmp_path, tmp_path_factory):
+    """A consumer that fell behind the source's compaction+vacuum window
+    can't read the folded delta files any more — the unreadable stretch
+    degrades to a fenced snapshot re-sync instead of erroring forever,
+    and later commits flow incrementally again."""
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed8"), 3)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    tail_into(src, dst)
+    # consumer goes offline; source keeps ingesting, folds, vacuums
+    merge_batch(src, batches[1], ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+    src.compact()
+    src.vacuum()  # grace 0: batch 1's delta files are gone
+    st = tail_into(src, dst)
+    assert st.resyncs  # degraded to snapshot re-sync, not an exception
+    assert _rows(dst) == _rows(src)
+    # back on the cheap path afterwards
+    merge_batch(src, batches[2], ORDER_COLS, app_id="ing", batch_id=2, strategy="mor")
+    st = tail_into(src, dst)
+    assert st.applied == 1 and not st.resyncs
+    assert _rows(dst) == _rows(src)
+
+
 def test_streaming_continuous_tail(spark, tmp_path, tmp_path_factory):
     """tail_to_path in the streaming loop: the downstream mirror advances
     per micro-batch (before that trigger's compaction/vacuum, so the tail
