@@ -515,6 +515,64 @@ def q_cdc_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED AGGREGATE VIEW
+    (``lake.pipeline.materialized_agg_into`` — the derived-table hop):
+    per-user event counts / value totals / lsn high-watermark maintained
+    from the change feed of a lake table ingesting the events feed in
+    three MOR micro-batches (value < threshold rows as CDC deletes), the
+    view advanced after EVERY batch. Each maintenance call recomputes
+    only the groups the change sets name — bucket-pruned (groups lead the
+    bucket columns) — and tombstones groups whose rows all vanished. The
+    final view must equal the plain GROUP BY over the live rows, which is
+    exactly the SQL oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable, merge_batch
+    from airbyte_spark.lake.pipeline import bootstrap_agg_table, materialized_agg_into
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        F.when(
+            F.col("value") < F.lit(DELETE_THRESHOLD),
+            F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        ).alias("deleted_at"),
+    )
+    base = tempfile.mkdtemp(prefix="airbyte_spark_q_mag_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = LakeTable.create(
+        spark, f"{base}/src",
+        TableSchema.from_struct(e.drop("deleted_at").schema),
+        primary_key=["event_id"], bucket_cols=["user_id"], n_buckets=8,
+    )
+    AGGS = {
+        "n_events": F.count(F.lit(1)).cast("long"),
+        "total_value": F.round(F.sum("value"), 6).cast("double"),
+        "max_event": F.max("event_id").cast("long"),
+    }
+    dst = bootstrap_agg_table(spark, f"{base}/agg", src, ["user_id"], AGGS)
+    for i in range(3):
+        merge_batch(
+            src, e.filter(F.pmod(F.col("event_id"), F.lit(3)) == i),
+            order_cols=["event_id"], cursor="event_id",
+            deleted_col="deleted_at", app_id="oracle-mag",
+            batch_id=i, strategy="mor",
+        )
+        materialized_agg_into(src, dst, ["user_id"], AGGS, app_id="oracle-mag-view")
+    out = dst.read()
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_event").cast("long").alias("max_event"),
+    )
+
+
 def q_cdc_scd2_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time state by BUSINESS cursor over a streaming-built MOR
     SCD2 history table (``read_scd_asof`` — the "what did the table say
@@ -1105,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_table_tail": q_cdc_table_tail,
+        "cdc_materialized_agg": q_cdc_materialized_agg,
         "cdc_scd2_asof_state": q_cdc_scd2_asof_state,
         "cdc_singer_roundtrip": q_cdc_singer_roundtrip,
         "cdc_normalization_codegen": q_cdc_normalization_codegen,
@@ -1432,6 +1491,17 @@ def oracle_sql() -> dict[str, str]:
                              generate_series(1, len(items)),
                              i -> struct_pack(pos := i - 1, elem := items[i]))) u
                   FROM arr)
+        """,
+        # the maintained view must equal the plain GROUP BY over live rows
+        # (every event's latest version is itself; deleted = value < T)
+        "cdc_materialized_agg": f"""
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(value), 6) AS DOUBLE) AS total_value,
+                   CAST(max(event_id) AS BIGINT) AS max_event
+            FROM events
+            WHERE value >= {DELETE_THRESHOLD}
+            GROUP BY user_id
         """,
         # point-in-time by business cursor: each user's latest version at
         # or below the 2/3-max cursor, excluded when that version is a

@@ -14,7 +14,13 @@ from .children import (  # noqa: F401
     merge_children_batch,
     read_children,
 )
-from .pipeline import TailStats, tail_into, tail_scd_into  # noqa: F401
+from .pipeline import (  # noqa: F401
+    TailStats,
+    bootstrap_agg_table,
+    materialized_agg_into,
+    tail_into,
+    tail_scd_into,
+)
 from .maintenance import (  # noqa: F401
     MaintenancePolicy,
     MaintenanceReport,

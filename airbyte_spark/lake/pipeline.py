@@ -212,6 +212,150 @@ def tail_into(
     return stats
 
 
+def bootstrap_agg_table(
+    spark,
+    path: str,
+    src: LakeTable,
+    group_cols: list,
+    aggs: dict,
+) -> LakeTable:
+    """Create (or open) the destination of ``materialized_agg_into``:
+    pk = the group columns, bucketed on the first group column so a
+    grouped read of the view never shuffles. Schema is derived from the
+    aggregate plan itself (no hand-written duplicate)."""
+    from ..catalog import TableSchema
+
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    plan = src.read().groupBy(*group_cols).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return LakeTable.create(
+        spark, path, TableSchema.from_struct(plan.schema),
+        primary_key=list(group_cols), bucket_cols=[group_cols[0]],
+        n_buckets=src.snapshot().n_buckets,
+    )
+
+
+def materialized_agg_into(
+    src: LakeTable,
+    dst: LakeTable,
+    group_cols: list,
+    aggs: dict,
+    app_id: str = "mat_agg",
+    max_segments: Optional[int] = None,
+) -> TailStats:
+    """Incrementally maintain a MATERIALIZED AGGREGATE VIEW of ``src``
+    (``SELECT group_cols, aggs FROM src GROUP BY group_cols``) — the
+    derived-table hop (Delta Live Tables / Materialize-style view
+    maintenance, scoped to per-group exactness):
+
+    1. The change feed names WHICH groups a stretch touched (one distinct
+       over the change rows' group columns — change sets, not the table).
+    2. Touched groups are RECOMPUTED from the source's resolved state and
+       MERGED into dst in one fenced commit per stretch; groups whose
+       rows all disappeared become tombstones. Because groups recompute
+       wholesale, ANY aggregate works — max/avg/count-distinct included,
+       none of the retraction bookkeeping true delta-aggregation needs.
+    3. When the group columns lead the source's bucket columns, the
+       recompute scans ONLY the touched groups' buckets (driver-side
+       bucket list from the touched keys); otherwise it is one semi-join
+       against the state. Cost per call: O(changed groups' data), never
+       O(table).
+    4. Truncate boundaries / unreadable stretches degrade to one full
+       recompute (fenced overwrite), same contract as ``tail_into``.
+
+    Freshness semantics: recomputes read the source's CURRENT state, so a
+    bounded call (``max_segments``) may leave touched groups FRESHER than
+    the fence — converging, never stale; dst equals the full GROUP BY of
+    src's head state once a call drains all segments. ``aggs`` is
+    ``{output_col: Column}`` and must be supplied identically on every
+    call (it defines the view)."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    src_head = src.snapshot().version
+    dst_snap = dst.snapshot()
+    last = dst_snap.fences.get(app_id)
+    lo = last if last is not None else 0
+    stats = TailStats(from_version=lo, to_version=src_head)
+    if src_head <= lo:
+        return stats
+    agg_exprs = [c.alias(n) for n, c in aggs.items()]
+
+    def _full_refresh(v: int) -> None:
+        full = src.read().groupBy(*group_cols).agg(*agg_exprs)
+        if dst.overwrite(full, fence=(app_id, v)) is not None:
+            stats.applied += 1
+        stats.resyncs.append(v)
+
+    try:
+        segs = _segments(src.commit_ops(lo, src_head), lo)
+    except ValueError:
+        segs = [("resync", src_head)]
+    if max_segments is not None:
+        segs = segs[:max_segments]
+    src_snap = src.snapshot()
+    # bucket pruning needs EVERY bucket column present in the group keys
+    # (bucket_expr hashes all of them)
+    aligned = bool(src_snap.bucket_cols) and all(
+        c in group_cols for c in src_snap.bucket_cols
+    )
+    for seg in segs:
+        if seg[0] == "resync":
+            _full_refresh(seg[1])
+            continue
+        _, a, b = seg
+        try:
+            keys = (
+                src.changes_between(a, b).select(*group_cols).distinct()
+                .persist()
+            )
+        except ValueError:
+            _full_refresh(src_head)
+            continue
+        try:
+            if aligned:
+                # touched buckets from the touched keys: ≤ n_buckets rows
+                # to the driver, then a bucket-pruned scan
+                buckets = [
+                    r["_b"]
+                    for r in keys.select(
+                        src.bucket_expr(src_snap).alias("_b")
+                    ).distinct().collect()
+                ]
+                state = src.read(buckets=sorted(buckets))
+            else:
+                state = src.read()
+            state = state.join(F.broadcast(keys), list(group_cols), "left_semi")
+            fresh = state.groupBy(*group_cols).agg(*agg_exprs)
+            gone = keys.join(fresh, list(group_cols), "left_anti")
+            batch = (
+                fresh.withColumn("_mat_deleted", F.lit(None).cast("long"))
+                .unionByName(
+                    gone.select(
+                        *group_cols,
+                        *[
+                            F.lit(None).cast(f.dataType).alias(f.name)
+                            for f in fresh.schema.fields
+                            if f.name not in group_cols
+                        ],
+                        F.lit(1).cast("long").alias("_mat_deleted"),
+                    )
+                )
+                .withColumn("_mat_v", F.lit(b).cast("long"))
+            )
+            r = merge_batch(
+                dst, batch, order_cols=["_mat_v"], cursor="_mat_v",
+                deleted_col="_mat_deleted", app_id=app_id, batch_id=b,
+                strategy="cow",
+            )
+            if not r.skipped:
+                stats.applied += 1
+        finally:
+            keys.unpersist()
+    return stats
+
+
 def tail_scd_into(
     src: LakeTable,
     dst: LakeTable,

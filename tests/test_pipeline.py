@@ -323,6 +323,67 @@ def test_tail_into_lagging_consumer_resyncs_after_vacuum(spark, tmp_path, tmp_pa
     assert _rows(dst) == _rows(src)
 
 
+def test_materialized_agg_incremental_maintenance(spark, tmp_path, tmp_path_factory):
+    """Materialized aggregate view: per-conversation turn counts + max lsn
+    maintained incrementally from the change feed — equals the full
+    GROUP BY recompute after every commit batch, across merges, a
+    truncate boundary, and group disappearance (all rows deleted)."""
+    from airbyte_spark.lake.pipeline import bootstrap_agg_table, materialized_agg_into
+
+    batches = _batches(spark, tmp_path_factory.mktemp("magfeed"), 3)
+    src = _mk_table(spark, tmp_path / "src")
+    AGGS = {
+        "n_turns": F.count(F.lit(1)).cast("long"),
+        "max_turn": F.max("turn_idx").cast("long"),
+    }
+    dst = bootstrap_agg_table(spark, str(tmp_path / "agg"), src, ["conv_id"], AGGS)
+
+    def expect():
+        return sorted(
+            tuple(r)
+            for r in src.read()
+            .groupBy("conv_id")
+            .agg(*[c.alias(n) for n, c in AGGS.items()])
+            .collect()
+        )
+
+    def got():
+        return sorted(tuple(r) for r in dst.read().collect())
+
+    for i, b in enumerate(batches[:2]):
+        merge_batch(src, b, ORDER_COLS, app_id="ing", batch_id=i, strategy="mor")
+        st = materialized_agg_into(src, dst, ["conv_id"], AGGS)
+        assert st.applied >= 1
+        assert got() == expect()
+
+    # delete EVERY row of one conversation -> its group row must vanish
+    victim = src.read().select("conv_id").first()["conv_id"]
+    kill = (
+        src.read()
+        .filter(F.col("conv_id") == victim)
+        .select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            F.lit(10**15).alias("_ab_cdc_lsn"),
+            F.current_timestamp().alias("_ab_cdc_updated_at"),
+            F.current_timestamp().alias("_ab_cdc_deleted_at"),
+            F.current_timestamp().alias("_airbyte_emitted_at"),
+        )
+    )
+    merge_batch(src, kill, ORDER_COLS, app_id="ing", batch_id=50, strategy="mor")
+    materialized_agg_into(src, dst, ["conv_id"], AGGS)
+    assert got() == expect()
+    assert victim not in {r[0] for r in got()}
+
+    # truncate boundary -> one full refresh, then incremental again
+    src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+    merge_batch(src, batches[2], ORDER_COLS, app_id="ing", batch_id=51, strategy="mor")
+    st = materialized_agg_into(src, dst, ["conv_id"], AGGS)
+    assert st.resyncs
+    assert got() == expect()
+    # idempotent
+    assert materialized_agg_into(src, dst, ["conv_id"], AGGS).applied == 0
+
+
 def test_streaming_continuous_tail(spark, tmp_path, tmp_path_factory):
     """tail_to_path in the streaming loop: the downstream mirror advances
     per micro-batch (before that trigger's compaction/vacuum, so the tail
