@@ -142,11 +142,33 @@ def main(argv: list[str] | None = None) -> None:
                 else None
             ),
         )
+    if args.tail_to and args.continuous:
+        # continuous mode: the hop runs inside the streaming loop instead
+        cfg.tail_to_path = args.tail_to
     if args.feed_schema_ddl:
         from pyspark.sql import types as T
 
         cfg.feed_struct = T.StructType.fromDDL(args.feed_schema_ddl)
     run_replay_stream(spark, cfg, available_now=not args.continuous)
+    if args.tail_to and not args.continuous:
+        # BEFORE the compact block: compaction folds the sync's delta
+        # files and vacuum removes them — a tail running after would find
+        # its change sets gone and degrade to a full snapshot re-sync on
+        # every run
+        from .lake import LakeTable, tail_into
+        from .streaming.runner import bootstrap_mirror
+
+        src_table = LakeTable(spark, args.table)
+        st = tail_into(
+            src_table,
+            bootstrap_mirror(spark, src_table, args.tail_to),
+            app_id=args.tail_app_id,
+        )
+        print(
+            f"tail: {args.table} -> {args.tail_to} "
+            f"versions ({st.from_version}, {st.to_version}] "
+            f"applied={st.applied} resyncs={st.resyncs}"
+        )
     if args.compact and not args.continuous:
         from .lake import LakeTable
 
@@ -178,21 +200,6 @@ def main(argv: list[str] | None = None) -> None:
             else:
                 t.compact()
                 t.vacuum()
-    if args.tail_to and not args.continuous:
-        from .lake import LakeTable, tail_into
-        from .streaming.runner import bootstrap_mirror
-
-        src_table = LakeTable(spark, args.table)
-        st = tail_into(
-            src_table,
-            bootstrap_mirror(spark, src_table, args.tail_to),
-            app_id=args.tail_app_id,
-        )
-        print(
-            f"tail: {args.table} -> {args.tail_to} "
-            f"versions ({st.from_version}, {st.to_version}] "
-            f"applied={st.applied} resyncs={st.resyncs}"
-        )
     if args.schema_tests and not args.continuous:
         import json as _json
         import sys as _sys

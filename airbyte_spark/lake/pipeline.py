@@ -110,9 +110,11 @@ def tail_into(
     """Apply src commits dst hasn't seen; see module docstring.
 
     ``transform`` (the silver hop) receives the rows about to land —
-    change rows (with ``__lsn`` and ``{_DELETED_COL}``) on the merge path,
-    full-state rows (with ``__lsn``) on the re-sync path — and must
-    preserve dst's pk, ``__lsn`` and (when present) the deleted column;
+    change rows (with ``__lsn``, ``{_DELETED_COL}`` and the
+    ``_change_version``/``_neg_change_version`` tie-break helpers) on the
+    merge path, full-state rows (with ``__lsn``) on the re-sync path —
+    and must preserve dst's pk, ``__lsn`` and (when present) the deleted
+    and tie-break columns (add/replace payload columns, don't re-select);
     payload columns it emits are conformed onto dst's schema (missing ->
     null, extras dropped). ``max_segments`` bounds one call's work (the
     budgeted-maintenance pattern); call again to continue — each segment
@@ -194,13 +196,19 @@ def tail_into(
         batch = ch.withColumn(
             _DELETED_COL,
             F.when(F.col(META_DELETED), F.lit(1).cast("long")),
+        ).withColumn(
+            # LSN ties across commits resolve to the EARLIEST commit —
+            # the same tie rule the source's own MOR read / COW merge
+            # apply ("target keeps on tie"), so dst can never diverge
+            # from src on a conflicting re-delivery
+            "_neg_change_version", -F.col("_change_version")
         )
         if transform is not None:
             batch = transform(batch)
         r = merge_batch(
             dst,
             batch,
-            order_cols=[META_LSN, "_change_version"],
+            order_cols=[META_LSN, "_neg_change_version"],
             cursor=META_LSN,
             deleted_col=_DELETED_COL,
             app_id=app_id,
@@ -392,24 +400,39 @@ def tail_scd_into(
         return stats
     pk = list(dst_snap.primary_key[:-1])
     cursor = dst_snap.primary_key[-1]
-    segs = _segments(src.commit_ops(lo, src_head), lo)
+
+    def _resync(v: int) -> None:
+        # a resync inside the lagging window would read the same vacuumed
+        # files — boundary resyncs use their version, degraded stretches
+        # pass src_head (the only state guaranteed fully on disk)
+        bsnap = src.snapshot(at_version=v)
+        raw = src.read(
+            snap=bsnap, resolve=False, include_deleted=True,
+            include_meta=False,
+        )
+        state = _resolved_history(bsnap, raw, bounded)
+        if dst.overwrite(state, lsn_col=cursor, fence=(app_id, v)) is not None:
+            stats.applied += 1
+        stats.resyncs.append(v)
+
+    try:
+        segs = _segments(src.commit_ops(lo, src_head), lo)
+    except ValueError:
+        # fence predates the log window (lagging consumer) — same
+        # degrade-to-resync contract as tail_into
+        segs = [("resync", src_head)]
     if max_segments is not None:
         segs = segs[:max_segments]
     for seg in segs:
         if seg[0] == "resync":
-            v = seg[1]
-            bsnap = src.snapshot(at_version=v)
-            raw = src.read(
-                snap=bsnap, resolve=False, include_deleted=True,
-                include_meta=False,
-            )
-            state = _resolved_history(bsnap, raw, bounded)
-            if dst.overwrite(state, lsn_col=cursor, fence=(app_id, v)) is not None:
-                stats.applied += 1
-            stats.resyncs.append(v)
+            _resync(seg[1])
             continue
         _, a, b = seg
-        ch = src.changes_between(a, b)
+        try:
+            ch = src.changes_between(a, b)
+        except ValueError:
+            _resync(src_head)  # stretch's deltas folded+vacuumed behind us
+            continue
         batch = ch.drop(
             "_change_version", "_change_type", META_LSN, META_DELETED,
             *SCD_OUT_COLS,

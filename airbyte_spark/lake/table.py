@@ -786,14 +786,8 @@ class LakeTable:
         lsn = (
             F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
         )
-        cols = []
-        for fs in snap.schema.fields:
-            if fs.name in df.columns:
-                cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
-            else:
-                cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
         prepared = (
-            df.select(*cols, lsn.alias(META_LSN))
+            self._conform(df, snap, extra=[lsn.alias(META_LSN)])
             .withColumn(META_DELETED, F.lit(False))
             .withColumn("_b", self.bucket_expr(snap))
         )
@@ -825,15 +819,20 @@ class LakeTable:
             out.append((v, e.get("op", "merge")))
         return out
 
-    def _conform(self, df: DataFrame, snap: Snapshot) -> DataFrame:
-        """Project/cast a frame onto the current schema (null-pad missing)."""
+    def _conform(
+        self, df: DataFrame, snap: Snapshot, extra: Optional[list] = None
+    ) -> DataFrame:
+        """Project/cast a frame onto the current schema (null-pad missing).
+        ``extra`` appends expressions resolved against the INCOMING frame
+        (e.g. a cursor column the schema doesn't carry) in the same
+        select, before the conform would drop their inputs."""
         cols = []
         for fs in snap.schema.fields:
             if fs.name in df.columns:
                 cols.append(F.col(fs.name).cast(fs.dtype).alias(fs.name))
             else:
                 cols.append(F.lit(None).cast(fs.dtype).alias(fs.name))
-        return df.select(*cols)
+        return df.select(*cols, *(extra or []))
 
     # -------------------------------------------------------------- reads
 

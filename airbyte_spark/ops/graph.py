@@ -51,6 +51,11 @@ def connected_components(
         )
         .filter(F.col("a") != F.col("b"))
     )
+    # drop edges touching ids outside `nodes` — otherwise a stray endpoint
+    # leaks into the output AND can become a component id with no member
+    # row, breaking the node == component canonical-pick contract
+    e = e.join(n, e["a"] == n["node"], "left_semi")
+    e = e.join(n, e["b"] == n["node"], "left_semi")
     # undirected: both directions once
     ed = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))

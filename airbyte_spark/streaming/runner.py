@@ -231,11 +231,15 @@ def _process_batch(
             )
         if (
             tail_dst is not None
-            and not stats.skipped
+            and cfg.tail_every_batches
             and (batch_id + 1) % cfg.tail_every_batches == 0
         ):
             # continuous medallion hop — BEFORE this trigger's compaction/
-            # vacuum so the delta files it reads are still referenced
+            # vacuum so the delta files it reads are still referenced.
+            # Runs on fenced re-deliveries too: a crash between the merge
+            # commit and the tail would otherwise leave the mirror one
+            # batch behind forever on a bounded run (the tail itself is a
+            # fenced no-op when already caught up)
             from ..lake.pipeline import tail_into
 
             tail_into(table, tail_dst, app_id=f"{cfg.app_id}-tail")

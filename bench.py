@@ -444,11 +444,20 @@ def main():
         # variant (canonicalize+hash every event) for scaling evidence
         # below the memory-bus ceiling.
         variant = os.environ.get("SPARK_GRAFT_REPLAY_VARIANT", "base")
-        runner = {
+        runners = {
+            "base": run_replay,
             "compute": run_replay_compute,
             "jvm": run_replay_jvm,
             "probe": run_compute_probe,
-        }.get(variant, run_replay)
+        }
+        if variant not in runners:
+            # a typo must not run the base job under a new metric name and
+            # pollute the epoch-scoped persisted bests
+            raise SystemExit(
+                f"unknown SPARK_GRAFT_REPLAY_VARIANT={variant!r}; "
+                f"one of {sorted(runners)}"
+            )
+        runner = runners[variant]
         if variant == "probe":
             n_events = PROBE_ROWS  # rows hashed, not feed events
         calib = wait_for_quiet_host()

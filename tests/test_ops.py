@@ -243,3 +243,12 @@ def test_connected_components_chain_and_isolates(spark):
     assert out[1] == out[2] == out[3] == 1
     assert out[7] == out[8] == 7
     assert out[55] == 55  # isolated node is its own canonical
+
+    # an edge touching an id OUTSIDE the node set must not leak into the
+    # output nor steal the component id (node==component stays pickable)
+    stray = spark.createDataFrame([(0, 7)], ["src", "dst"])  # 0 not a node
+    out2 = {
+        r.node: r.component
+        for r in connected_components(nodes, edges.union(stray)).collect()
+    }
+    assert 0 not in out2 and out2[7] == out2[8] == 7

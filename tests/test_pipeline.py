@@ -299,6 +299,86 @@ def test_segments_partition_property(ops, lo):
     assert covered == set(attributable)
 
 
+def test_tail_into_lsn_tie_keeps_earliest_commit(spark, tmp_path, tmp_path_factory):
+    """Conflicting re-delivery: the same (pk, lsn) lands in two source
+    commits with DIFFERENT payloads. The source's own resolution keeps the
+    earliest commit's row (MOR tiebreak / COW 'target keeps on tie'); the
+    tail's within-stretch collapse must pick the same winner or dst
+    silently diverges."""
+    import datetime as dt
+
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+
+    def row(text, upd):
+        return (
+            "conv-1", 0, "user", text, None, dt.datetime(2024, 1, 1),
+            77, dt.datetime(2024, 1, 1, upd), None, dt.datetime(2024, 1, 1, upd),
+        )
+
+    b1 = spark.createDataFrame([row("first-delivery", 1)], schema=CHANGE_STRUCT)
+    b2 = spark.createDataFrame([row("conflicting-redelivery", 2)], schema=CHANGE_STRUCT)
+    merge_batch(src, b1, ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    merge_batch(src, b2, ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+    src_text = src.read().select("text").first()["text"]
+    tail_into(src, dst)
+    assert dst.read().select("text").first()["text"] == src_text
+
+
+def test_tail_scd_into_lagging_consumer_resyncs(spark, tmp_path, tmp_path_factory):
+    """SCD mirror behind the source's scd_compact+vacuum window degrades
+    to a resolved-snapshot re-sync instead of erroring forever."""
+    from airbyte_spark.lake.pipeline import tail_scd_into
+    from airbyte_spark.lake.scd import (
+        bootstrap_scd_table, read_scd, scd_compact, scd_merge_batch,
+    )
+    from airbyte_spark.schemas import CHANGE_STRUCT, CURSOR
+
+    batches = _batches(spark, tmp_path_factory.mktemp("slagfeed"), 2)
+    src = bootstrap_scd_table(
+        spark, str(tmp_path / "src"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    dst = bootstrap_scd_table(
+        spark, str(tmp_path / "dst"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    scd_merge_batch(src, batches[0], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=0, strategy="mor")
+    tail_scd_into(src, dst)
+    scd_merge_batch(src, batches[1], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=1, strategy="mor")
+    scd_compact(src)
+    src.vacuum()  # batch 1's delta files gone
+    st = tail_scd_into(src, dst)
+    assert st.resyncs
+    a, b = read_scd(dst), read_scd(src)
+    cols = sorted(a.columns)
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_job_cli_tail_to_with_compact_stays_incremental(spark, tmp_path, tmp_path_factory, capsys):
+    """--tail-to combined with --compact: the hop runs BEFORE the fold+
+    vacuum, so it reads the delta files incrementally (no forced
+    full-table re-sync)."""
+    feed = tmp_path_factory.mktemp("jtcfeed")
+    generate_feed(str(feed), SPEC)
+    from airbyte_spark import job
+
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--strategy", "mor",
+        "--compact",
+        "--tail-to", str(tmp_path / "silver"),
+    ])
+    out = capsys.readouterr().out
+    assert "resyncs=[]" in out
+    src = LakeTable(spark, str(tmp_path / "tbl"))
+    silver = LakeTable(spark, str(tmp_path / "silver"))
+    assert _rows(silver) == _rows(src)
+
+
 def test_tail_into_lagging_consumer_resyncs_after_vacuum(spark, tmp_path, tmp_path_factory):
     """A consumer that fell behind the source's compaction+vacuum window
     can't read the folded delta files any more — the unreadable stretch
