@@ -162,33 +162,51 @@ def merge_children_batch(
             parents = touched[s["parent"]]
 
             snap = table.snapshot()
-            existing = _probe_existing(table, snap, parents, hashid_col)
+            existing = _probe_existing(table, snap, parents)
             # late-parent fence: apply a parent only when its cursor beats
-            # the stored watermark (see module docstring)
+            # the stored watermark (see module docstring). A NULL parent
+            # cursor (snapshot/full-refresh record without CDC metadata —
+            # merge_batch accepts these, so the cascade must too) sorts
+            # just above the no-watermark floor: it applies when nothing
+            # newer is stored and loses to any real-LSN parent.
             wm = existing.groupBy(hashid_col).agg(
                 F.max(META_LSN).alias("_wm")
             )
-            adv = (
-                parents.join(wm, hashid_col, "left")
-                .filter(
-                    F.col("_new_lsn")
-                    > F.coalesce(F.col("_wm"), F.lit(-(2**62)))
-                )
-                .select(hashid_col, "_new_lsn")
+            joined = parents.join(wm, hashid_col, "left")
+            new_cur = F.coalesce(F.col("_new_lsn"), F.lit(-(2**62) + 1))
+            old_wm = F.coalesce(F.col("_wm"), F.lit(-(2**62)))
+            adv = joined.filter(new_cur > old_wm).select(
+                hashid_col, "_new_lsn"
             )
-            new_eff = new_rows.join(
-                F.broadcast(adv.select(hashid_col)), hashid_col
+            # crash-replay repair set: a level already committed for this
+            # batch has wm == _new_lsn, so the strict filter goes empty and
+            # would propagate NOTHING to the next level — losing the
+            # grandchild batch forever (its fence still advances via the
+            # empty commit). `prop` keeps cursor-TIES so a replayed level
+            # still names its touched links; the next level's own watermark
+            # (strict) makes re-propagation a no-op once it has applied.
+            prop = joined.filter(new_cur >= old_wm).select(
+                hashid_col, "_new_lsn"
             )
-            stale = (
+            new_prop = new_rows.join(
+                F.broadcast(prop.select(hashid_col)), hashid_col
+            )
+            stale_prop = (
                 existing.filter(F.col("pos") >= 0)
-                .join(F.broadcast(adv), hashid_col)
+                .join(F.broadcast(prop), hashid_col)
                 .join(
-                    new_eff.select(hashid_col, "pos"),
+                    new_prop.select(hashid_col, "pos"),
                     on=[hashid_col, "pos"],
                     how="left_anti",
                 )
                 .select(*new_rows.columns, "_new_lsn")
             )
+            new_eff = new_prop.join(
+                F.broadcast(adv.select(hashid_col)), hashid_col
+            )
+            stale = stale_prop.join(
+                F.broadcast(adv.select(hashid_col)), hashid_col
+            ).select(*new_rows.columns, "_new_lsn")
             tombstones = stale.select(
                 *_at_new_lsn(new_rows, cursor),
                 F.to_timestamp(F.lit("1970-01-01")).alias(deleted_col),
@@ -217,7 +235,9 @@ def merge_children_batch(
                 strategy=strategy,
             )
             # next level's touched parents: every (hashid, pos) this batch
-            # re-emitted or tombstoned — their descendants are in play
+            # re-emitted or tombstoned — their descendants are in play.
+            # Derived from the `prop` (ties-kept) sets, not the strict
+            # `adv` ones, so a replayed level still cascades (see above).
             if any(s2["parent"] == name for s2 in specs):
                 child_hashid = f"_{name}_hashid"
                 link = F.md5(
@@ -228,9 +248,9 @@ def merge_children_batch(
                     )
                 ).alias(child_hashid)
                 touched[name] = (
-                    new_eff.join(F.broadcast(adv), hashid_col)
+                    new_prop.join(F.broadcast(prop), hashid_col)
                     .select(link, "_new_lsn")
-                    .unionByName(stale.select(link, "_new_lsn"))
+                    .unionByName(stale_prop.select(link, "_new_lsn"))
                     .distinct()
                 )
         return stats
@@ -276,7 +296,7 @@ def _fenced(table: LakeTable, app_id: str, batch_id: int) -> bool:
     return last is not None and batch_id <= last
 
 
-def _probe_existing(table: LakeTable, snap, parents: DataFrame, hashid_col: str):
+def _probe_existing(table: LakeTable, snap, parents: DataFrame):
     """Bucket-pruned scan of a child table restricted to the touched
     parents' buckets, tombstones and meta included (the watermark and the
     crash-replay cascade both need them). The touched set is ≤ |batch|

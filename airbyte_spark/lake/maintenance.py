@@ -77,24 +77,39 @@ def _bucket_stats(table: LakeTable, snap: Snapshot) -> dict[int, dict]:
     """Per-bucket {files, deltas, bytes} from snapshot metadata.
 
     ``bytes`` is recorded in each add-entry at write time; files committed
-    before that field existed fall back to one ``os.path.getsize`` each —
-    bounded by the candidate set, and self-healing (the rewrite re-adds
-    them with sizes)."""
+    before that field existed are listed in ``_unsized`` and stat'd
+    LAZILY (``_resolve_bytes``) only for the buckets the greedy admission
+    actually inspects — an eager fallback would re-stat every legacy file
+    in the whole snapshot on every cycle, O(table) driver I/O for a plan
+    that can pick at most a handful of buckets. Self-healing: a rewrite
+    re-adds files with sizes, so the lazy set shrinks to nothing."""
     stats: dict[int, dict] = {}
     for path, meta in snap.files.items():
         b = meta["bucket"]
-        st = stats.setdefault(b, {"files": 0, "deltas": 0, "bytes": 0})
+        st = stats.setdefault(
+            b, {"files": 0, "deltas": 0, "bytes": 0, "_unsized": []}
+        )
         st["files"] += 1
         if meta.get("kind", "base") == "delta":
             st["deltas"] += 1
         nbytes = meta.get("bytes")
         if nbytes is None:
-            try:
-                nbytes = os.path.getsize(os.path.join(table.path, path))
-            except OSError:
-                nbytes = 0
-        st["bytes"] += nbytes
+            st["_unsized"].append(path)
+        else:
+            st["bytes"] += nbytes
     return stats
+
+
+def _resolve_bytes(table: LakeTable, st: dict) -> int:
+    """Fold a bucket's unsized legacy files into its byte total (memoized)."""
+    if st["_unsized"]:
+        for path in st["_unsized"]:
+            try:
+                st["bytes"] += os.path.getsize(os.path.join(table.path, path))
+            except OSError:
+                pass
+        st["_unsized"] = []
+    return st["bytes"]
 
 
 def plan_maintenance(
@@ -123,15 +138,22 @@ def plan_maintenance(
             policy.max_buckets_per_cycle is not None
             and len(chosen) >= policy.max_buckets_per_cycle
         )
+        if over_count:
+            break
+        nbytes = (
+            _resolve_bytes(table, stats[b])
+            if policy.max_bytes_per_cycle is not None
+            else stats[b]["bytes"]
+        )
         over_bytes = (
             policy.max_bytes_per_cycle is not None
             and chosen  # always admit the first bucket
-            and spent + stats[b]["bytes"] > policy.max_bytes_per_cycle
+            and spent + nbytes > policy.max_bytes_per_cycle
         )
-        if over_count or over_bytes:
+        if over_bytes:
             break
         chosen.append(b)
-        spent += stats[b]["bytes"]
+        spent += nbytes
     deferred = [b for b in candidates if b not in set(chosen)]
     return chosen, deferred, stats
 
@@ -175,7 +197,9 @@ def maintain(
             )
         if report.version != snap.version:
             report.compacted = sorted(chosen)
-            report.bytes_rewritten = sum(stats[b]["bytes"] for b in chosen)
+            report.bytes_rewritten = sum(
+                _resolve_bytes(table, stats[b]) for b in chosen
+            )
             report.files_rewritten = sum(stats[b]["files"] for b in chosen)
     if policy.vacuum:
         report.vacuumed_files = len(

@@ -64,7 +64,10 @@ _DELETED_COL = "_cdf_deleted_at"
 
 @dataclass
 class TailStats:
-    """One ``tail_into`` call's outcome."""
+    """One ``tail_into`` call's outcome. ``to_version`` is the source
+    version dst's fence ACTUALLY reached — equal to the source head after
+    a full drain, lower when ``max_segments`` bounded the call (resume by
+    calling again)."""
 
     from_version: int
     to_version: int
@@ -77,7 +80,11 @@ class TailStats:
 def _segments(ops: list[tuple[int, str]], lo: int) -> list[tuple]:
     """Split ``(version, op)`` commits after ``lo`` into maximal
     row-attributable stretches and truncate points:
-    ``("changes", from_v, to_v)`` / ``("resync", v)``."""
+    ``("changes", from_v, to_v)`` / ``("resync", v)``. ADJACENT truncates
+    (no attributable commit between them) collapse to the LAST one — each
+    resync is an O(table) overwrite of dst, and a rollback-then-overwrite
+    (or N stacked overwrites) leaves only the final state visible, so the
+    earlier boundaries are dead work."""
     segs: list[tuple] = []
     cursor = lo
     last_attributable = lo
@@ -90,12 +97,55 @@ def _segments(ops: list[tuple[int, str]], lo: int) -> list[tuple]:
         # truncate (overwrite / rollback / unknown op — conservative)
         if last_attributable > cursor:
             segs.append(("changes", cursor, last_attributable))
-        segs.append(("resync", v))
+            segs.append(("resync", v))
+        elif segs and segs[-1][0] == "resync":
+            segs[-1] = ("resync", v)  # adjacent truncate: supersede
+        else:
+            segs.append(("resync", v))
         cursor = v
         last_attributable = v
     if last_attributable > cursor:
         segs.append(("changes", cursor, last_attributable))
     return segs
+
+
+def _apply_renames(df: DataFrame, rename_hints: Optional[dict]) -> DataFrame:
+    """Translate OLD-ERA change rows onto the current (post-rename) schema.
+
+    ``changes_between`` projects each stretch's rows to the schema at the
+    stretch's END version; when a rename evolve landed AFTER that version
+    (dst has already evolved to the source's head schema), the rows still
+    carry the old column name and the merge conform would null the renamed
+    column out. The rename hints are exactly the old->new map the evolve
+    applied, so replaying them on the batch is lossless."""
+    if not rename_hints:
+        return df
+    for old, new in rename_hints.items():
+        if old in df.columns and new not in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def _advance_fence(dst: LakeTable, app_id: str, version: int) -> None:
+    """Record source-version progress in dst with an EMPTY fenced commit —
+    driver-side JSON only, no data files, no Spark job.
+
+    Without it, a source receiving only non-row-attributable no-op commits
+    (compact / evolve / vacuum cycles on a quiet stream) never advances the
+    consumer's fence: every poll re-reads the same commit-op range, and
+    once the stale fence version expires from the source's log window the
+    consumer degrades to a spurious full-snapshot re-sync of an
+    already-identical dst."""
+    from .merge import _lineage
+
+    snap = dst.snapshot()
+    if (snap.fences.get(app_id) or 0) >= version:
+        return
+    dst.commit(
+        snap, [], [], fence=(app_id, version),
+        lineage=_lineage(app_id, version, 0, 0, 0, None, None),
+        op="merge", retry_conflicts=2,
+    )
 
 
 def tail_into(
@@ -142,10 +192,11 @@ def tail_into(
     tailing continues — the Delta-CDF "consumer must re-sync" contract,
     automated. Keep vacuum ``grace_commits`` / compaction cadence wider
     than the consumer's polling interval to stay on the cheap path."""
-    src_head = src.snapshot().version
+    src_snap = src.snapshot()
+    src_head = src_snap.version
     last = dst.snapshot().fences.get(app_id)
     lo = last if last is not None else 0
-    stats = TailStats(from_version=lo, to_version=src_head)
+    stats = TailStats(from_version=lo, to_version=lo)
     if src_head <= lo:
         return stats
     if propagate_schema is None:
@@ -154,7 +205,7 @@ def tail_into(
         dst_snap = dst.snapshot()
         transforms = diff_schemas(
             dst_snap.schema,
-            src.snapshot().schema.to_struct(),
+            src_snap.schema.to_struct(),
             primary_key=list(dst_snap.primary_key),
             rename_hints=rename_hints,
         )
@@ -166,19 +217,21 @@ def tail_into(
         # tombstones dropped (src's own overwrite dropped them too),
         # source LSNs preserved so later low-LSN stragglers still lose
         state = src.read(include_meta=True, snap=src.snapshot(at_version=v))
+        state = _apply_renames(state, rename_hints)
         if transform is not None:
             state = transform(state)
         if dst.overwrite(state, lsn_col=META_LSN, fence=(app_id, v)) is not None:
             stats.applied += 1
         stats.resyncs.append(v)
+        stats.to_version = max(stats.to_version, v)
 
     try:
-        segs = _segments(src.commit_ops(lo, src_head), lo)
+        all_segs = _segments(src.commit_ops(lo, src_head), lo)
     except ValueError:
         # fence predates the log window: nothing row-attributable remains
-        segs = [("resync", src_head)]
-    if max_segments is not None:
-        segs = segs[:max_segments]
+        all_segs = [("resync", src_head)]
+    segs = all_segs if max_segments is None else all_segs[:max_segments]
+    truncated = len(segs) < len(all_segs)
     for seg in segs:
         if seg[0] == "resync":
             _resync(seg[1])
@@ -193,6 +246,7 @@ def tail_into(
             # there; any remaining (older) segments then no-op via fences
             _resync(src_head)
             continue
+        ch = _apply_renames(ch, rename_hints)
         batch = ch.withColumn(
             _DELETED_COL,
             F.when(F.col(META_DELETED), F.lit(1).cast("long")),
@@ -217,6 +271,12 @@ def tail_into(
         )
         if not r.skipped:
             stats.applied += 1
+        stats.to_version = max(stats.to_version, b)
+    if not truncated and stats.to_version < src_head:
+        # trailing no-op commits (compact/evolve/...) carry no rows but
+        # must still advance the fence — see _advance_fence
+        _advance_fence(dst, app_id, src_head)
+        stats.to_version = src_head
     return stats
 
 
@@ -281,11 +341,12 @@ def materialized_agg_into(
     call (it defines the view)."""
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
-    src_head = src.snapshot().version
+    src_snap = src.snapshot()
+    src_head = src_snap.version
     dst_snap = dst.snapshot()
     last = dst_snap.fences.get(app_id)
     lo = last if last is not None else 0
-    stats = TailStats(from_version=lo, to_version=src_head)
+    stats = TailStats(from_version=lo, to_version=lo)
     if src_head <= lo:
         return stats
     agg_exprs = [c.alias(n) for n, c in aggs.items()]
@@ -295,18 +356,31 @@ def materialized_agg_into(
         if dst.overwrite(full, fence=(app_id, v)) is not None:
             stats.applied += 1
         stats.resyncs.append(v)
+        stats.to_version = max(stats.to_version, v)
+
+    def _ns_on(left, right):
+        # group keys join NULL-SAFELY: SQL GROUP BY puts all-null keys in
+        # one group, so the touched-key joins must match them too
+        cond = None
+        for c in group_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
 
     try:
-        segs = _segments(src.commit_ops(lo, src_head), lo)
+        all_segs = _segments(src.commit_ops(lo, src_head), lo)
     except ValueError:
-        segs = [("resync", src_head)]
-    if max_segments is not None:
-        segs = segs[:max_segments]
-    src_snap = src.snapshot()
-    # bucket pruning needs EVERY bucket column present in the group keys
+        all_segs = [("resync", src_head)]
+    segs = all_segs if max_segments is None else all_segs[:max_segments]
+    truncated = len(segs) < len(all_segs)
+    src_pk = list(src_snap.primary_key)
+    # bucket pruning needs EVERY bucket column present in the key set
     # (bucket_expr hashes all of them)
     aligned = bool(src_snap.bucket_cols) and all(
         c in group_cols for c in src_snap.bucket_cols
+    )
+    pk_aligned = bool(src_snap.bucket_cols) and all(
+        c in src_pk for c in src_snap.bucket_cols
     )
     for seg in segs:
         if seg[0] == "resync":
@@ -314,10 +388,34 @@ def materialized_agg_into(
             continue
         _, a, b = seg
         try:
-            keys = (
-                src.changes_between(a, b).select(*group_cols).distinct()
-                .persist()
-            )
+            ch = src.changes_between(a, b)
+            # groups the stretch touched = the change rows' NEW group
+            # values (live rows only — a delete tombstone's payload is
+            # null) PLUS the changed keys' PRE-IMAGE groups from the
+            # segment-start snapshot: an update that moves a row across
+            # groups, or a delete, must refresh the group the row LEFT,
+            # which only the old state still names.
+            new_keys = ch.filter(~F.col(META_DELETED)).select(*group_cols)
+            if a >= 1:
+                hist = src.snapshot(at_version=a)
+                changed_pks = ch.select(*src_pk).distinct()
+                if pk_aligned:
+                    pkb = sorted(
+                        {
+                            r["_b"]
+                            for r in changed_pks.select(
+                                src.bucket_expr(hist).alias("_b")
+                            ).distinct().collect()
+                        }
+                    )
+                    old_state = src.read(buckets=pkb, snap=hist)
+                else:
+                    old_state = src.read(snap=hist)
+                old_keys = old_state.join(
+                    F.broadcast(changed_pks), src_pk, "left_semi"
+                ).select(*group_cols)
+                new_keys = new_keys.unionByName(old_keys)
+            keys = new_keys.distinct().persist()
         except ValueError:
             _full_refresh(src_head)
             continue
@@ -334,9 +432,9 @@ def materialized_agg_into(
                 state = src.read(buckets=sorted(buckets))
             else:
                 state = src.read()
-            state = state.join(F.broadcast(keys), list(group_cols), "left_semi")
+            state = state.join(F.broadcast(keys), _ns_on(state, keys), "left_semi")
             fresh = state.groupBy(*group_cols).agg(*agg_exprs)
-            gone = keys.join(fresh, list(group_cols), "left_anti")
+            gone = keys.join(fresh, _ns_on(keys, fresh), "left_anti")
             batch = (
                 fresh.withColumn("_mat_deleted", F.lit(None).cast("long"))
                 .unionByName(
@@ -359,8 +457,12 @@ def materialized_agg_into(
             )
             if not r.skipped:
                 stats.applied += 1
+            stats.to_version = max(stats.to_version, b)
         finally:
             keys.unpersist()
+    if not truncated and stats.to_version < src_head:
+        _advance_fence(dst, app_id, src_head)
+        stats.to_version = src_head
     return stats
 
 
@@ -370,6 +472,8 @@ def tail_scd_into(
     app_id: str = "scd_tail",
     bounded: bool = False,
     max_segments: Optional[int] = None,
+    propagate_schema: bool = True,
+    rename_hints: Optional[dict] = None,
 ) -> TailStats:
     """Mirror a ``<stream>_scd`` Type-2 HISTORY table downstream through
     its change feed — ``tail_into``'s sibling for SCD tables (e.g.
@@ -390,16 +494,32 @@ def tail_scd_into(
     dst must be bootstrapped with the same (pk..., cursor) primary key
     (``bootstrap_scd_table``). After a tail, ``read_scd(dst)`` equals
     ``read_scd(src)`` byte-for-byte; fold dst with ``scd_compact`` on the
-    same cadence as any MOR history table."""
-    src_head = src.snapshot().version
+    same cadence as any MOR history table.
+
+    Schema evolution propagates downstream exactly as in ``tail_into``
+    (``propagate_schema`` / ``rename_hints``): dst evolves to src's head
+    schema before rows land, and old-era change rows are translated across
+    renames — without it, version rows carrying a post-evolve column would
+    be conformed to NULL forever, breaking the byte-equality contract."""
+    src_snap = src.snapshot()
+    src_head = src_snap.version
     dst_snap = dst.snapshot()
     last = dst_snap.fences.get(app_id)
     lo = last if last is not None else 0
-    stats = TailStats(from_version=lo, to_version=src_head)
+    stats = TailStats(from_version=lo, to_version=lo)
     if src_head <= lo:
         return stats
     pk = list(dst_snap.primary_key[:-1])
     cursor = dst_snap.primary_key[-1]
+    if propagate_schema:
+        transforms = diff_schemas(
+            dst_snap.schema,
+            src_snap.schema.to_struct(),
+            primary_key=list(dst_snap.primary_key),
+            rename_hints=rename_hints,
+        )
+        if transforms:
+            dst.evolve(transforms)
 
     def _resync(v: int) -> None:
         # a resync inside the lagging window would read the same vacuumed
@@ -411,18 +531,20 @@ def tail_scd_into(
             include_meta=False,
         )
         state = _resolved_history(bsnap, raw, bounded)
+        state = _apply_renames(state, rename_hints)
         if dst.overwrite(state, lsn_col=cursor, fence=(app_id, v)) is not None:
             stats.applied += 1
         stats.resyncs.append(v)
+        stats.to_version = max(stats.to_version, v)
 
     try:
-        segs = _segments(src.commit_ops(lo, src_head), lo)
+        all_segs = _segments(src.commit_ops(lo, src_head), lo)
     except ValueError:
         # fence predates the log window (lagging consumer) — same
         # degrade-to-resync contract as tail_into
-        segs = [("resync", src_head)]
-    if max_segments is not None:
-        segs = segs[:max_segments]
+        all_segs = [("resync", src_head)]
+    segs = all_segs if max_segments is None else all_segs[:max_segments]
+    truncated = len(segs) < len(all_segs)
     for seg in segs:
         if seg[0] == "resync":
             _resync(seg[1])
@@ -433,9 +555,12 @@ def tail_scd_into(
         except ValueError:
             _resync(src_head)  # stretch's deltas folded+vacuumed behind us
             continue
-        batch = ch.drop(
-            "_change_version", "_change_type", META_LSN, META_DELETED,
-            *SCD_OUT_COLS,
+        batch = _apply_renames(
+            ch.drop(
+                "_change_version", "_change_type", META_LSN, META_DELETED,
+                *SCD_OUT_COLS,
+            ),
+            rename_hints,
         )
         r = scd_merge_batch(
             dst, batch, pk, cursor=cursor, app_id=app_id, batch_id=b,
@@ -443,4 +568,8 @@ def tail_scd_into(
         )
         if not r.skipped:
             stats.applied += 1
+        stats.to_version = max(stats.to_version, b)
+    if not truncated and stats.to_version < src_head:
+        _advance_fence(dst, app_id, src_head)
+        stats.to_version = src_head
     return stats

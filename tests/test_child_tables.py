@@ -401,3 +401,104 @@ def test_streaming_sync_persists_children_exactly_once(
         ]
         bids = [x["batch_id"] for x in lineage]
         assert len(bids) == len(set(bids))
+
+
+def _direct_row(conv, turn, lsn, tags, steps, deleted=False):
+    import datetime
+
+    return (
+        conv, turn, "user", "txt", None,
+        datetime.datetime(2025, 1, 1),
+        lsn, None,
+        datetime.datetime(2025, 1, 2) if deleted else None,
+        datetime.datetime(2025, 1, 1),
+        tags, steps,
+    )
+
+
+def test_crash_between_levels_replay_catches_up(spark, tmp_path):
+    """Crash BETWEEN a child-level commit and the grandchild-level commit:
+    the committed level's watermark already equals the batch cursor, so a
+    strict-only filter would propagate nothing downward on replay — the
+    missed level would commit an empty batch (still advancing its fence)
+    and lose the grandchild rows forever. The ties-kept propagation set
+    must carry the cascade through."""
+    full_tables, specs = bootstrap_child_tables(
+        spark, str(tmp_path / "full"), NESTED_STRUCT, PK,
+        stream_name="transcripts",
+    )
+    crash_tables, specs2 = bootstrap_child_tables(
+        spark, str(tmp_path / "crash"), NESTED_STRUCT, PK,
+        stream_name="transcripts",
+    )
+
+    def apply(tables, specs_, rows, bid):
+        df = spark.createDataFrame(rows, NESTED_STRUCT)
+        return merge_children_batch(
+            tables, specs_, df, PK, ORDER_COLS, stream_name="transcripts",
+            app_id="t", batch_id=bid,
+        )
+
+    rows0 = [_direct_row("c1", 0, 10, ["x", "y"], [(1, ["a", "b"]), (2, ["c"])])]
+    rows1 = [_direct_row("c1", 0, 20, ["x"], [(1, ["a2"])])]
+
+    # reference: one uninterrupted run
+    apply(full_tables, specs, rows0, 0)
+    apply(full_tables, specs, rows1, 1)
+
+    # crashed run: batch 1 commits the tags+steps levels, dies before
+    # transcripts_steps_words, then the batch replays after restart
+    apply(crash_tables, specs2, rows0, 0)
+    partial = [s for s in specs2 if s["name"] != "transcripts_steps_words"]
+    apply(crash_tables, partial, rows1, 1)
+    apply(crash_tables, specs2, rows1, 1)  # replay
+
+    for s in specs:
+        name = s["name"]
+        _assert_df_equal(crash_tables[name].read(), full_tables[name].read())
+    words = [r.element for r in crash_tables["transcripts_steps_words"].read().collect()]
+    assert words == ["a2"]
+
+
+#: NESTED_STRUCT with a NULLABLE cursor — snapshot/full-refresh records
+#: without CDC metadata (merge_batch explicitly accepts them)
+NULLABLE_NESTED = T.StructType(
+    [
+        f if f.name != "_ab_cdc_lsn"
+        else T.StructField("_ab_cdc_lsn", T.LongType(), True)
+        for f in NESTED_STRUCT.fields
+    ]
+)
+
+
+def test_null_cursor_parent_lands_in_children(spark, tmp_path):
+    """A parent event with a NULL cursor (snapshot record) must still
+    cascade into the child tables — `NULL > wm` is NULL and a naive filter
+    silently drops the parent while the main table accepts it. Null-cursor
+    parents apply when nothing newer is stored and lose to any real-LSN
+    parent."""
+    tables, specs = bootstrap_child_tables(
+        spark, str(tmp_path / "nc"), NULLABLE_NESTED, PK,
+        stream_name="transcripts",
+    )
+
+    def apply(rows, bid):
+        df = spark.createDataFrame(rows, NULLABLE_NESTED)
+        return merge_children_batch(
+            tables, specs, df, PK, ORDER_COLS, stream_name="transcripts",
+            app_id="t", batch_id=bid,
+        )
+
+    t_tags = tables["transcripts_tags"]
+
+    # snapshot record without CDC metadata: children must land
+    apply([_direct_row("c1", 0, None, ["s1", "s2"], None)], 0)
+    assert sorted(r.element for r in t_tags.read().collect()) == ["s1", "s2"]
+
+    # a real CDC update replaces the child set
+    apply([_direct_row("c1", 0, 30, ["r1"], None)], 1)
+    assert [r.element for r in t_tags.read().collect()] == ["r1"]
+
+    # a late null-cursor re-delivery must NOT clobber CDC state
+    apply([_direct_row("c1", 0, None, ["s1", "s2"], None)], 2)
+    assert [r.element for r in t_tags.read().collect()] == ["r1"]

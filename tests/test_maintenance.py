@@ -747,3 +747,47 @@ def test_job_cli_compact_folds_all_tables(spark, tmp_path, tmp_path_factory):
     scd = LakeTable(spark, str(tmp_path / "scd"))
     hist = read_scd(scd).toPandas()
     assert hist["_airbyte_active_row"].notna().all()  # materialized
+
+
+def test_plan_maintenance_lazy_legacy_byte_stats(spark, tmp_path, monkeypatch):
+    """Legacy add-entries without recorded bytes are stat'd LAZILY: no
+    byte budget -> zero getsize calls; with a byte budget only the buckets
+    the greedy admission actually inspects are stat'd — never the whole
+    snapshot (that would be O(all legacy files) of driver I/O per cycle,
+    repeated forever for deferred buckets)."""
+    from airbyte_spark.lake import MaintenancePolicy, plan_maintenance
+    from airbyte_spark.lake import maintenance as M
+
+    table = _mk_table(spark, tmp_path / "t", n_buckets=8)
+    snap = table.snapshot()
+    fake = {}
+    for b in range(6):
+        for i in range(5):  # all buckets fragmented, none with sizes
+            fake[f"data/x/_b={b}/f{i}.parquet"] = {
+                "bucket": b, "schema_id": 0, "rows": 1, "kind": "base",
+            }
+    snap.files.clear()
+    snap.files.update(fake)
+
+    calls = []
+    monkeypatch.setattr(
+        M.os.path, "getsize", lambda p: (calls.append(p), 7)[1]
+    )
+
+    chosen, deferred, _ = plan_maintenance(
+        table,
+        MaintenancePolicy(min_files=3, max_buckets_per_cycle=2,
+                          max_bytes_per_cycle=None),
+        snap=snap,
+    )
+    assert chosen == [0, 1] and deferred == [2, 3, 4, 5]
+    assert calls == []  # no byte budget -> no byte stats at all
+
+    chosen, deferred, _ = plan_maintenance(
+        table,
+        MaintenancePolicy(min_files=3, max_buckets_per_cycle=2,
+                          max_bytes_per_cycle=10**9),
+        snap=snap,
+    )
+    assert chosen == [0, 1]
+    assert len(calls) == 10  # only the two admitted buckets' files

@@ -270,9 +270,11 @@ _OPS = ["create", "evolve", "compact", "scd_compact", "rebucket",
 def test_segments_partition_property(ops, lo):
     """_segments invariants for ANY commit-op sequence: (a) stretches and
     resync points are strictly increasing and disjoint; (b) every
-    row-attributable commit falls inside exactly one stretch; (c) every
-    truncate commit appears as exactly one resync point; (d) no stretch
-    spans a truncate; (e) noop commits create no segment."""
+    row-attributable commit falls inside exactly one stretch; (c) the
+    resync points are the LAST truncate of each adjacent truncate run —
+    a truncate with no attributable commit before the next truncate is
+    dead work (its overwrite would be fully replaced) and is superseded;
+    (d) no stretch spans a truncate; (e) noop commits create no segment."""
     from airbyte_spark.lake.pipeline import (
         _ATTRIBUTABLE_OPS, _NOOP_OPS, _segments,
     )
@@ -283,7 +285,12 @@ def test_segments_partition_property(ops, lo):
                  if op not in _ATTRIBUTABLE_OPS and op not in _NOOP_OPS]
     attributable = [v for v, op in versioned if op in _ATTRIBUTABLE_OPS]
 
-    assert [s[1] for s in segs if s[0] == "resync"] == truncates
+    surviving = [
+        t for i, t in enumerate(truncates)
+        if i == len(truncates) - 1
+        or any(t < v < truncates[i + 1] for v in attributable)
+    ]
+    assert [s[1] for s in segs if s[0] == "resync"] == surviving
     covered = set()
     last_hi = lo
     for s in segs:
@@ -499,3 +506,174 @@ def test_tail_chain_three_hops(spark, tmp_path, tmp_path_factory):
         tail_into(bronze, silver, app_id="b2s")
         tail_into(silver, gold, app_id="s2g")
     assert _rows(gold) == _rows(silver) == _rows(bronze)
+
+
+def test_tail_into_trailing_rename_evolve_translates_old_change_rows(
+    spark, tmp_path, tmp_path_factory
+):
+    """A rename evolve that lands AFTER the backlog's last merge: the
+    change rows are projected to their segment-end (pre-rename) schema and
+    still carry the old column name, while dst has already evolved to the
+    head schema — without the rename translation the merge conform would
+    null the renamed column out for every row."""
+    from airbyte_spark.catalog import diff_schemas
+
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed8"), 1)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    target = T.StructType(
+        [
+            f if f.name != "tool" else T.StructField("tool_name", f.dataType, True)
+            for f in TRANSCRIPT_STRUCT.fields
+        ]
+    )
+    src.evolve(
+        diff_schemas(
+            src.snapshot().schema, target, primary_key=list(PK),
+            rename_hints={"tool": "tool_name"},
+        )
+    )
+
+    st = tail_into(src, dst, rename_hints={"tool": "tool_name"})
+    assert st.applied == 1
+    cols = ("conv_id", "turn_idx", "tool_name")
+    assert _rows(dst, cols) == _rows(src, cols)
+    assert dst.read().filter(F.col("tool_name").isNotNull()).count() > 0
+
+
+def test_tail_into_fence_advances_past_noop_commits(
+    spark, tmp_path, tmp_path_factory
+):
+    """Non-row-attributable no-op commits (evolve/compact cycles on a
+    quiet stream) must still advance the consumer's fence — otherwise a
+    caught-up consumer re-scans the same commit range every poll and,
+    once the stale fence expires from the src log window, degrades to a
+    spurious full re-sync."""
+    from airbyte_spark.catalog import diff_schemas
+
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed9"), 1)
+    src = _mk_table(spark, tmp_path / "src")
+    dst = _mk_table(spark, tmp_path / "dst")
+    merge_batch(src, batches[0], ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    st = tail_into(src, dst)
+    assert st.applied == 1 and st.to_version == src.snapshot().version
+
+    # noop-only traffic: a metadata evolve and a compaction
+    target = T.StructType(
+        list(TRANSCRIPT_STRUCT.fields)
+        + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    src.evolve(diff_schemas(src.snapshot().schema, target, primary_key=list(PK)))
+    src.compact(min_files=1)
+    head = src.snapshot().version
+
+    st = tail_into(src, dst)
+    assert st.applied == 0 and not st.resyncs
+    assert st.to_version == head
+    assert dst.snapshot().fences["table_tail"] == head
+
+    # fully caught up: the next poll early-returns without a dst commit
+    v = dst.snapshot().version
+    st2 = tail_into(src, dst)
+    assert st2.applied == 0 and st2.to_version == head
+    assert dst.snapshot().version == v
+
+
+def test_materialized_agg_group_move_and_delete_refreshes_old_group(
+    spark, tmp_path, tmp_path_factory
+):
+    """Change rows carry only their NEW group values: an update that moves
+    a row across groups and a delete (whose tombstone has null payload)
+    must still refresh the group the row LEFT, via the pre-image keys from
+    the segment-start snapshot. Groups here are NON-pk (role), so the
+    tombstone rows cannot name them."""
+    import datetime
+
+    from airbyte_spark.lake.pipeline import bootstrap_agg_table, materialized_agg_into
+
+    TS = datetime.datetime(2025, 1, 1)
+
+    def row(conv, turn, role, lsn, deleted=False):
+        return (
+            conv, turn, role, "txt", None, TS, lsn, TS,
+            TS if deleted else None, TS,
+        )
+
+    src = _mk_table(spark, tmp_path / "src")
+    AGGS = {"n": F.count(F.lit(1)).cast("long")}
+    b0 = spark.createDataFrame(
+        [row("c1", 0, "user", 10), row("c1", 1, "assistant", 11),
+         row("c2", 0, "user", 12)],
+        CHANGE_STRUCT,
+    )
+    merge_batch(src, b0, ORDER_COLS, app_id="ing", batch_id=0, strategy="mor")
+    dst = bootstrap_agg_table(spark, str(tmp_path / "agg"), src, ["role"], AGGS)
+    materialized_agg_into(src, dst, ["role"], AGGS)
+
+    def got():
+        return sorted(tuple(r) for r in dst.read().collect())
+
+    assert got() == [("assistant", 1), ("user", 2)]
+
+    # c1/0 MOVES user->assistant; c2/0 deleted — 'user' loses both rows
+    # and must drop out of the view entirely
+    b1 = spark.createDataFrame(
+        [row("c1", 0, "assistant", 20), row("c2", 0, "user", 21, deleted=True)],
+        CHANGE_STRUCT,
+    )
+    merge_batch(src, b1, ORDER_COLS, app_id="ing", batch_id=1, strategy="mor")
+    st = materialized_agg_into(src, dst, ["role"], AGGS)
+    assert st.applied == 1
+    assert got() == [("assistant", 2)]
+
+
+def test_tail_scd_into_propagates_schema_evolution(
+    spark, tmp_path, tmp_path_factory
+):
+    """SCD mirror across a src schema evolution: dst evolves before rows
+    land, so version rows carrying the new column keep it (without
+    propagation the MOR conform would null it out forever, breaking the
+    byte-equality contract)."""
+    from airbyte_spark.catalog import diff_schemas
+    from airbyte_spark.lake.pipeline import tail_scd_into
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd, scd_merge_batch
+    from airbyte_spark.schemas import CHANGE_STRUCT, CURSOR
+
+    def assert_scd_equal(a, b):
+        cols = sorted(a.columns)
+        assert sorted(b.columns) == cols
+        assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+        assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+    batches = _batches(spark, tmp_path_factory.mktemp("plfeed10"), 2)
+    src = bootstrap_scd_table(
+        spark, str(tmp_path / "src"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    dst = bootstrap_scd_table(
+        spark, str(tmp_path / "dst"), CHANGE_STRUCT, PK, cursor=CURSOR, n_buckets=4
+    )
+    scd_merge_batch(src, batches[0], PK, cursor=CURSOR, app_id="ing",
+                    batch_id=0, strategy="mor")
+    tail_scd_into(src, dst)
+
+    cur = src.snapshot().schema.to_struct()
+    target = T.StructType(
+        list(cur.fields) + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    src.evolve(
+        diff_schemas(
+            src.snapshot().schema, target,
+            primary_key=list(src.snapshot().primary_key),
+        )
+    )
+    b1 = batches[1].withColumn(
+        "tool_version", F.concat(F.lit("v"), F.col("turn_idx").cast("string"))
+    )
+    scd_merge_batch(src, b1, PK, cursor=CURSOR, app_id="ing",
+                    batch_id=1, strategy="mor")
+
+    st = tail_scd_into(src, dst)
+    assert st.applied >= 1
+    assert_scd_equal(read_scd(dst), read_scd(src))
+    assert read_scd(dst).filter(F.col("tool_version").isNotNull()).count() > 0
