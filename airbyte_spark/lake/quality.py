@@ -36,17 +36,29 @@ def _folded_failures(
     aggs: list[Column] = []
     labels: list[str] = []
     for i, c in enumerate(not_null):
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_t{len(labels)}"))
+        # coalesce: an EMPTY frame must report 0 failing rows, not NULL
+        # (sum over zero rows is NULL) — same contract as the unique path
+        aggs.append(
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"_t{len(labels)}")
+        )
         labels.append(f"not_null_{c}")
     for name, e in (expressions or {}).items():
         cond = F.expr(e) if isinstance(e, str) else e
         aggs.append(
-            F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
-            .alias(f"_t{len(labels)}")
+            F.coalesce(
+                F.sum((~F.coalesce(cond, F.lit(False))).cast("long")), F.lit(0)
+            ).alias(f"_t{len(labels)}")
         )
         labels.append(f"expression_{name}")
     wide = df.agg(*aggs)
-    stack = ", ".join(f"'{lbl}', `_t{i}`" for i, lbl in enumerate(labels))
+
+    def _q(lbl: str) -> str:
+        # test labels embed column / user-chosen test names — escape them
+        # for the single-quoted SQL literal they land in
+        return lbl.replace("\\", "\\\\").replace("'", "\\'")
+
+    stack = ", ".join(f"'{_q(lbl)}', `_t{i}`" for i, lbl in enumerate(labels))
     return wide.selectExpr(
         f"stack({len(labels)}, {stack}) as (test_name, failing_rows)"
     )
@@ -151,19 +163,31 @@ def audited_merge_batch(
     stats = merge_batch(table, batch, order_cols, stage=True, **merge_kwargs)
     if stats.skipped:
         return stats
-    if not stats.buckets:  # empty batch: nothing to audit, publish the fence
+    no_tests = not (not_null or unique or expressions)
+    if not stats.buckets or no_tests:
+        # empty batch, or an empty test battery (vacuously clean):
+        # nothing to audit — publish
         stats.version = table.publish_staged(stats.staged_id)
         stats.staged_id = None
         return stats
-    view = table.staged_view(stats.staged_id)
-    audit_df = table.read(snap=view, buckets=stats.buckets)
-    failures = {
-        k: v
-        for k, v in run_schema_tests(
-            audit_df, not_null=not_null, unique=unique, expressions=expressions
-        ).items()
-        if v
-    }
+    try:
+        view = table.staged_view(stats.staged_id)
+        audit_df = table.read(snap=view, buckets=stats.buckets)
+        failures = {
+            k: v
+            for k, v in run_schema_tests(
+                audit_df, not_null=not_null, unique=unique,
+                expressions=expressions,
+            ).items()
+            if v
+        }
+    except BaseException:
+        # the audit itself failed (transient Spark error, bad expression):
+        # a parked staged commit would leak its data files forever —
+        # abort before surfacing the error; the fence did not advance, so
+        # the batch is re-deliverable
+        table.abort_staged(stats.staged_id)
+        raise
     if failures:
         table.abort_staged(stats.staged_id)
         raise AuditFailed(failures)

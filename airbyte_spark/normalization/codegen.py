@@ -102,6 +102,7 @@ _DIALECTS = {
         "quote": lambda name: f"`{name}`",
         "string_type": "STRING",
         "hash": _concat_ws_hash,
+        "ts_text": lambda x: f"date_format({x}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')",
     },
     "duckdb": {
         "extract": lambda data, prop: (
@@ -110,6 +111,7 @@ _DIALECTS = {
         "quote": lambda name: f'"{name}"',
         "string_type": "VARCHAR",
         "hash": _concat_ws_hash,
+        "ts_text": lambda x: f"strftime({x}, '%Y-%m-%d %H:%M:%S.%f')",
     },
     # ----- render-only warehouse dialects (no engine in this sandbox to
     # execute them; string contracts pinned by golden tests, mirroring the
@@ -122,6 +124,7 @@ _DIALECTS = {
         "quote": lambda name: f"`{name}`",
         "string_type": "STRING",
         "hash": _bigquery_hash,
+        "ts_text": lambda x: f"format_timestamp('%Y-%m-%d %H:%M:%E6S', {x})",
         "types": {
             "LongType": "INT64",
             "IntegerType": "INT64",
@@ -140,6 +143,7 @@ _DIALECTS = {
         "quote": lambda name: f'"{name}"',
         "string_type": "VARCHAR",
         "hash": _concat_ws_hash,
+        "ts_text": lambda x: f"to_varchar({x}, 'YYYY-MM-DD HH24:MI:SS.FF6')",
         "types": {
             "LongType": "NUMBER(38,0)",
             "IntegerType": "NUMBER(38,0)",
@@ -155,6 +159,7 @@ _DIALECTS = {
         "quote": lambda name: f'"{name}"',
         "string_type": "VARCHAR",
         "hash": _concat_ws_hash,
+        "ts_text": lambda x: f"to_char({x}, 'YYYY-MM-DD HH24:MI:SS.US')",
         "types": {
             "DoubleType": "DOUBLE PRECISION",
         },
@@ -218,15 +223,38 @@ def normalization_stages(
     # (generate_id_hashing_model :667 + generate_column_typing_model :471,
     # fused — see module docstring for the hash-before-cast rationale)
     hashid = f"_airbyte_{stream.name}_hashid"
+    dedup = stream.destination_sync_mode == "append_dedup"
+    if dedup and not stream.primary_key:
+        raise ValueError("append_dedup requires a primary_key")
+    unique_key = "_airbyte_unique_key"
+    uk_items = ""
+    if dedup:
+        # unique keys hash the RAW EXTRACTED TEXT too (same rationale as
+        # the hashid): CAST(typed AS STRING) renders differently per
+        # engine (Spark trims trailing timestamp zeros), so typed-value
+        # keys diverge across dialects. Computed here, over ab1's text
+        # columns, BEFORE the casts. The no-cursor fallback formats the
+        # raw-table timestamp with one pinned micro format per dialect.
+        pk_raw = [q(name_of[c]) for c in stream.primary_key]
+        cursor_text = (
+            q(name_of[stream.cursor_field])
+            if stream.cursor_field
+            else d["ts_text"](RAW_EMITTED)
+        )
+        uk_items = (
+            f"        {d['hash'](pk_raw)} AS {unique_key},\n"
+            f"        {d['hash'](pk_raw + [cursor_text])} AS {unique_key}_scd,\n"
+        )
     casts = ",\n        ".join(
         f"CAST({q(n)} AS {_sql_type(f.dtype, d)}) AS {q(n)}" for n, f in cols
     )
     stages["stg"] = (
         f"SELECT\n        {d['hash']([q(n) for n in names])} AS {q(hashid)},\n"
+        f"{uk_items}"
         f"        {casts},\n        {RAW_ID},\n        {RAW_EMITTED}\n    FROM ab1"
     )
 
-    if stream.destination_sync_mode != "append_dedup":
+    if not dedup:
         # non-dedup path: the hash model IS the final model (:275-279)
         stages["final"] = (
             f"SELECT {', '.join(q(n) for n in names)}, "
@@ -234,22 +262,22 @@ def normalization_stages(
         )
         return stages
 
-    if not stream.primary_key:
-        raise ValueError("append_dedup requires a primary_key")
     pk = [q(name_of[c]) for c in stream.primary_key]
     cursor = q(name_of[stream.cursor_field]) if stream.cursor_field else RAW_EMITTED
-    unique_key = "_airbyte_unique_key"
-    uk_expr = d["hash"]([f"CAST({c} AS {d['string_type']})" for c in pk])
 
     # --- scd: Type-2 window (generate_scd_type_2_model, :734-990) --------
     # row_number dedups exact cursor re-deliveries (input_data CTE), lead()
     # derives end_at/active_row, and the scd unique key extends the pk hash
     # with the version start (:968-980).
     payload = ", ".join(q(n) for n in names)
+    # NULLS FIRST pinned explicitly: Spark defaults ASC to NULLS FIRST but
+    # DuckDB/Postgres/Snowflake default to NULLS LAST — an unpinned order
+    # makes the engines disagree on which version is active whenever the
+    # cursor is NULL, breaking the row-for-row cross-dialect contract.
+    order = f"{cursor} ASC NULLS FIRST, {RAW_ID} ASC"
     stages["scd"] = f"""SELECT
-        {uk_expr} AS {unique_key},
-        {d["hash"]([f"{uk_expr}", f"CAST({cursor} AS {d['string_type']})"])}
-            AS {unique_key}_scd,
+        {unique_key},
+        {unique_key}_scd,
         {payload},
         {q(hashid)},
         {RAW_ID},
@@ -257,10 +285,10 @@ def normalization_stages(
         {cursor} AS _airbyte_start_at,
         lead({cursor}) OVER (
             PARTITION BY {', '.join(pk)}
-            ORDER BY {cursor} ASC, {RAW_ID} ASC) AS _airbyte_end_at,
+            ORDER BY {order}) AS _airbyte_end_at,
         CASE WHEN lead({cursor}) OVER (
             PARTITION BY {', '.join(pk)}
-            ORDER BY {cursor} ASC, {RAW_ID} ASC) IS NULL
+            ORDER BY {order}) IS NULL
              THEN 1 ELSE 0 END AS _airbyte_active_row
     FROM (
         SELECT *, row_number() OVER (

@@ -116,14 +116,16 @@ def asof_join(
         out = out.filter(F.col(_PAYLOAD).isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    version_alias = (
-        f"version_{version_cursor}" if version_cursor in probes.columns
-        else version_cursor
-    )
+    # any payload name colliding with a probe column gets the version_
+    # prefix (same rule as asof_lookup) — emitting two identically-named
+    # columns would make every downstream select/filter ambiguous
+    def _alias(c: str) -> str:
+        return f"version_{c}" if c in probes.columns else c
+
     return out.select(
         *probes.columns,
-        F.col(f"{_PAYLOAD}.{version_cursor}").alias(version_alias),
-        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols],
+        F.col(f"{_PAYLOAD}.{version_cursor}").alias(_alias(version_cursor)),
+        *[F.col(f"{_PAYLOAD}.{c}").alias(_alias(c)) for c in payload_cols],
     )
 
 

@@ -28,10 +28,11 @@ executor-side column expressions over ``spark.read.text``:
   the per-stream typed parse is a second, schema-directed ``from_json``
   only over that stream's rows);
 * line order — which Singer semantics depend on for STATE and
-  ACTIVATE_VERSION — is reconstructed distributively with
-  ``monotonically_increasing_id()`` stamped before any shuffle: partition
-  ids follow (file, offset) enumeration order, so ``max_by(x, _singer_seq)``
-  is "the last message in tap-emit order" without a driver-side read;
+  ACTIVATE_VERSION — is reconstructed distributively as an orderable
+  (file path, split offset, within-split id) struct (partition ids alone
+  are NOT emit-ordered: Spark packs splits size-descending — see
+  ``read_singer_output``), so ``max_by(x, _singer_seq)`` is "the last
+  message in tap-emit order" without a driver-side read;
 * the driver touches only the (bounded) catalog dict, the one-row final
   state, and the per-type counts.
 
@@ -63,9 +64,13 @@ VERSION_COL = "_singer_version"
 _INCREMENTAL = "INCREMENTAL"
 _FULL_TABLE = "FULL_TABLE"
 
-# Singer timestamps serialize as ISO-8601 with microseconds; pinning the
-# format keeps to_json/from_json round trips exact to the micro.
+# Serialization pins ONE unambiguous microsecond format so to_json /
+# from_json round trips are exact to the micro.
 TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+# Parsing is LENIENT (optional sections): real taps emit RFC3339
+# ('2021-01-01T00:00:00.000000Z') while our own captures use TS_FORMAT —
+# both must type-parse, or cursor timestamps silently come back NULL.
+PARSE_TS_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSSSSS][XXX][X]"
 
 
 # ---------------------------------------------------------------------------
@@ -84,10 +89,20 @@ def parse_singer_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     order; see module docstring).
 
     One ``json_tuple`` parse per line; no Python in the row path.
+
+    If the input already carries ``_singer_seq`` (``read_singer_output``
+    stamps the file-aware form), it is used as-is; otherwise a
+    ``monotonically_increasing_id`` fallback is stamped — exact for a
+    single in-order source, but NOT across multiple files (see
+    ``read_singer_output``).
     """
-    seq = lines.select(
-        F.col(line_col).alias("line"), F.monotonically_increasing_id().alias(SEQ_COL)
-    )
+    if SEQ_COL in lines.columns:
+        seq = lines.select(F.col(line_col).alias("line"), F.col(SEQ_COL))
+    else:
+        seq = lines.select(
+            F.col(line_col).alias("line"),
+            F.monotonically_increasing_id().alias(SEQ_COL),
+        )
     parsed = seq.select(
         "line",
         SEQ_COL,
@@ -116,8 +131,27 @@ def parse_singer_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
 
 def read_singer_output(spark: SparkSession, path: str) -> DataFrame:
-    """Read a captured tap run (directory of JSONL files) as an envelope DF."""
-    return parse_singer_lines(spark.read.text(path))
+    """Read a captured tap run (directory of JSONL files) as an envelope DF.
+
+    Tap-emit order is reconstructed WITHOUT trusting partition ids: Spark
+    packs file splits into partitions sorted by size DESCENDING, so
+    ``monotonically_increasing_id`` alone would order a small early
+    capture file AFTER a large later one (and ``latest_state`` would then
+    resurrect a stale bookmark — checkpoint regression). The sequence is
+    instead an orderable struct of (file path, split offset, mid): within
+    one split mid ascends in line order, splits of a file order by their
+    byte offset, and files order lexicographically — the capture-naming
+    convention (``chunk-000``, ``chunk-001``, …) that makes multi-file
+    order well-defined in the first place."""
+    raw = spark.read.text(path).select(
+        "value",
+        F.struct(
+            F.col("_metadata.file_path").alias("f"),
+            F.col("_metadata.file_block_start").alias("b"),
+            F.monotonically_increasing_id().alias("i"),
+        ).alias(SEQ_COL),
+    )
+    return parse_singer_lines(raw)
 
 
 def serialize_records(
@@ -174,7 +208,7 @@ def records(
     envelope: DataFrame,
     stream: str,
     schema: T.StructType,
-    timestamp_format: str = TS_FORMAT,
+    timestamp_format: str = PARSE_TS_FORMAT,
 ) -> DataFrame:
     """Typed RECORD rows for one stream.
 
@@ -191,7 +225,9 @@ def records(
             F.col("record_json"), schema, {"timestampFormat": timestamp_format}
         ),
     )
-    cols = [F.col(f"_r.{f.name}").alias(f.name) for f in schema.fields]
+    # getField, not F.col(f"_r.{name}") — a field name containing dots is a
+    # legal JSON key and must not be parsed as a nested path
+    cols = [F.col("_r").getField(f.name).alias(f.name) for f in schema.fields]
     return parsed.select(
         *cols,
         F.col("time_extracted"),
@@ -219,7 +255,7 @@ def active_records(
     envelope: DataFrame,
     stream: str,
     schema: T.StructType,
-    timestamp_format: str = TS_FORMAT,
+    timestamp_format: str = PARSE_TS_FORMAT,
 ) -> DataFrame:
     """RECORD rows that survive full-table version activation.
 

@@ -210,3 +210,66 @@ def test_warehouse_dialect_renders():
         for stage in ("ab1 AS (", "stg AS (", "scd AS ("):
             assert stage in sql
         assert "_airbyte_active_row = 1" in sql
+
+
+def test_cross_dialect_timestamp_cursor_and_null_cursor(spark):
+    """Cursor is a TIMESTAMP (typed text rendering differs per engine —
+    Spark's CAST trims trailing micro zeros) and one record has a NULL
+    cursor (engines default NULLS to opposite ends of ASC sorts): the
+    spark and duckdb renders must still agree row-for-row, including the
+    surrogate keys (raw-text hashing, never CAST(typed AS STRING)) and
+    the active-row choice (ORDER BY pinned NULLS FIRST)."""
+    struct = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("seen", T.TimestampType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    stream = ConfiguredStream(
+        name="events",
+        schema=TableSchema.from_struct(struct),
+        primary_key=["id"],
+        cursor_field="seen",
+        sync_mode="incremental",
+        destination_sync_mode="append_dedup",
+    )
+    rows = [
+        ("e1", {"id": 1, "seen": "2024-01-02 03:04:05.100000", "name": "v1"}),
+        ("e2", {"id": 1, "seen": "2024-06-01 00:00:00.000000", "name": "v2"}),
+        ("e3", {"id": 2, "seen": None, "name": "null-cursor"}),
+        ("e4", {"id": 2, "seen": "2024-01-01 00:00:00.000000", "name": "real"}),
+    ]
+    docs = [
+        (a, json.dumps(r), "2024-07-01 00:00:00.000000") for a, r in rows
+    ]
+    df = spark.createDataFrame(
+        docs, "_airbyte_ab_id string, _airbyte_data string, _e string"
+    ).selectExpr(
+        "_airbyte_ab_id", "_airbyte_data",
+        "CAST(_e AS TIMESTAMP) AS _airbyte_emitted_at",
+    )
+    df.createOrReplaceTempView("_airbyte_raw_events")
+    out = spark.sql(
+        generate_normalization_sql(stream, "_airbyte_raw_events", "spark")
+    )
+    cols = [f.name for f in out.schema.fields]
+
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE TABLE _airbyte_raw_events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"('{a}', '{d}'::VARCHAR, TIMESTAMP '{e}')" for a, d, e in docs
+        )
+        + ") t(_airbyte_ab_id, _airbyte_data, _airbyte_emitted_at)"
+    )
+    duck = con.execute(
+        generate_normalization_sql(stream, "_airbyte_raw_events", "duckdb")
+    ).fetchall()
+    s = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    assert s == sorted(duck)
+    # NULL-cursor version sorts FIRST: id=2's active row is the real one
+    act = {r["id"]: r["name"] for r in out.collect()}
+    assert act[2] == "real"

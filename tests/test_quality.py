@@ -74,3 +74,26 @@ def test_scd_table_tests(spark):
     got2 = {r.test_name: r.failing_rows for r in scd_table_tests(bad, ["user_id"]).collect()}
     assert got2["unique_active_row_per_key"] == 1
     assert got2["unique_version_rows"] == 1
+
+
+def test_schema_tests_empty_frame_reports_zero(spark):
+    """An EMPTY frame has zero failing rows — not NULL (sum over no rows):
+    every test kind must agree."""
+    from airbyte_spark.lake.quality import run_schema_tests
+
+    empty = spark.createDataFrame([], "id long, amount long")
+    rep = run_schema_tests(
+        empty, not_null=["id"], unique=[["id"]],
+        expressions={"amt_pos": "amount > 0"},
+    )
+    assert rep == {"not_null_id": 0, "expression_amt_pos": 0, "unique_id": 0}
+
+
+def test_schema_tests_label_with_quote(spark):
+    """A test name (or column) containing a single quote must not break
+    the generated stack() SQL."""
+    from airbyte_spark.lake.quality import run_schema_tests
+
+    df = spark.createDataFrame([(1,), (-2,)], "amount long")
+    rep = run_schema_tests(df, expressions={"amount's positive": "amount > 0"})
+    assert rep == {"expression_amount's positive": 1}

@@ -248,3 +248,66 @@ def test_render_selection_catalog():
     assert "selected" not in snap.get("schema", {})
     # input catalog not mutated
     assert "selected" not in CATALOG["streams"][0]["schema"]
+
+
+def test_latest_state_across_files_ignores_partition_order(spark, tmp_path):
+    """chunk-000 (small, early, STALE state) + chunk-001 (large, later,
+    final state): Spark packs file splits size-DESCENDING, so a partition-
+    id-based sequence orders the big later file FIRST and latest_state
+    would resurrect the stale bookmark (checkpoint regression). The
+    file-aware sequence must return the last state in capture order."""
+    d = tmp_path / "cap"
+    d.mkdir()
+    early = [
+        json.dumps({"type": "RECORD", "stream": "users", "record": {"id": 1}}),
+        json.dumps({"type": "STATE", "value": {"bookmark": 1}}),
+    ]
+    late = [
+        json.dumps({"type": "RECORD", "stream": "users", "record": {"id": i}})
+        for i in range(2, 2000)
+    ] + [json.dumps({"type": "STATE", "value": {"bookmark": 2}})]
+    (d / "chunk-000.jsonl").write_text("\n".join(early) + "\n")
+    (d / "chunk-001.jsonl").write_text("\n".join(late) + "\n")
+    env = sg.read_singer_output(spark, str(d))
+    assert sg.latest_state(env) == {"bookmark": 2}
+
+
+def test_rfc3339_timestamps_parse_by_default(spark):
+    """Real taps emit RFC3339 ('T'/'Z'); our own captures use the pinned
+    space-separated micro format — BOTH must type-parse with the default
+    parse format, or cursor values silently come back NULL."""
+    import datetime
+
+    lines = [
+        json.dumps({"type": "RECORD", "stream": "s",
+                    "record": {"id": 1, "at": "2021-01-01T00:00:00.000000Z"}}),
+        json.dumps({"type": "RECORD", "stream": "s",
+                    "record": {"id": 2, "at": "2021-01-01 00:00:00.000123"}}),
+    ]
+    env = sg.parse_singer_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("at", T.TimestampType())]
+    )
+    vals = {r["id"]: r["at"] for r in sg.records(env, "s", schema).collect()}
+    assert vals[1] == datetime.datetime(2021, 1, 1)  # session tz is UTC
+    assert vals[2] == datetime.datetime(2021, 1, 1, 0, 0, 0, 123)
+
+
+def test_record_field_name_with_dot(spark):
+    """A JSON property named 'user.name' is a legal key — field extraction
+    must not parse it as a nested path."""
+    lines = [
+        json.dumps({"type": "RECORD", "stream": "s",
+                    "record": {"id": 1, "user.name": "ada"}})
+    ]
+    env = sg.parse_singer_lines(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("user.name", T.StringType())]
+    )
+    row = sg.records(env, "s", schema).collect()[0]
+    assert row["id"] == 1 and row["user.name"] == "ada"

@@ -219,3 +219,22 @@ def test_micro_batch_temporal_enrichment(spark, tmp_path):
            sorted(map(tuple, batch.collect()))
     got = {(r.k, r.at): r.attr for r in incremental.collect()}
     assert got == {(1, 50): "a1", (2, 50): "b1", (1, 150): "a2", (2, 110): "b1"}
+
+
+def test_asof_join_renames_colliding_payload_columns(spark):
+    """A history payload column that also exists in probes must come back
+    with the version_ prefix (same rule as asof_lookup) — duplicate output
+    names would make every downstream reference ambiguous."""
+    from airbyte_spark.operators.temporal import asof_join
+
+    history = spark.createDataFrame(
+        [("k1", 10, "active"), ("k1", 20, "closed")], "id string, v long, status string"
+    )
+    probes = spark.createDataFrame(
+        [("k1", 15, "probe-status")], "id string, t long, status string"
+    )
+    out = asof_join(probes, history, ["id"], "t", "v")
+    assert sorted(out.columns) == ["id", "status", "t", "v", "version_status"]
+    row = out.collect()[0]
+    assert row["status"] == "probe-status" and row["version_status"] == "active"
+    assert row["v"] == 10

@@ -234,3 +234,22 @@ def test_streaming_audit_gate(spark, tmp_path, feed):
     bad_table = LakeTable(spark, cfg_bad.table_path)
     assert bad_table.read().count() == 0  # first batch never published
     assert bad_table.list_staged() == []  # aborted, not leaked
+
+
+def test_audit_error_aborts_staged_commit(spark, tmp_path, feed):
+    """If the AUDIT itself raises (bad expression, transient scan error)
+    the staged commit must be aborted, not leaked — a parked staged commit
+    would orphan its data files forever."""
+    table = _mk_table(spark, tmp_path / "t")
+    a, b = _halves(feed)
+    with pytest.raises(Exception):
+        audited_merge_batch(
+            table, _chunk(spark, feed, a), ORDER_COLS,
+            expressions={"boom": "nonexistent_column > 0"}, batch_id=0,
+        )
+    assert table.list_staged() == []
+    assert table.read().count() == 0  # table untouched, fence not advanced
+
+    # an EMPTY test battery is vacuously clean: publish, don't error
+    stats = audited_merge_batch(table, _chunk(spark, feed, a), ORDER_COLS, batch_id=0)
+    assert stats.version is not None and table.list_staged() == []
