@@ -132,6 +132,7 @@ def scd_merge_batch(
     post_dedup=None,
     bounded: bool = False,
     strategy: str = "cow",
+    commit_empty: bool = True,
 ) -> ScdMergeStats:
     """Apply one micro-batch to the SCD history table (fenced).
 
@@ -161,6 +162,10 @@ def scd_merge_batch(
         )
         rows_in = sum(r["n"] for r in stats_rows)
         if rows_in == 0:
+            if not commit_empty:
+                # idle-tail policy (same contract as merge_batch): leave no
+                # commit — the fence needn't advance for a zero-row trigger
+                return ScdMergeStats(skipped=False, version=None, rows_in=0)
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
                 lineage=_scd_lineage(app_id, batch_id, 0, None, epoch),
@@ -171,6 +176,16 @@ def scd_merge_batch(
             int(r["_b"]): {"rows": r["n"], "max_lsn": r["mx"]} for r in stats_rows
         }
         touched = list(per_bucket)
+        _lsns = [
+            v["max_lsn"] for v in per_bucket.values() if v["max_lsn"] is not None
+        ]
+        lineage = _scd_lineage(
+            app_id, batch_id, rows_in, max(_lsns) if _lsns else None, epoch
+        )
+        lineage["partitions"] = {
+            b: {"rows": v["rows"], "max_lsn": v["max_lsn"], "deletes": 0}
+            for b, v in per_bucket.items()
+        }
 
         if strategy == "mor":
             # LSM write path: append the immutable version rows; the two
@@ -197,14 +212,6 @@ def scd_merge_batch(
                 F.lit(False).alias(META_DELETED),
                 F.col("_b"),
             )
-            _lsns = [v["max_lsn"] for v in per_bucket.values() if v["max_lsn"] is not None]
-            lineage = _scd_lineage(
-                app_id, batch_id, rows_in, max(_lsns) if _lsns else None, epoch
-            )
-            lineage["partitions"] = {
-                b: {"rows": v["rows"], "max_lsn": v["max_lsn"], "deletes": 0}
-                for b, v in per_bucket.items()
-            }
             adds, total = table.write_data_files(
                 snap, rows, n_out_partitions=len(touched), kind="delta",
                 rows_per_bucket={b: v["rows"] for b, v in per_bucket.items()},
@@ -226,12 +233,21 @@ def scd_merge_batch(
             buckets=touched, include_meta=False, include_deleted=True, snap=snap
         ).drop(*SCD_OUT_COLS)
         core_cols = existing.columns
+        dtypes = {f.name: f.dtype for f in snap.schema.fields}
+        # null-pad schema columns the batch lacks (a just-evolved table's
+        # feed may not carry the new column yet) — same conform the MOR
+        # branch and merge_batch apply; a bare select would raise
+        batch_sel = [
+            (F.col(c) if c in new.columns else F.lit(None))
+            .cast(dtypes[c]).alias(c)
+            for c in core_cols
+        ]
         # cross-batch re-delivery of an already-written version collapses
         # with the SAME deterministic winner rule as the intra-batch
         # collapse, so streaming and batch builds stay byte-equal even when
         # duplicate copies differ in delivery metadata
         unioned = salted_scd2_input(
-            existing.unionByName(new.select(*core_cols)), pk, cursor
+            existing.unionByName(new.select(*batch_sel)), pk, cursor
         )
         window = scd2_bounded if bounded else scd2
         hist = window(unioned, pk, cursor)
@@ -248,14 +264,6 @@ def scd_merge_batch(
             F.lit(False).alias(META_DELETED),
         ).withColumn("_b", table.bucket_expr(snap))
 
-        _lsns = [v["max_lsn"] for v in per_bucket.values() if v["max_lsn"] is not None]
-        lineage = _scd_lineage(
-            app_id, batch_id, rows_in, max(_lsns) if _lsns else None, epoch
-        )
-        lineage["partitions"] = {
-            b: {"rows": v["rows"], "max_lsn": v["max_lsn"], "deletes": 0}
-            for b, v in per_bucket.items()
-        }
         adds, total = table.write_data_files(
             snap, rows, n_out_partitions=len(touched)
         )

@@ -505,6 +505,13 @@ class LakeTable:
             entry["removes"] = removes
         if cur.current_schema_id != old.current_schema_id:
             entry["schema"] = old.schema.to_json()
+        if cur.n_buckets != old.n_buckets:
+            # rolling back ACROSS a rebucket must restore the bucket count
+            # too — the re-referenced files carry bucket ids computed under
+            # the old count, and a merge planning with the new count would
+            # neither read nor remove a key's existing rows (duplicate live
+            # rows, wrong pruning)
+            entry["n_buckets"] = old.n_buckets
         entry["lineage"] = {
             "app_id": "__rollback__", "batch_id": to_version,
             "rows_in": 0, "rows_upserted": 0, "rows_deleted": 0,
@@ -692,11 +699,18 @@ class LakeTable:
             writer = writer.sortWithinPartitions("_b", *sort_within)
         # INT96 (Spark's default parquet timestamp encoding) carries no
         # column statistics, which would silence event-time data skipping;
-        # TIMESTAMP_MICROS is the modern stats-bearing encoding
-        self.spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        writer.write.partitionBy("_b").parquet(out, compression="zstd")
+        # TIMESTAMP_MICROS is the modern stats-bearing encoding. The
+        # setting is session-global (the parquet writer ignores it as a
+        # per-write option), so save/restore around the write — a user
+        # session that configured its own encoding must not have it
+        # silently hijacked for its OWN writes after touching a LakeTable.
+        _TS_KEY = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(_TS_KEY)
+        self.spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        try:
+            writer.write.partitionBy("_b").parquet(out, compression="zstd")
+        finally:
+            self.spark.conf.set(_TS_KEY, prev_ts)
         total: Optional[int] = None
         if obs is not None:
             try:
@@ -750,13 +764,20 @@ class LakeTable:
         return adds, total
 
     def append(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
-        """Blind append (bronze / destination_sync_mode=append, K7)."""
+        """Blind append (bronze / destination_sync_mode=append, K7).
+
+        The LSN resolves from the INCOMING frame in the same select as the
+        conform (same hazard as ``overwrite``: a cursor column the table
+        schema doesn't carry would already be projected away)."""
         snap = self.snapshot()
-        prepared = self._conform(df, snap).withColumn("_b", self.bucket_expr(snap))
-        prepared = prepared.withColumn(
-            META_LSN,
-            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long"),
-        ).withColumn(META_DELETED, F.lit(False))
+        lsn = (
+            F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
+        )
+        prepared = (
+            self._conform(df, snap, extra=[lsn.alias(META_LSN)])
+            .withColumn(META_DELETED, F.lit(False))
+            .withColumn("_b", self.bucket_expr(snap))
+        )
         adds, _ = self.write_data_files(snap, prepared)
         return self.commit(snap, adds, [], op="append")
 

@@ -177,21 +177,6 @@ def _process_batch(
     tail_dst: Optional[LakeTable] = None,
 ):
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if scd_table is not None:
-            from ..lake.scd import scd_merge_batch
-
-            scd_merge_batch(
-                scd_table,
-                batch_df,
-                PK,
-                app_id=cfg.app_id,
-                batch_id=batch_id,
-                epoch=cfg.epoch,
-                post_dedup=lambda df: prepare_changes(
-                    df, canonicalize=cfg.canonicalize
-                ),
-                strategy=cfg.scd_strategy,
-            )
         merge_kwargs = dict(
             app_id=cfg.app_id,
             batch_id=batch_id,
@@ -212,6 +197,28 @@ def _process_batch(
             )
         else:
             stats = merge_batch(table, batch_df, ORDER_COLS, **merge_kwargs)
+        if scd_table is not None:
+            # AFTER the (possibly audited) main merge: an audit-failed
+            # batch must abort before ANY table sees it — committing the
+            # SCD history first would make the bad rows permanently
+            # visible there (and its advanced fence would skip the fixed
+            # re-delivery). A crash between the main commit and this one
+            # replays the batch; each table's own fence skips or applies.
+            from ..lake.scd import scd_merge_batch
+
+            scd_merge_batch(
+                scd_table,
+                batch_df,
+                PK,
+                app_id=cfg.app_id,
+                batch_id=batch_id,
+                epoch=cfg.epoch,
+                post_dedup=lambda df: prepare_changes(
+                    df, canonicalize=cfg.canonicalize
+                ),
+                strategy=cfg.scd_strategy,
+                commit_empty=cfg.commit_empty_batches,
+            )
         if children is not None:
             from ..lake.children import merge_children_batch
 
@@ -259,20 +266,32 @@ def _process_batch(
                 from ..lake.maintenance import maintain
 
                 maintain(table, cfg.maintenance_policy)
-                if scd_table is not None and cfg.scd_strategy == "mor":
-                    maintain(scd_table, cfg.maintenance_policy, scd=True)
+                if scd_table is not None:
+                    if cfg.scd_strategy == "mor":
+                        maintain(scd_table, cfg.maintenance_policy, scd=True)
+                    else:
+                        # COW history: every scd_merge rewrote its touched
+                        # buckets — without a vacuum the dereferenced
+                        # files accumulate one bucket-rewrite per batch
+                        scd_table.vacuum(
+                            grace_commits=cfg.maintenance_policy.vacuum_grace_commits
+                        )
                 if children is not None:
                     for ct in children[0].values():
                         maintain(ct, cfg.maintenance_policy)
             else:
                 table.compact()
                 table.vacuum(grace_commits=2)
-                if scd_table is not None and cfg.scd_strategy == "mor":
-                    from ..lake.scd import scd_compact
+                if scd_table is not None:
+                    if cfg.scd_strategy == "mor":
+                        from ..lake.scd import scd_compact
 
-                    # re-windowing fold (NOT plain compact: the derived SCD
-                    # columns must be materialized from the next-version lag)
-                    scd_compact(scd_table)
+                        # re-windowing fold (NOT plain compact: the derived
+                        # SCD columns must be materialized from the
+                        # next-version lag)
+                        scd_compact(scd_table)
+                    # COW rewrites dereference whole buckets per batch —
+                    # both strategies need the reclaim
                     scd_table.vacuum(grace_commits=2)
                 if children is not None:
                     # child tables use plain LSN resolution — ordinary fold
@@ -307,6 +326,9 @@ def run_replay_stream(
         scd_table = bootstrap_scd_table(
             spark, cfg.scd_table_path, cfg.feed_struct, PK,
             bucket_cols=["conv_id"],
+            # bucketed LIKE THE MAIN TABLE (the bootstrap's own contract):
+            # both upserts must prune/parallelize at the same granularity
+            n_buckets=table.snapshot().n_buckets,
         )
     tail_dst = None
     if cfg.tail_to_path:
@@ -344,6 +366,14 @@ def run_replay_stream(
     stream = stream.observe("replay_feed", *obs_cols)
 
     if cfg.watermark_dedup:
+        feed_cols = {f.name for f in cfg.feed_struct.fields}
+        if "_airbyte_emitted_at" not in feed_cols:
+            raise ValueError(
+                "watermark_dedup=True needs an '_airbyte_emitted_at' column "
+                "in feed_struct (the dedup watermark's event time); add the "
+                "column or pass ReplayConfig(watermark_dedup=False) — the "
+                "merge itself stays idempotent without it"
+            )
         # cross-batch duplicate suppression before the merge even sees the
         # rows; the merge stays idempotent regardless (defense in depth)
         stream = stream.withWatermark("_airbyte_emitted_at", cfg.watermark)

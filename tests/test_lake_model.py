@@ -105,3 +105,45 @@ def test_identifier_canonicalization_idempotent(seed):
         s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 60)))
         once = canonicalize_identifier(s, max_length=20)
         assert canonicalize_identifier(once, max_length=20) == once
+
+
+def _mk_plain_table(spark, path, n_buckets=4):
+    return LakeTable.create(
+        spark, str(path), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=n_buckets,
+    )
+
+
+def test_rollback_across_rebucket_restores_bucket_count(spark, tmp_path):
+    """Rolling back ACROSS a rebucket must restore n_buckets too: the
+    re-referenced files carry bucket ids computed under the OLD count, and
+    a merge planning with the new count would neither read nor remove a
+    key's existing rows — duplicate live rows and wrong pruning."""
+    table = _mk_plain_table(spark, tmp_path / "t", n_buckets=2)
+    rows0 = [("c%d" % i, 0, 10 + i, "v1", False) for i in range(6)]
+    merge_batch(table, _batch_df(spark, rows0), ORDER_COLS, app_id="m", batch_id=0)
+    v_pre = table.snapshot().version
+    table.rebucket(8)
+    table.rollback(v_pre)
+    assert table.snapshot().n_buckets == 2
+
+    rows1 = [("c%d" % i, 0, 50 + i, "v2", False) for i in range(6)]
+    merge_batch(table, _batch_df(spark, rows1), ORDER_COLS, app_id="m", batch_id=1)
+    assert _table_read(table) == [("c%d" % i, 0, "v2") for i in range(6)]
+
+
+def test_append_foreign_lsn_col_and_session_conf_restored(spark, tmp_path):
+    """append() must resolve the cursor from the INCOMING frame before the
+    conform drops non-schema columns (same contract as overwrite), and a
+    lake write must not permanently hijack the session's parquet
+    timestamp-encoding conf."""
+    table = _mk_plain_table(spark, tmp_path / "t")
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    src = _batch_df(spark, [("c0", 0, 5, "x", False)]).withColumn(
+        "__lsn", F.col("_ab_cdc_lsn") * 2
+    )
+    table.append(src, lsn_col="__lsn")  # '__lsn' is NOT a schema column
+    got = table.read(include_meta=True).select("conv_id", "__lsn").collect()
+    assert [(r["conv_id"], r["__lsn"]) for r in got] == [("c0", 10)]
+    assert spark.conf.get(key) == before

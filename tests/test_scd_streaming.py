@@ -454,3 +454,103 @@ def test_read_scd_asof_point_in_time(spark, tmp_path, tmp_path_factory):
                sorted(map(tuple, want.select(key).collect()))
         # at most one active version per key
         assert got.groupBy(*PK).count().filter("count > 1").count() == 0
+
+
+def _tiny_batch(spark, rows):
+    import datetime
+
+    ts = datetime.datetime(2025, 1, 1)
+    data = [
+        (c, t, "user", txt, None, ts, lsn, ts, None, ts)
+        for (c, t, lsn, txt) in rows
+    ]
+    return spark.createDataFrame(data, schema=CHANGE_STRUCT)
+
+
+def test_scd_cow_merge_null_pads_evolved_column(spark, tmp_path):
+    """After the SCD table evolves (add column) but before the feed
+    carries it, the COW merge must null-pad like the MOR path and
+    merge_batch — not crash resolving a missing column."""
+    import pyspark.sql.types as T
+
+    from airbyte_spark.catalog import diff_schemas
+    from airbyte_spark.lake.scd import read_scd
+
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, cursor=CURSOR,
+        n_buckets=4,
+    )
+    scd_merge_batch(table, _tiny_batch(spark, [("c1", 0, 10, "a")]), PK,
+                    cursor=CURSOR, app_id="t", batch_id=0, strategy="cow")
+    cur = table.snapshot().schema.to_struct()
+    target = T.StructType(
+        list(cur.fields) + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    table.evolve(
+        diff_schemas(table.snapshot().schema, target,
+                     primary_key=list(table.snapshot().primary_key))
+    )
+    scd_merge_batch(table, _tiny_batch(spark, [("c1", 0, 20, "b")]), PK,
+                    cursor=CURSOR, app_id="t", batch_id=1, strategy="cow")
+    hist = read_scd(table).orderBy("_airbyte_start_at").collect()
+    assert [h["text"] for h in hist] == ["a", "b"]
+    assert all(h["tool_version"] is None for h in hist)
+
+
+def test_scd_merge_empty_batch_respects_commit_empty(spark, tmp_path):
+    """commit_empty=False must leave NO commit for a zero-row trigger
+    (idle-tail policy, same contract as merge_batch)."""
+    table = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK, cursor=CURSOR,
+        n_buckets=2,
+    )
+    empty = spark.createDataFrame([], CHANGE_STRUCT)
+    v0 = table.snapshot().version
+    st = scd_merge_batch(table, empty, PK, cursor=CURSOR, app_id="t",
+                         batch_id=0, commit_empty=False)
+    assert st.version is None and table.snapshot().version == v0
+    st = scd_merge_batch(table, empty, PK, cursor=CURSOR, app_id="t", batch_id=0)
+    assert st.version == v0 + 1  # default still records the fence
+
+
+def test_streaming_cow_scd_is_vacuumed(spark, tmp_path, tmp_path_factory):
+    """COW SCD history in the streaming loop: every scd_merge rewrites its
+    touched buckets, so the maintenance cycle must vacuum the SCD table
+    too (not only for strategy='mor') — otherwise one full bucket-rewrite
+    per micro-batch accumulates forever."""
+    feed = tmp_path_factory.mktemp("scdvac")
+    generate_feed(str(feed), SPEC)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        scd_table_path=str(tmp_path / "scd"),
+        scd_strategy="cow",
+        max_files_per_trigger=1,
+        compact_every_batches=2,
+    )
+    run_replay_stream(spark, cfg)
+    scd = LakeTable(spark, cfg.scd_table_path)
+    # the in-stream cycles already reclaimed everything older than the
+    # grace window: a manual vacuum with the same grace finds nothing
+    assert scd.vacuum(grace_commits=2) == []
+
+
+def test_scd_table_matches_main_bucket_count(spark, tmp_path, tmp_path_factory):
+    """The auto-bootstrapped SCD table must inherit the main table's
+    bucket count (bootstrap_scd_table's own contract: both upserts prune
+    and parallelize at the same granularity)."""
+    from airbyte_spark.streaming.runner import bootstrap_table
+
+    feed = tmp_path_factory.mktemp("scdnb")
+    generate_feed(str(feed), SPEC)
+    bootstrap_table(spark, str(tmp_path / "tbl"), n_buckets=4)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        scd_table_path=str(tmp_path / "scd"),
+        max_files_per_trigger=1,
+    )
+    run_replay_stream(spark, cfg)
+    assert LakeTable(spark, cfg.scd_table_path).snapshot().n_buckets == 4

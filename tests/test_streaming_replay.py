@@ -107,3 +107,25 @@ def test_crash_between_sink_commit_and_checkpoint(spark, tmp_path, feed_dir):
     lin = table.lineage_df().toPandas()
     assert lin["batch_id"].is_unique  # no double-apply
     assert_same(table.read(), _oracle(ev))
+
+
+def test_watermark_dedup_requires_emitted_at_column(spark, tmp_path):
+    """A custom feed_struct without '_airbyte_emitted_at' + the default
+    watermark_dedup=True must fail fast with a clear error naming the
+    knob, not an opaque AnalysisException at query start."""
+    import pyspark.sql.types as T
+
+    from airbyte_spark.schemas import CHANGE_STRUCT
+
+    struct = T.StructType(
+        [f for f in CHANGE_STRUCT.fields if f.name != "_airbyte_emitted_at"]
+    )
+    os.makedirs(tmp_path / "feed", exist_ok=True)
+    cfg = ReplayConfig(
+        feed_dir=str(tmp_path / "feed"),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        feed_struct=struct,
+    )
+    with pytest.raises(ValueError, match="_airbyte_emitted_at"):
+        run_replay_stream(spark, cfg)

@@ -224,6 +224,7 @@ def test_streaming_audit_gate(spark, tmp_path, feed):
         feed_dir=feed_dir,
         table_path=str(tmp_path / "tbl_bad"),
         checkpoint_dir=str(tmp_path / "ck_bad"),
+        scd_table_path=str(tmp_path / "scd_bad"),
         max_files_per_trigger=2,
         audit_tests={"expressions": {"short_text": "length(text) < 2"}},
     )
@@ -234,6 +235,11 @@ def test_streaming_audit_gate(spark, tmp_path, feed):
     bad_table = LakeTable(spark, cfg_bad.table_path)
     assert bad_table.read().count() == 0  # first batch never published
     assert bad_table.list_staged() == []  # aborted, not leaked
+    # the SCD history table must not have seen the failed batch either —
+    # it merges AFTER the audit gate, so an aborted batch is visible in
+    # NO table (and its fence hasn't advanced past the fixed re-delivery)
+    bad_scd = LakeTable(spark, cfg_bad.scd_table_path)
+    assert bad_scd.read(include_deleted=True).count() == 0
 
 
 def test_audit_error_aborts_staged_commit(spark, tmp_path, feed):
