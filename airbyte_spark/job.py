@@ -96,13 +96,37 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = build_session()
     from .lake import merge_batch
-    from .plans.replay import batch_replay
     from .schemas import CHANGE_STRUCT, ORDER_COLS
     from .streaming.runner import ReplayConfig, bootstrap_table, run_replay_stream
 
+    if args.feed_schema_ddl:
+        from pyspark.sql import types as T
+
+        feed_struct = T.StructType.fromDDL(args.feed_schema_ddl)
+    else:
+        feed_struct = CHANGE_STRUCT
+    maintenance_policy = None
+    if args.maintain_max_buckets is not None or args.maintain_max_mb is not None:
+        from .lake import MaintenancePolicy
+
+        maintenance_policy = MaintenancePolicy(
+            max_buckets_per_cycle=args.maintain_max_buckets,
+            max_bytes_per_cycle=(
+                args.maintain_max_mb << 20
+                if args.maintain_max_mb is not None
+                else None
+            ),
+        )
+
     if args.backfill:
-        table = bootstrap_table(spark, args.table, n_buckets=args.n_buckets)
-        raw = spark.read.schema(CHANGE_STRUCT).parquet(f"{args.feed_dir}/*.parquet")
+        # one-shot batch replay (S4 snapshot); the post-sync blocks below
+        # (--tail-to / --compact / --schema-tests) apply to it like any
+        # bounded sync
+        table = bootstrap_table(
+            spark, args.table, n_buckets=args.n_buckets,
+            feed_struct=feed_struct,
+        )
+        raw = spark.read.schema(feed_struct).parquet(f"{args.feed_dir}/*.parquet")
         from .functions.text import canonicalize_udf  # noqa: F401 (worker warmup)
         from .plans.replay import prepare_changes
 
@@ -113,43 +137,40 @@ def main(argv: list[str] | None = None) -> None:
                 df, canonicalize=not args.no_canonicalize
             ),
         )
-        return
-
-    cfg = ReplayConfig(
-        feed_dir=args.feed_dir,
-        table_path=args.table,
-        checkpoint_dir=args.checkpoint,
-        app_id=args.app_id,
-        epoch=args.epoch,
-        max_files_per_trigger=args.max_files_per_trigger,
-        max_bytes_per_trigger=args.max_bytes_per_trigger,
-        canonicalize=not args.no_canonicalize,
-        strategy=args.strategy,
-        compact_every_batches=args.compact_every,
-        scd_table_path=args.scd_table,
-        scd_strategy=args.scd_strategy,
-        child_tables_path=args.child_tables,
-        stream_name=args.stream_name,
-    )
-    if args.maintain_max_buckets is not None or args.maintain_max_mb is not None:
-        from .lake import MaintenancePolicy
-
-        cfg.maintenance_policy = MaintenancePolicy(
-            max_buckets_per_cycle=args.maintain_max_buckets,
-            max_bytes_per_cycle=(
-                args.maintain_max_mb << 20
-                if args.maintain_max_mb is not None
-                else None
-            ),
+    else:
+        cfg = ReplayConfig(
+            feed_dir=args.feed_dir,
+            table_path=args.table,
+            checkpoint_dir=args.checkpoint,
+            app_id=args.app_id,
+            epoch=args.epoch,
+            max_files_per_trigger=args.max_files_per_trigger,
+            max_bytes_per_trigger=args.max_bytes_per_trigger,
+            canonicalize=not args.no_canonicalize,
+            strategy=args.strategy,
+            compact_every_batches=args.compact_every,
+            scd_table_path=args.scd_table,
+            scd_strategy=args.scd_strategy,
+            child_tables_path=args.child_tables,
+            stream_name=args.stream_name,
+            feed_struct=feed_struct,
+            maintenance_policy=maintenance_policy,
         )
-    if args.tail_to and args.continuous:
-        # continuous mode: the hop runs inside the streaming loop instead
-        cfg.tail_to_path = args.tail_to
-    if args.feed_schema_ddl:
-        from pyspark.sql import types as T
-
-        cfg.feed_struct = T.StructType.fromDDL(args.feed_schema_ddl)
-    run_replay_stream(spark, cfg, available_now=not args.continuous)
+        # honor --n-buckets on the streaming path too: the runner's
+        # bootstrap is open-if-exists, so creating here pins the layout
+        bootstrap_table(
+            spark, args.table, n_buckets=args.n_buckets,
+            feed_struct=feed_struct,
+        )
+        if args.tail_to and args.continuous:
+            # continuous mode: the hop runs inside the streaming loop,
+            # under the SAME fence id as the bounded CLI hop so switching
+            # modes resumes the edge instead of restarting it
+            cfg.tail_to_path = args.tail_to
+            cfg.tail_app_id = args.tail_app_id
+        # --continuous blocks here (the runner awaits); bounded runs
+        # return once the feed is drained
+        run_replay_stream(spark, cfg, available_now=not args.continuous)
     if args.tail_to and not args.continuous:
         # BEFORE the compact block: compaction folds the sync's delta
         # files and vacuum removes them — a tail running after would find
@@ -188,10 +209,10 @@ def main(argv: list[str] | None = None) -> None:
                 if LakeTable.exists(p):
                     targets.append((LakeTable(spark, p), False))
         for t, is_scd in targets:
-            if cfg.maintenance_policy is not None:
+            if maintenance_policy is not None:
                 from .lake import maintain_until_clean
 
-                maintain_until_clean(t, cfg.maintenance_policy, scd=is_scd)
+                maintain_until_clean(t, maintenance_policy, scd=is_scd)
             elif is_scd:
                 from .lake import scd_compact
 

@@ -105,7 +105,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     magic, _, wave = _RIFF.unpack_from(payload, 0)
     if magic != b"RIFF" or wave != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, sample_rate, channels = _RIFF.size, None, None
+    # walk ALL chunks before returning: RIFF permits any chunk order
+    # (data before fmt, LIST/INFO interleaved), so returning at the first
+    # data chunk could yield sample_rate/channels = None
+    pos, sample_rate, channels, samples = _RIFF.size, None, None, None
     while pos + 8 <= len(payload):
         cid, clen = struct.unpack_from("<4sI", payload, pos)
         if cid == b"fmt ":
@@ -116,9 +119,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
                 raise ValueError("unsupported WAV variant (PCM-16 only)")
         elif cid == b"data":
             samples = np.frombuffer(payload, np.int16, clen // 2, pos + 8)
-            return sample_rate, channels, samples
         pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
-    raise ValueError("WAV data chunk not found")
+    if samples is None:
+        raise ValueError("WAV data chunk not found")
+    if sample_rate is None:
+        raise ValueError("WAV fmt chunk not found")
+    return sample_rate, channels, samples
 
 
 # --------------------------------------------- FRMS multi-frame container

@@ -57,7 +57,13 @@ def replay_df(
     top = latest_per_key(raw, PK, ORDER_COLS)
     alive = top.filter(F.col("_ab_cdc_deleted_at").isNull())
     alive = prepare_changes(alive, canonicalize=canonicalize)
+    # the SAME metadata-stripping rule as the streaming bootstrap — a
+    # prefix heuristic would silently drop genuine payload columns that
+    # happen to start with '_ab_' in custom feeds, diverging the oracle
+    # from the stream it exists to check
+    from ..schemas import CHANGE_META_COLS
+
     cols = payload_cols or [
-        c for c in raw.columns if not c.startswith("_ab_") and c != "_airbyte_emitted_at"
+        c for c in raw.columns if c not in CHANGE_META_COLS
     ]
     return alive.select(*cols)

@@ -105,6 +105,11 @@ class ReplayConfig:
     #: a vacuum of the commits it still has to read.
     tail_to_path: Optional[str] = None
     tail_every_batches: int = 1
+    #: fence id for the tail hop (one per src->dst edge). Default derives
+    #: from app_id; set it explicitly to share the fence with a bounded
+    #: CLI hop (--tail-app-id) so switching modes resumes instead of
+    #: restarting the edge from version 0
+    tail_app_id: Optional[str] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
@@ -249,7 +254,10 @@ def _process_batch(
             # fenced no-op when already caught up)
             from ..lake.pipeline import tail_into
 
-            tail_into(table, tail_dst, app_id=f"{cfg.app_id}-tail")
+            tail_into(
+                table, tail_dst,
+                app_id=cfg.tail_app_id or f"{cfg.app_id}-tail",
+            )
         if stats.skipped:
             # fenced re-delivery: still drain every partition so the upstream
             # stateful operator (dropDuplicatesWithinWatermark) can commit its
@@ -392,4 +400,10 @@ def run_replay_stream(
             q.awaitTermination()
     else:
         q = writer.trigger(processingTime="1 second").start()
+        if await_termination:
+            # a continuous tail must BLOCK the driver (spark-submit
+            # --continuous would otherwise exit right after start and
+            # tear the stream down); callers managing several queries
+            # (sync.py) pass await_termination=False
+            q.awaitTermination()
     return q

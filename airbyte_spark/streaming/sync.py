@@ -37,6 +37,21 @@ def run_sync(
         for cfg in cfgs
     ]
     if available_now:
+        # await EVERY query even when an earlier one fails — per-stream
+        # isolation means the healthy streams must finish their bounded
+        # sync (their states are independent), and every failure must
+        # surface, not just the first in start order
+        errors: list[tuple[str, Exception]] = []
         for q in queries:
-            q.awaitTermination()
+            try:
+                q.awaitTermination()
+            except Exception as e:  # StreamingQueryException per stream
+                errors.append((q.name, e))
+        if errors:
+            if len(errors) == 1:
+                raise errors[0][1]
+            raise RuntimeError(
+                f"{len(errors)} streams failed: "
+                + ", ".join(f"{n}: {e}" for n, e in errors)
+            ) from errors[0][1]
     return queries

@@ -105,3 +105,32 @@ def test_sample_frames_stage(media):
         # frame k of doc d is synth_image(d + k) — sampled dims must track k
         for r in rows:
             assert (r.height, r.width) == C.synth_image_dims(d + r.frame_idx)
+
+
+def test_wav_decodes_data_chunk_before_fmt():
+    """RIFF permits any chunk order — a spec-legal WAV with the data chunk
+    before fmt (or LIST chunks interleaved) must decode, not return
+    None metadata."""
+    import struct
+
+    import numpy as np
+
+    samples = np.arange(8, dtype=np.int16)
+    sr, ch = 8000, 1
+    data = samples.tobytes()
+    fmt = C._FMT.pack(b"fmt ", 16, 1, ch, sr, sr * 2, 2, 16)
+    # data first, then an info LIST chunk, then fmt
+    info = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    body = C._DATA.pack(b"data", len(data)) + data + info + fmt
+    wav = C._RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+    sr2, ch2, out = C.decode_wav(wav)
+    assert (sr2, ch2) == (sr, ch)
+    assert np.array_equal(out, samples)
+
+    # fmt missing entirely -> the documented ValueError, not a TypeError
+    body = C._DATA.pack(b"data", len(data)) + data
+    wav = C._RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+    import pytest
+
+    with pytest.raises(ValueError, match="fmt"):
+        C.decode_wav(wav)

@@ -46,3 +46,47 @@ def test_two_streams_isolated(spark, tmp_path, tmp_path_factory):
     assert_same(
         t_beta.read(), oracle_final_state(evs["beta"], canonicalize=canonicalize_pandas)
     )
+
+
+def test_failing_stream_does_not_block_healthy_streams(spark, tmp_path, tmp_path_factory):
+    """Bounded multi-stream sync where one stream's audit gate fails: the
+    HEALTHY stream must still complete its sync (per-stream isolation) and
+    the failure must surface after all queries terminated."""
+    import pytest
+
+    good_feed = tmp_path_factory.mktemp("feed_good")
+    bad_feed = tmp_path_factory.mktemp("feed_bad")
+    spec = FeedSpec(n_convs=10, turns_per_conv=3, n_updates=40, n_deletes=5,
+                    dup_rate=0.05, late_rate=0.05, n_segments=2, seed=303)
+    ev = generate_feed(str(good_feed), spec)
+    generate_feed(str(bad_feed), FeedSpec(
+        n_convs=6, turns_per_conv=3, n_updates=20, n_deletes=2,
+        dup_rate=0.05, late_rate=0.05, n_segments=2, seed=404))
+    cfgs = [
+        ReplayConfig(
+            feed_dir=str(good_feed),
+            table_path=str(tmp_path / "tbl_good"),
+            checkpoint_dir=str(tmp_path / "ck_good"),
+            app_id="stream-good",
+            max_files_per_trigger=1,
+        ),
+        ReplayConfig(
+            feed_dir=str(bad_feed),
+            table_path=str(tmp_path / "tbl_bad"),
+            checkpoint_dir=str(tmp_path / "ck_bad"),
+            app_id="stream-bad",
+            max_files_per_trigger=1,
+            # a gate the data genuinely violates: every batch fails
+            audit_tests={"expressions": {"never": "1 = 0"}},
+        ),
+    ]
+    with pytest.raises(Exception):
+        run_sync(spark, cfgs)
+    # the healthy stream finished its bounded sync despite the failure
+    good = LakeTable(spark, cfgs[0].table_path)
+    assert_same(
+        good.read(), oracle_final_state(ev, canonicalize=canonicalize_pandas)
+    )
+    # the failed stream never published anything
+    bad = LakeTable(spark, cfgs[1].table_path)
+    assert bad.read().count() == 0 and bad.list_staged() == []

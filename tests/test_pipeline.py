@@ -677,3 +677,45 @@ def test_tail_scd_into_propagates_schema_evolution(
     assert st.applied >= 1
     assert_scd_equal(read_scd(dst), read_scd(src))
     assert read_scd(dst).filter(F.col("tool_version").isNotNull()).count() > 0
+
+
+def test_job_cli_n_buckets_honored_on_streaming_path(spark, tmp_path, tmp_path_factory):
+    """--n-buckets must pin the table layout on the STREAMING path too,
+    not only --backfill (the runner's bootstrap is open-if-exists, so the
+    CLI creates the table first)."""
+    from airbyte_spark import job
+
+    feed = tmp_path_factory.mktemp("jnbfeed")
+    generate_feed(str(feed), SPEC)
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--strategy", "mor",
+    ])
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    assert t.snapshot().n_buckets == 4
+    assert t.read().count() > 0
+
+
+def test_job_cli_backfill_runs_post_sync_steps(spark, tmp_path, tmp_path_factory, capsys):
+    """--backfill is a bounded sync like any other: the --tail-to hop and
+    --schema-tests battery must run after it instead of being silently
+    skipped by an early return."""
+    from airbyte_spark import job
+
+    feed = tmp_path_factory.mktemp("jbffeed")
+    generate_feed(str(feed), SPEC)
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--backfill",
+        "--tail-to", str(tmp_path / "silver"),
+        "--schema-tests",
+    ])
+    out = capsys.readouterr().out
+    assert "schema_tests" in out  # the battery ran (and passed: no exit 1)
+    silver = LakeTable(spark, str(tmp_path / "silver"))
+    main_t = LakeTable(spark, str(tmp_path / "tbl"))
+    assert _rows(silver) == _rows(main_t)
