@@ -938,10 +938,15 @@ def q_cdc_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag(F.col("ts")).over(w)
-    # NTZ has no direct long cast; go via LTZ epoch seconds — the session
-    # zone cancels in the difference
-    sec = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
-    new_s = F.when(prev.isNull() | ((sec(F.col("ts")) - sec(prev)) > 1800), 1).otherwise(0)
+    # NTZ subtraction yields a day-time interval: a pure wall-clock delta,
+    # independent of the session timezone (an NTZ->LTZ epoch detour would
+    # shift by the DST offset across a transition and diverge from
+    # DuckDB's tz-free epoch() difference), compared SUB-SECOND EXACT
+    # (flooring to whole seconds would mis-bucket a 1800.5s gap)
+    gap = F.col("ts") - prev
+    new_s = F.when(
+        prev.isNull() | (gap > F.expr("INTERVAL '1800' SECOND")), 1
+    ).otherwise(0)
     s = e.withColumn("_new", new_s).withColumn("session_idx", F.sum("_new").over(w))
     return s.groupBy(
         F.col("user_id").cast("long").alias("user_id"),

@@ -91,16 +91,20 @@ def json_type_to_spark(js: dict) -> T.DataType:
 
 def _widest_json(jtypes: list[str]) -> str:
     order = ["boolean", "integer", "number", "string"]
-    best = "boolean"
+    best = None
     for t in jtypes:
-        if t in order and order.index(t) > order.index(best):
+        if t in order and (best is None or order.index(t) > order.index(best)):
             best = t
-    return best
+    # a union of only non-scalar members (e.g. ['object','array']) falls
+    # back to string like any other unknown type — NOT boolean, which
+    # would fail to hold any actual value
+    return best or "string"
 
 
 def is_widening(old: T.DataType, new: T.DataType) -> bool:
-    """True when ``old -> new`` is a lossless widen (int32->int64, long->double,
-    anything->string), per the reference's wider-scope priority."""
+    """True when ``old -> new`` moves up the reference's wider-scope
+    lattice (int32->int64, long->double, anything->string). NOTE: not
+    every step is lossless — see :func:`is_lossless_widening`."""
     if old == new:
         return False
     try:
@@ -108,6 +112,21 @@ def is_widening(old: T.DataType, new: T.DataType) -> bool:
     except ValueError:
         return False
     return in_ > io
+
+
+#: lattice steps that LOSE information: doubles hold 53 mantissa bits, so
+#: long / decimal(38,0) values beyond 2^53 collapse onto the same double
+_LOSSY_STEPS = {
+    (T.LongType(), T.DoubleType()),
+    (T.DecimalType(38, 0), T.DoubleType()),
+}
+
+
+def is_lossless_widening(old: T.DataType, new: T.DataType) -> bool:
+    """A widen that preserves every representable value — the bar a
+    primary-key / cursor type change must clear (two distinct 64-bit ids
+    >= 2^53 compare EQUAL as doubles, collapsing merge/dedup keys)."""
+    return is_widening(old, new) and (old, new) not in _LOSSY_STEPS
 
 
 def _widen_index(dt: T.DataType) -> int:
@@ -249,16 +268,18 @@ def diff_schemas(
         if f.name not in old_by_name:
             src = next((o for o, n in rename_hints.items() if n == f.name), None)
             if src is not None and src in old_by_name and src not in new_names:
+                if src in protected:
+                    # covers the incompatible-rename form too: a pk/cursor
+                    # field changing name (and possibly type) is breaking
+                    raise BreakingChangeError(
+                        f"rename of pk/cursor field '{src}' breaks the stream"
+                    )
                 ofs = old_by_name[src]
                 if ofs.dtype != f.dataType and not is_widening(ofs.dtype, f.dataType):
                     transforms.append(
                         FieldTransform("incompatible", src, f.name, ofs.dtype, f.dataType)
                     )
                 else:
-                    if src in protected:
-                        raise BreakingChangeError(
-                            f"rename of pk/cursor field '{src}' breaks the stream"
-                        )
                     transforms.append(
                         FieldTransform("rename", src, f.name, ofs.dtype, f.dataType)
                     )
@@ -268,9 +289,13 @@ def diff_schemas(
             ofs = old_by_name[f.name]
             if ofs.dtype != f.dataType:
                 widen = is_widening(ofs.dtype, f.dataType)
-                # lossless widens of pk/cursor are fine (FIXTURES.md E3 widens
-                # the pk member turn_idx); anything lossy on them breaks
-                if f.name in protected and not widen:
+                # LOSSLESS widens of pk/cursor are fine (FIXTURES.md E3
+                # widens the pk member turn_idx); anything lossy on them
+                # breaks — including lattice steps like long->double that
+                # collapse distinct ids beyond 2^53 onto one key
+                if f.name in protected and not is_lossless_widening(
+                    ofs.dtype, f.dataType
+                ):
                     raise BreakingChangeError(
                         f"type change of pk/cursor field '{f.name}' "
                         f"({ofs.dtype.simpleString()} -> {f.dataType.simpleString()}) "
@@ -281,7 +306,16 @@ def diff_schemas(
                     FieldTransform(kind, f.name, old_type=ofs.dtype, new_type=f.dataType)
                 )
 
-    renamed_srcs = {t.name for t in transforms if t.kind == "rename"}
+    # sources consumed by a hint — as a clean rename OR an incompatible
+    # rename (kind='incompatible' with a new_name) — must not ALSO emit a
+    # phantom remove (which would wrongly raise for pk fields and report
+    # the column as dropped to diff consumers)
+    renamed_srcs = {
+        t.name
+        for t in transforms
+        if t.kind == "rename"
+        or (t.kind == "incompatible" and t.new_name is not None)
+    }
     for f in old.fields:
         if f.name not in new_names and f.name not in renamed_srcs:
             if f.name in protected:

@@ -46,6 +46,16 @@ def unnest_array(
     # a level-2 parent pk contains `pos`, which would collide with
     # posexplode's own `pos` output) — only None defaults to parent_pk
     keep = list(parent_pk if keep_cols is None else keep_cols)
+    clash = {c for c in keep if c in ("pos", element_alias, hashid_col)}
+    if clash:
+        # a kept/carried column named like posexplode's outputs (or the
+        # hashid) would emit duplicate columns and fail downstream with
+        # AMBIGUOUS_REFERENCE — fail fast with the actionable name instead
+        raise ValueError(
+            f"keep/carry column(s) {sorted(clash)} collide with the child-"
+            f"table columns ('pos', {element_alias!r}, {hashid_col!r}); "
+            "rename the source column or pass a different alias"
+        )
     return withid.select(
         F.col(hashid_col),
         *keep,

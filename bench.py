@@ -135,6 +135,11 @@ def update_bench_state(sections: dict, meta: dict):
 
     st = _load_state()
     key = f"{meta['cpus']}@{meta['sf']}#e{BENCH_EPOCH}"
+    if FEED_SCALE != 1:
+        # a scaled feed is a DIFFERENT measurement: its section times must
+        # never min() against 1x bests (and its event count must not be
+        # paired with 1x seconds in the composite's events/sec)
+        key += f"@fs{FEED_SCALE:g}"
     entry = st.setdefault(key, {"sections": {}})
     entry.update({k: meta[k] for k in ("cpus", "sf", "replay_events")})
     for name, rec in sections.items():
@@ -191,9 +196,20 @@ def _write_baseline_section(st: dict):
         "",
     ]
     for key in sorted(st):
+        if f"#e{BENCH_EPOCH}" not in key:
+            # stale pre-epoch plans stay in the state file as history but
+            # are never published — identical headers for different
+            # measurement plans is exactly what BENCH_EPOCH prevents
+            continue
         fp = st[key].get("full_pipeline")
         if fp:
-            lines.append(f"### local[{st[key]['cpus']}] @ sf{st[key]['sf']}")
+            suffix = f" (epoch {BENCH_EPOCH}"
+            if "@fs" in key:
+                suffix += f", feed x{key.split('@fs')[1]}"
+            suffix += ")"
+            lines.append(
+                f"### local[{st[key]['cpus']}] @ sf{st[key]['sf']}{suffix}"
+            )
             lines.append("")
             lines.append("```json")
             lines.append(json.dumps(fp, indent=1, sort_keys=True))

@@ -125,3 +125,44 @@ def test_oracle_latest_wins_property(events):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k]["text"]
+
+
+def test_sessionize_gap_is_timezone_free(spark, tmp_path):
+    """The session gap is a wall-clock NTZ difference: under a non-UTC
+    session timezone a DST-straddling pair (01:50 -> 03:05 spring-forward,
+    75 real minutes but 4500s of wall clock) must still split the session
+    exactly like DuckDB's tz-free epoch() difference does."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entry
+
+    rows = [
+        (1, datetime.datetime(2024, 3, 10, 1, 50), 7, "view", 9.0, "{}"),
+        (2, datetime.datetime(2024, 3, 10, 3, 5), 7, "view", 9.0, "{}"),
+    ]
+    struct = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, struct).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "America/New_York")
+    try:
+        out = entry.q_cdc_sessionize(spark, str(tmp_path)).collect()
+    finally:
+        spark.conf.set(key, prev)
+    # 4500s wall-clock gap > 1800 -> two sessions (an NTZ->LTZ epoch
+    # detour would compute 900s and keep one session)
+    assert sorted(r["session_idx"] for r in out) == [1, 2]

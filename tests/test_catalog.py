@@ -144,3 +144,83 @@ def test_schema_json_roundtrip():
     rt = TableSchema.from_json(old.to_json())
     assert rt.to_struct() == old.to_struct()
     assert [f.uid for f in rt.fields] == [f.uid for f in old.fields]
+
+
+def test_lossy_widen_of_pk_rejected():
+    """long->double and decimal(38,0)->double are lattice widens but LOSSY
+    (doubles hold 53 mantissa bits — distinct ids >= 2^53 collapse onto one
+    key); a pk/cursor type change must clear the LOSSLESS bar."""
+    from airbyte_spark.catalog import is_lossless_widening
+
+    assert is_lossless_widening(T.IntegerType(), T.LongType())
+    assert is_lossless_widening(T.IntegerType(), T.DoubleType())  # 2^31 < 2^53
+    assert not is_lossless_widening(T.LongType(), T.DoubleType())
+    assert not is_lossless_widening(T.DecimalType(38, 0), T.DoubleType())
+
+    old = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+    )
+    target = T.StructType(
+        [
+            T.StructField("id", T.DoubleType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    with pytest.raises(BreakingChangeError):
+        diff_schemas(old, target, primary_key=["id"])
+    # the same lossy widen on a NON-key field is still allowed (type-compat
+    # evolution), reported as a widen
+    target2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    (t,) = diff_schemas(old, target2, primary_key=["id"])
+    assert t.kind == "widen" and t.name == "v"
+
+
+def test_container_union_falls_back_to_string():
+    """A JSON type union of only non-scalar members maps to StringType
+    (the unknown-type fallback), never BooleanType."""
+    assert json_type_to_spark({"type": ["object", "array"]}) == T.StringType()
+    assert json_type_to_spark({"type": ["null", "integer"]}) == T.LongType()
+
+
+def test_incompatible_rename_consumes_source():
+    """A hinted rename with an incompatible type change must emit ONE
+    incompatible transform — not also a phantom remove of the source (and,
+    for pk sources, it must raise like any other pk rename)."""
+    old = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("k", T.StringType()),
+                T.StructField("a", T.DoubleType()),
+            ]
+        )
+    )
+    target = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("b", T.LongType()),  # a -> b, double -> long (lossy)
+        ]
+    )
+    ts = diff_schemas(old, target, primary_key=["k"], rename_hints={"a": "b"})
+    assert [t.kind for t in ts] == ["incompatible"]
+    assert ts[0].name == "a" and ts[0].new_name == "b"
+
+    with pytest.raises(BreakingChangeError):
+        diff_schemas(
+            old, T.StructType(
+                [
+                    T.StructField("k2", T.LongType()),
+                    T.StructField("a", T.DoubleType()),
+                ]
+            ),
+            primary_key=["k"], rename_hints={"k": "k2"},
+        )

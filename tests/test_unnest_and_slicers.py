@@ -132,3 +132,19 @@ def test_substream_slicer_broadcasts_parent_keys(spark):
     assert got == [(10, 1.0), (10, 2.0), (12, 4.0)]  # 11 filtered, 99 orphan
     plan = sliced._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # child side stays map-only
+
+
+def test_unnest_array_rejects_colliding_keep_cols(spark):
+    """A kept/carried column named like posexplode's outputs ('pos', the
+    element alias) or the hashid must fail fast with the actionable name
+    instead of an AMBIGUOUS_REFERENCE downstream."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.operators.unnest import unnest_array
+
+    df = spark.createDataFrame(
+        [("k1", 3, ["a", "b"])], "id string, pos long, tags array<string>"
+    )
+    with pytest.raises(ValueError, match="pos"):
+        unnest_array(df, F.col("tags"), ["id"], keep_cols=["pos"])
