@@ -45,17 +45,18 @@ def resolve_order_cols(df: DataFrame, cursor: Optional[str]) -> list[str]:
 
 
 def _order_struct(df: DataFrame, order_cols: Sequence[str]) -> Column:
-    # Coalesce nulls low so struct comparison is total (matches the
-    # reference's null-first DESC ordering: nulls lose).
+    # Total ordering with nulls-lose semantics (the reference's null-first
+    # DESC): each order column becomes an (isNotNull, value) pair — false
+    # sorts below true, so a NULL loses to EVERY real value; equal flags
+    # fall through to the value compare. Type-agnostic by construction:
+    # no sentinel constants to overflow narrow int types (-(2**62) wraps
+    # an IntegerType to 0, tying with legitimate zeros — or throws under
+    # ANSI), and no string fallback to compare decimals lexicographically
+    # ('9' > '10' would pick a stale winner).
     parts = []
-    for c in order_cols:
-        dt = df.schema[c].dataType.simpleString()
-        if dt.startswith("timestamp"):
-            parts.append(F.coalesce(F.col(c), F.to_timestamp(F.lit("1900-01-01"))))
-        elif dt in ("bigint", "int", "smallint", "tinyint", "double", "float"):
-            parts.append(F.coalesce(F.col(c), F.lit(-(2 ** 62)).cast(df.schema[c].dataType)))
-        else:
-            parts.append(F.coalesce(F.col(c), F.lit("")))
+    for i, c in enumerate(order_cols):
+        parts.append(F.col(c).isNotNull().alias(f"_nn{i}"))
+        parts.append(F.col(c).alias(f"_v{i}"))
     return F.struct(*parts)
 
 
@@ -73,7 +74,10 @@ def latest_per_key(
     unique); exact duplicate (pk, lsn) rows are identical, so max_by is
     deterministic for them.
     """
-    payload_cols = [c for c in (payload_cols or df.columns) if c not in pk]
+    base = df.columns if payload_cols is None else list(payload_cols)
+    payload_cols = [c for c in base if c not in pk]
+    if not payload_cols:  # explicit empty payload: the distinct key set
+        return df.select(*pk).distinct()
     ord_struct = _order_struct(df, order_cols)
     agg = df.groupBy(*pk).agg(
         F.max_by(F.struct(*payload_cols), ord_struct).alias("_top")
@@ -106,9 +110,7 @@ def scd2(
         order.append(F.col(emitted_col).desc_nulls_last())
     w = Window.partitionBy(*[F.col(c) for c in pk]).orderBy(*order)
 
-    uk = F.md5(
-        F.concat_ws("-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk])
-    )
+    uk = surrogate_key_expr(pk)
     out = (
         df.withColumn("_airbyte_unique_key", uk)
         .withColumn("_airbyte_start_at", F.col(cursor))
@@ -172,9 +174,7 @@ def scd2_bounded(
     w_in = Window.partitionBy(*[F.col(c) for c in pk], F.col("_rb")).orderBy(
         F.col(cursor).desc()
     )
-    uk = F.md5(
-        F.concat_ws("-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk])
-    )
+    uk = surrogate_key_expr(pk)
     out = (
         d.withColumn("_airbyte_unique_key", uk)
         .withColumn("_airbyte_start_at", F.col(cursor))
@@ -197,14 +197,19 @@ def final_table(scd: DataFrame, payload_cols: Sequence[str]) -> DataFrame:
     return scd.filter(F.col("_airbyte_active_row") == 1).select(*payload_cols)
 
 
-def surrogate_hash_id(df: DataFrame, cols: Sequence[str], out: str) -> DataFrame:
-    """P7: md5(concat_ws over coalesced casts) — dbt_utils.surrogate_key
-    semantics (stream_processor.py:667-696)."""
-    return df.withColumn(
-        out,
-        F.md5(
-            F.concat_ws(
-                "-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
-            )
-        ),
+def surrogate_key_expr(cols: Sequence[str]) -> Column:
+    """The ONE md5(concat_ws over coalesced casts) surrogate-key
+    expression — dbt_utils.surrogate_key semantics
+    (stream_processor.py:667-696). scd2/scd2_bounded/surrogate_hash_id
+    and the child-table hash chain all share it, so the separator /
+    null-placeholder rules can never diverge."""
+    return F.md5(
+        F.concat_ws(
+            "-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        )
     )
+
+
+def surrogate_hash_id(df: DataFrame, cols: Sequence[str], out: str) -> DataFrame:
+    """P7: see :func:`surrogate_key_expr`."""
+    return df.withColumn(out, surrogate_key_expr(cols))

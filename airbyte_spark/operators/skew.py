@@ -39,7 +39,13 @@ def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt") -> DataFrame:
             basis = F.col(c).cast("long")
             break
     if basis is None:
-        basis = F.monotonically_increasing_id()
+        # content hash, NOT monotonically_increasing_id: mid depends on
+        # task/partition layout, so a replayed batch would salt (and on
+        # order ties, pick) differently — breaking the very idempotence
+        # this function documents. A pure function of the row keeps
+        # replays byte-identical; exact-duplicate rows sharing a salt is
+        # fine (the per-salt collapse dedups them anyway).
+        basis = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.withColumn(salt_col, F.pmod(basis, F.lit(n_salt)).cast("int"))
 
 

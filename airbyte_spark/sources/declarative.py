@@ -33,7 +33,9 @@ def extract_json_fields(
 ) -> DataFrame:
     """dpath-style extraction: {out_name: '$.path'} -> typed columns."""
     types = types or {}
-    cols = [F.col(c) for c in (keep or df.columns)]
+    # `keep is None` (not falsy): keep=[] legitimately means "project only
+    # the extracted fields"
+    cols = [F.col(c) for c in (df.columns if keep is None else keep)]
     for name, path in field_paths.items():
         c = F.get_json_object(F.col(json_col), path)
         if name in types:
@@ -50,8 +52,18 @@ def record_filter(df: DataFrame, predicate: str) -> DataFrame:
 
 
 def datetime_slice_col(ts_col: Column, granularity: str = "day") -> Column:
-    """Datetime stream slicer as a partition expression."""
-    return F.to_date(F.date_trunc(granularity, ts_col))
+    """Datetime stream slicer as a partition expression.
+
+    Sub-day granularities keep their time component (a to_date wrap would
+    collapse all 24 hourly slices of a day into one label); day-or-coarser
+    label as DATE. Labels follow the column's own wall clock — tz-proof
+    for NTZ columns (the feed contract); for LTZ columns calendar
+    bucketing is session-timezone-relative by Spark's date_trunc
+    semantics, so pin the session tz for replay-stable LTZ slicing."""
+    t = F.date_trunc(granularity, ts_col)
+    if granularity.lower() in ("day", "week", "month", "quarter", "year"):
+        return F.to_date(t)
+    return t
 
 
 def list_sliced_read(

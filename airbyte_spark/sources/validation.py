@@ -68,8 +68,12 @@ def validation_counts(
     sync-summary / lineage `rows_invalid` accounting."""
     aggs = [
         F.count("*").cast("long").alias("n_records"),
-        F.sum(F.col(VALID_COL).cast("long")).alias("n_valid"),
-        F.sum((~F.col(VALID_COL)).cast("long")).alias("n_invalid"),
+        # coalesce: SUM over zero rows is NULL — an empty micro-batch must
+        # report 0, not None, to the lineage accounting
+        F.coalesce(F.sum(F.col(VALID_COL).cast("long")), F.lit(0))
+        .alias("n_valid"),
+        F.coalesce(F.sum((~F.col(VALID_COL)).cast("long")), F.lit(0))
+        .alias("n_invalid"),
     ]
     if group_cols:
         return validated.groupBy(*group_cols).agg(*aggs)

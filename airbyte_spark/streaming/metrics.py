@@ -54,7 +54,10 @@ class ReplayMetricsListener(StreamingQueryListener):
             self.progress.append(rec)
             if self._path:
                 with open(self._path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
+                    # default=str: observed metrics can carry timestamps /
+                    # decimals (cursor high-watermarks) that json can't
+                    # natively encode — a listener must never throw
+                    f.write(json.dumps(rec, default=str) + "\n")
 
     def onQueryIdle(self, event):
         pass

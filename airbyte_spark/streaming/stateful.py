@@ -33,7 +33,12 @@ def _track(
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
-            mx = max(mx, int(pdf["_ab_cdc_lsn"].max()))
+            # all-null LSN batches (snapshot records without CDC metadata)
+            # arrive as float NaN through Arrow — int(NaN) would kill the
+            # query; the watermark simply doesn't advance for them
+            m = pdf["_ab_cdc_lsn"].max()
+            if pd.notna(m):
+                mx = max(mx, int(m))
             nd += int(pdf["_ab_cdc_deleted_at"].notna().sum())
     state.update((n, mx, nd))
     yield pd.DataFrame(

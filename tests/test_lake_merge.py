@@ -251,3 +251,45 @@ def test_empty_batch_commit_policy(spark, tmp_path):
     assert stats.version is not None
     lin = table.lineage_df().toPandas()
     assert 2 in set(lin["batch_id"])
+
+
+def test_order_struct_narrow_int_and_decimal_cursors(spark):
+    """Winner selection must be total and TYPED for any cursor type:
+    an IntegerType cursor with NULLs (a -(2^62) sentinel would wrap to 0,
+    tying with legitimate zeros), negative cursors (null must lose to
+    them too), and a DecimalType cursor (a string fallback would compare
+    lexicographically: '9' > '10')."""
+    from airbyte_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(
+        [("k", None, "null-cur"), ("k", -5, "neg"), ("k", 0, "zero")],
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("cur", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]),
+    )
+    (row,) = latest_per_key(df, ["id"], ["cur"]).collect()
+    assert row["v"] == "zero"
+    # null loses even when every real cursor is negative
+    (row,) = latest_per_key(df.filter("v <> 'zero'"), ["id"], ["cur"]).collect()
+    assert row["v"] == "neg"
+
+    dec = spark.createDataFrame(
+        [("k", "9", "stale"), ("k", "10", "fresh")],
+        "id string, cur string, v string",
+    ).select("id", F.col("cur").cast(T.DecimalType(20, 0)).alias("cur"), "v")
+    (row,) = latest_per_key(dec, ["id"], ["cur"]).collect()
+    assert row["v"] == "fresh"  # numeric 10 > 9; lexicographic '9' > '10'
+
+
+def test_latest_per_key_empty_payload_is_distinct_keys(spark):
+    from airbyte_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")],
+        "id string, cur long, v string",
+    )
+    out = latest_per_key(df, ["id"], ["cur"], payload_cols=[])
+    assert sorted(r["id"] for r in out.collect()) == ["a", "b"]
+    assert out.columns == ["id"]

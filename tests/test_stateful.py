@@ -55,3 +55,31 @@ def test_conversation_progress_matches_batch_oracle(spark, tmp_path, tmp_path_fa
         want.astype({"n_events": "int64", "max_lsn": "int64", "n_deletes": "int64"}),
         check_dtype=False,
     )
+
+
+def test_track_survives_all_null_lsn_group():
+    """A key group whose micro-batch carries only NULL LSNs (snapshot
+    records) arrives as float NaN through Arrow — the tracker must not
+    crash on int(NaN); the watermark simply doesn't advance."""
+    from airbyte_spark.streaming.stateful import _track
+
+    class _FakeState:
+        exists = False
+        get = (0, 0, 0)
+
+        def update(self, v):
+            self.updated = v
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "_ab_cdc_lsn": pd.array([None, None], dtype="float64"),
+            "_ab_cdc_deleted_at": pd.array(
+                [None, pd.Timestamp("2025-01-01")], dtype="datetime64[us]"
+            ),
+        }
+    )
+    (out,) = _track(("c1",), iter([pdf]), st)
+    assert st.updated == (2, 0, 1)
+    assert out["n_events"][0] == 2 and out["max_lsn"][0] == 0

@@ -148,3 +148,49 @@ def test_unnest_array_rejects_colliding_keep_cols(spark):
     )
     with pytest.raises(ValueError, match="pos"):
         unnest_array(df, F.col("tags"), ["id"], keep_cols=["pos"])
+
+
+def test_datetime_slicer_sub_day_granularity(spark):
+    """Hourly slices must stay distinct (a to_date wrap collapsed all 24
+    hourly slices of a day into one label)."""
+    import datetime
+
+    from airbyte_spark.sources.declarative import sliced_read
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 30)),
+        (2, datetime.datetime(2024, 1, 1, 5, 10)),
+        (3, datetime.datetime(2024, 1, 1, 5, 40)),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+    out = sliced_read(df, "ts", granularity="hour")
+    slices = {r["id"]: r["slice_start"] for r in out.collect()}
+    assert slices[2] == slices[3] and slices[1] != slices[2]
+    # day granularity keeps the DATE-typed label
+    out_d = sliced_read(df, "ts", granularity="day")
+    assert dict(out_d.dtypes)["slice_start"] == "date"
+
+
+def test_extract_json_fields_empty_keep_projects_only_extracted(spark):
+    from airbyte_spark.sources.declarative import extract_json_fields
+
+    df = spark.createDataFrame([('{"a": 1}', "noise")], "payload string, junk string")
+    out = extract_json_fields(df, "payload", {"a": "$.a"}, keep=[])
+    assert out.columns == ["a"]
+
+
+def test_with_salt_deterministic_without_cursor_columns(spark):
+    """The salt fallback must be a pure function of row content so a
+    replayed batch partitions (and on ties, picks) identically —
+    monotonically_increasing_id depends on task layout."""
+    from airbyte_spark.operators.skew import with_salt
+
+    df = spark.createDataFrame(
+        [(i, f"v{i % 7}") for i in range(50)], "k long, v string"
+    )
+    a = {(r["k"], r["v"]): r["_salt"] for r in with_salt(df, 8).collect()}
+    b = {
+        (r["k"], r["v"]): r["_salt"]
+        for r in with_salt(df.repartition(13), 8).collect()
+    }
+    assert a == b  # same rows -> same salts, whatever the partition layout

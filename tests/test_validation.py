@@ -60,3 +60,15 @@ def test_invalid_counts_reach_lineage(spark, tmp_path):
     lin = table.lineage_df().toPandas()
     assert lin["rows_invalid"].iloc[0] == 17
     assert table.lineage_totals()["rows_invalid"] == 17
+
+
+def test_validation_counts_empty_frame_reports_zero(spark):
+    """SUM over zero rows is NULL — an empty micro-batch must report
+    0/0/0 to the lineage accounting, not None."""
+    from airbyte_spark.sources.validation import VALID_COL, validation_counts
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField(VALID_COL, T.BooleanType())])
+    )
+    (row,) = validation_counts(empty).collect()
+    assert (row["n_records"], row["n_valid"], row["n_invalid"]) == (0, 0, 0)
