@@ -1745,11 +1745,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6)
+                   round(coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                  / nullif(length(text), 0), 0), 6)
                        AS alpha_ratio,
-                   round({stop} / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio,
-                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) * 0.5
-                         + {stop} / len(string_split_regex(trim(text), '\s+')) * 0.3
+                   round(coalesce({stop} / nullif(len(string_split_regex(trim(text), '\s+')), 0), 0), 6)
+                       AS stop_ratio,
+                   round(coalesce(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                  / nullif(length(text), 0), 0) * 0.5
+                         + coalesce({stop} / nullif(len(string_split_regex(trim(text), '\s+')), 0), 0) * 0.3
                          + least(len(string_split_regex(trim(text), '\s+')) / 200.0, 1.0) * 0.2,
                          6) AS quality
             FROM documents
@@ -1857,12 +1860,12 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rank <= 5
         """,
         "ann_ivf_label_blocked": f"""
-            WITH sz AS (SELECT label, count(*) c FROM embeddings GROUP BY 1),
-            v AS (SELECT e.vec_id, e.label, e.embedding,
-                         e.vec_id % greatest(
-                             CAST(ceil(c / {emb_ops.DEFAULT_MAX_CELL_SIZE}.0)
-                                  AS BIGINT), 1) AS sub
-                  FROM embeddings e JOIN sz USING (label))
+            WITH v AS (SELECT vec_id, label, embedding,
+                         CAST(floor((row_number() OVER (PARTITION BY label
+                                                        ORDER BY vec_id) - 1)
+                              / {emb_ops.DEFAULT_MAX_CELL_SIZE}.0) AS BIGINT)
+                             AS sub
+                  FROM embeddings)
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(a.label AS BIGINT) AS label,
                    {_cos("a.embedding", "b.embedding")} AS cos

@@ -159,13 +159,32 @@ def resolve_collisions(
 ) -> DataFrame:
     """Bulk collision suffixing: deterministic ``row_number`` per
     case-folded canonical name (ordered by ``order_col``); the n-th
-    duplicate gets ``_n``. Identifier sets are small relative to data, so
-    the window partition is bounded by the collision-group size."""
-    w = Window.partitionBy(F.lower(F.col(canon_col))).orderBy(F.col(order_col))
-    rn = F.row_number().over(w)
-    return df.withColumn(
-        out,
-        F.when(rn == 1, F.col(canon_col)).otherwise(
-            F.concat(F.col(canon_col), F.lit("_"), (rn - 1).cast("string"))
-        ),
+    duplicate gets ``_n``. A generated suffix can itself collide with a
+    PRE-EXISTING canonical name (['a','a','a_1'] -> 'a_1' twice), so the
+    suffixing re-runs on the RESOLVED names until unique — the bulk twin
+    of ``NameRegistry``'s retry loop. Each round only appends suffixes to
+    non-first rows of a group, so names strictly converge; identifier
+    sets are small relative to data, so every round is one bounded
+    window plus a 1-row duplicate probe."""
+    res = df.withColumn(out, F.col(canon_col))
+    for _ in range(8):
+        w = Window.partitionBy(F.lower(F.col(out))).orderBy(F.col(order_col))
+        rn = F.row_number().over(w)
+        res = res.withColumn(
+            out,
+            F.when(rn == 1, F.col(out)).otherwise(
+                F.concat(F.col(out), F.lit("_"), (rn - 1).cast("string"))
+            ),
+        )
+        dup = (
+            res.groupBy(F.lower(F.col(out)))
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup == 0:
+            return res
+    raise ValueError(
+        "resolve_collisions did not reach a unique naming fixpoint in 8 rounds"
     )

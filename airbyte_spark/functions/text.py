@@ -30,14 +30,6 @@ _CTRL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 _WS = re.compile(r"\s+")
 
 
-def _canon_str(s: str) -> str:
-    s = _CTRL.sub("", s)
-    s = unicodedata.normalize("NFKD", s)
-    s = "".join(ch for ch in s if not unicodedata.combining(ch))
-    s = _WS.sub(" ", s).strip()
-    return s
-
-
 def canonicalize_pandas(s: pd.Series) -> pd.Series:
     """Vectorized canonicalization of a string Series (nulls pass through,
     empty results become null)."""

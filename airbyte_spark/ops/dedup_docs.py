@@ -152,6 +152,12 @@ def minhash_lsh_candidates(
     MinHash: the join key is (band_idx, band_key) — a bounded-fanout
     equi-join, never O(n²).
     """
+    if k % band_width != 0:
+        raise ValueError(
+            f"k={k} must be divisible by band_width={band_width}: trailing "
+            "signatures would be computed then silently discarded, quietly "
+            "lowering effective recall"
+        )
     sig = minhash_signatures(docs, k)
     n_bands = k // band_width
     bands = F.array(
@@ -189,6 +195,12 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     bit b of the signature = 1 iff more token-hashes have bit b set than not.
     Expressed as explode(token) × explode(bit) → two hash aggregations —
     shuffles carry (doc_id, bit) longs only, never text.
+
+    FEATURELESS docs (null/empty text — no tokens to hash) carry no
+    signature row and are absent from the near-dup candidate set by
+    design: signature similarity is undefined without features. Route
+    them through ``exact_dedup`` (which groups them as mutual exact
+    duplicates by content hash) — the standard split in dedup pipelines.
     """
     tok = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -232,7 +244,13 @@ def simhash_banded_pairs(
     same shape as ``minhash_lsh_candidates``. Shuffles carry
     (doc_id, simhash, band) longs only. Output (doc_a, doc_b, hamming).
     """
-    assert max_hamming < n_bands, "pigeonhole recall needs max_hamming < n_bands"
+    if max_hamming >= n_bands:
+        # a bare assert would vanish under python -O and silently break
+        # the documented exact-recall contract
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming ({max_hamming}) < n_bands "
+            f"({n_bands}): a pair may differ in every band otherwise"
+        )
     sig = simhash_signatures(docs, bits)
     bw = bits // n_bands
     mask = (1 << bw) - 1

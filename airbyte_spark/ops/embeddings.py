@@ -12,8 +12,8 @@ Three tiers, mirroring how a real 100 TB ANN pipeline is built:
   candidate pairs only form within a cell, turning O(n²) into
   Σ_cell O(|cell|²).
 * ``sign_lsh_buckets`` / ``sign_lsh_near_dup`` — random-hyperplane-LSH
-  family member using axis-aligned hyperplanes (sign of coordinate j): a
-  16-bit bucket id per vector, candidates meet only inside a bucket.
+  family member using axis-aligned hyperplanes (sign of coordinate j): an
+  8-bit bucket id per vector, candidates meet only inside a bucket.
 
 All arithmetic folds the array left-to-right in double precision via
 ``F.zip_with``/``F.aggregate`` (built-in higher-order functions, JVM-side),
@@ -40,7 +40,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide + coalesce: a zero-norm vector (padded/missing embedding)
+    # has undefined cosine — treat as similarity 0 (never a near-dup)
+    # instead of DIVIDE_BY_ZERO aborting the whole job under ANSI mode
+    # (Spark 4 default)
+    return F.coalesce(
+        F.try_divide(dot(a, b), norm(a) * norm(b)), F.lit(0.0)
+    )
 
 
 def cosine_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
@@ -79,22 +85,27 @@ def label_blocked_near_dup(
 
     Within-cell cost is O(|cell|²) — inherent to IVF — so a skewed cell
     (one cluster holding 10^7 vectors) is the scale hazard. The cell cap
-    is therefore ON BY DEFAULT: cells above ``max_cell_size`` split
-    deterministically into ``ceil(|cell|/cap)`` sub-cells by vec_id;
-    pairs form only within a sub-cell, bounding every join group at
-    O(cap²) no matter how skewed the clustering is. This trades recall
-    (cross-sub-cell pairs are lost), the standard IVF posture — raise the
-    cap (or pass None to disable) when recall matters more than bounded
-    cost. The per-cell size table is |cells| rows, broadcast."""
+    is therefore ON BY DEFAULT: cells above ``max_cell_size`` chunk into
+    sub-cells of EXACTLY ≤ cap rows by within-cell rank (row_number over
+    vec_id), so every join group is bounded at O(cap²) no matter how
+    skewed the clustering — a hash/modulo split would only bound the
+    EXPECTED size (and raw vec_ids can even be correlated mod nsub,
+    putting a whole cell in one sub-cell). The rank window costs one
+    bounded per-cell sort — O(|cell| log |cell|) preprocessing versus the
+    O(|cell|²) join it prevents. This trades recall (cross-sub-cell
+    pairs are lost), the standard IVF posture — raise the cap (or pass
+    None to disable) when recall matters more than bounded cost."""
+    from pyspark.sql import Window
+
     v = emb.select("vec_id", "label", "embedding")
     sub_cond = []
     if max_cell_size is not None:
-        sizes = v.groupBy("label").agg(F.count("*").alias("_csz"))
-        nsub = F.greatest(F.ceil(F.col("_csz") / max_cell_size), F.lit(1)).cast("long")
-        v = (
-            v.join(F.broadcast(sizes), "label")
-            .withColumn("_sub", F.pmod(F.col("vec_id"), nsub))
-            .drop("_csz")
+        w = Window.partitionBy("label").orderBy("vec_id")
+        v = v.withColumn(
+            "_sub",
+            F.floor(
+                (F.row_number().over(w) - F.lit(1)) / F.lit(max_cell_size)
+            ).cast("long"),
         )
         sub_cond = [F.col("a._sub") == F.col("b._sub")]
     a, b = v.alias("a"), v.alias("b")
@@ -116,17 +127,23 @@ def label_blocked_near_dup(
     )
 
 
-def sign_bucket(emb_col: Column, n_bits: int = 16) -> Column:
-    """Axis-aligned hyperplane LSH bucket: bit j = sign(v[j] > 0)."""
+def sign_bucket(emb_col: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned hyperplane LSH bucket: bit j = sign(v[j] > 0).
+
+    ``F.get`` (null for out-of-range, never an ANSI INVALID_ARRAY_INDEX)
+    makes dims beyond the embedding length contribute bit 0 in BOTH ANSI
+    and legacy modes. Default n_bits matches ``sign_lsh_near_dup`` and
+    the DuckDB oracle, so the published bucket table and the near-dup
+    path agree on bucket ids."""
     bucket = F.lit(0).cast("long")
     for j in range(n_bits):
-        bucket = bucket + F.when(emb_col[j] > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bucket = bucket + F.when(
+            F.get(emb_col, j) > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
-def sign_lsh_buckets(emb: DataFrame, n_bits: int = 16) -> DataFrame:
+def sign_lsh_buckets(emb: DataFrame, n_bits: int = 8) -> DataFrame:
     """(vec_id, bucket) assignment table."""
     return emb.select(
         F.col("vec_id").cast("long").alias("vec_id"),

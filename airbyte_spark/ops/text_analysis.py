@@ -104,15 +104,24 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long").alias("_alpha"),
         stop.alias("_stop"),
     )
+    # try_divide + coalesce: empty documents (n_chars/n_tokens = 0) are
+    # exactly what a quality filter must SCORE (as 0), not crash on with
+    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    alpha_ratio = F.coalesce(
+        F.try_divide(F.col("_alpha"), F.col("n_chars")), F.lit(0.0)
+    )
+    stop_ratio = F.coalesce(
+        F.try_divide(F.col("_stop"), F.col("n_tokens")), F.lit(0.0)
+    )
     return base.select(
         "doc_id",
         "n_tokens",
         "n_chars",
-        F.round(F.col("_alpha") / F.col("n_chars"), 6).alias("alpha_ratio"),
-        F.round(F.col("_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(
-            F.col("_alpha") / F.col("n_chars") * 0.5
-            + F.col("_stop") / F.col("n_tokens") * 0.3
+            alpha_ratio * 0.5
+            + stop_ratio * 0.3
             + F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.2,
             6,
         ).alias("quality"),

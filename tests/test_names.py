@@ -91,3 +91,18 @@ def test_bulk_resolve_matches_registry(spark):
         for r in resolve_collisions(df, "canon", "ord").collect()
     }
     assert [out[r] for r in raws] == expected
+
+
+def test_resolve_collisions_generated_suffix_vs_existing_name(spark):
+    """A generated _n suffix colliding with a PRE-EXISTING canonical name
+    (['a','a','a_1'] -> 'a_1' twice) must re-resolve to a unique set, like
+    NameRegistry's retry loop."""
+    from airbyte_spark.functions.names import resolve_collisions
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a_1", 2)], "canon string, ord long"
+    )
+    out = resolve_collisions(df, "canon", "ord")
+    names = sorted(r["resolved"] for r in out.collect())
+    assert len(set(names)) == 3
+    assert names == ["a", "a_1", "a_1_1"]

@@ -252,3 +252,78 @@ def test_connected_components_chain_and_isolates(spark):
         for r in connected_components(nodes, edges.union(stray)).collect()
     }
     assert 0 not in out2 and out2[7] == out2[8] == 7
+
+
+def test_cosine_zero_norm_vector_does_not_crash(spark):
+    """A zero-norm embedding (padded/missing) has undefined cosine —
+    treated as similarity 0 (never a near-dup), not DIVIDE_BY_ZERO under
+    ANSI mode (the Spark 4 default outside this test session)."""
+    from airbyte_spark.ops.embeddings import label_blocked_near_dup
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        emb = spark.createDataFrame(
+            [(1, 0, [0.0, 0.0]), (2, 0, [1.0, 2.0]), (3, 0, [2.0, 4.0])],
+            "vec_id long, label int, embedding array<double>",
+        )
+        rows = label_blocked_near_dup(emb, threshold=0.9).collect()
+        assert [(r["vec_a"], r["vec_b"]) for r in rows] == [(2, 3)]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_quality_score_empty_document(spark):
+    """Empty docs are exactly what a quality filter must SCORE (0 ratios),
+    not crash on under ANSI."""
+    from airbyte_spark.ops.text_analysis import quality_score
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "the quick fox")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in quality_score(docs).collect()}
+        assert rows[1]["alpha_ratio"] == 0.0 and rows[1]["stop_ratio"] == 0.0
+        assert rows[2]["alpha_ratio"] > 0.5
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_sign_bucket_short_embeddings_and_default_alignment(spark):
+    """Embeddings shorter than n_bits contribute 0-bits for the missing
+    dims in BOTH ANSI and legacy modes (F.get, no INVALID_ARRAY_INDEX);
+    the bucket-table default matches the near-dup path (8 bits)."""
+    import inspect
+
+    from airbyte_spark.ops import embeddings as E
+
+    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        emb = spark.createDataFrame(
+            [(1, [1.0, -1.0]), (2, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r["bucket"] for r in E.sign_lsh_buckets(emb).collect()}
+        assert rows[1] == 1  # dim-2 vector: bits 2..7 are 0, no crash
+        assert rows[2] == 255  # only the first 8 dims counted
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert inspect.signature(E.sign_lsh_buckets).parameters["n_bits"].default == 8
+
+
+def test_banding_guards_raise(spark):
+    import pytest
+
+    from airbyte_spark.ops.dedup_docs import (
+        minhash_lsh_candidates,
+        simhash_banded_pairs,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(docs, k=12, band_width=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_banded_pairs(docs, n_bands=4, max_hamming=4)
