@@ -32,7 +32,6 @@ import pyarrow.parquet as pq
 ROLES = np.array(["user", "assistant", "tool", "system"])
 TOOLS = np.array([None, "search", "python", "browser", "calculator"], dtype=object)
 
-_BASE_TS = pd.Timestamp("2025-01-01 00:00:00")
 
 
 @dataclass

@@ -102,6 +102,15 @@ def merge_batch(
     src = latest_per_key(batch, pk, order_cols)
     if post_collapse is not None:
         src = post_collapse(src)
+    # conform to the table schema ONCE for both strategies: a just-evolved
+    # table's feed may not carry the new column yet — the COW path below
+    # references s.<col> for every schema field and would otherwise die
+    # with UNRESOLVED_COLUMN (the MOR conform also casts, kept as-is)
+    missing = [fs for fs in snap.schema.fields if fs.name not in src.columns]
+    if missing:
+        src = src.select(
+            "*", *[F.lit(None).cast(fs.dtype).alias(fs.name) for fs in missing]
+        )
     src = src.withColumn(META_LSN, F.col(cursor).cast("long")).withColumn(
         "_src_deleted", F.col(deleted_col).isNotNull()
     )
@@ -121,6 +130,12 @@ def merge_batch(
         )
         rows_in = sum(r["n"] for r in stats_rows)
         if rows_in == 0:
+            if not commit_empty:
+                # idle-tail policy: BEFORE the staged branch too — an
+                # audited sync would otherwise stage+publish one empty
+                # commit per quiet-hour trigger, exactly the O(commits)
+                # growth this flag exists to prevent
+                return MergeStats(skipped=False, version=None, rows_in=0, buckets=[])
             empty_lineage = _lineage(
                 app_id, batch_id, 0, 0, 0, None, epoch, rows_invalid
             )
@@ -132,17 +147,9 @@ def merge_batch(
                 return MergeStats(
                     skipped=False, rows_in=0, staged_id=sid, buckets=[]
                 )
-            if not commit_empty:
-                # Idle-tail policy (commit_empty=False): a zero-row trigger
-                # leaves NO commit — the fence needn't advance because a
-                # re-delivered empty batch no-ops again, and any later
-                # non-empty batch_id advances past it. At 10^10 scale a
-                # continuous tail polling through quiet hours would
-                # otherwise grow the log by one empty commit per trigger
-                # (Iceberg likewise skips empty commits). Default stays
-                # True: per-batch lineage accounting is itself a feature
-                # (O2) and bounded-sync tests rely on it.
-                return MergeStats(skipped=False, version=None, rows_in=0, buckets=[])
+            # commit_empty=True (default): per-batch lineage accounting
+            # is itself a feature (O2) and bounded-sync tests rely on it;
+            # the False case (idle-tail, no commit) returned above.
             version = table.commit(
                 snap, [], [], fence=(app_id, batch_id),
                 lineage=empty_lineage,
@@ -211,8 +218,9 @@ def merge_batch(
 
         # 2. bucket pruning
         touched = list(per_bucket)
+        touched_set = set(touched)
         old_files = [
-            p for p, m in snap.files.items() if m["bucket"] in set(touched)
+            p for p, m in snap.files.items() if m["bucket"] in touched_set
         ]
         target = table.read(
             buckets=touched, include_meta=True, include_deleted=True, snap=snap

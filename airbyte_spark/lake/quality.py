@@ -163,6 +163,10 @@ def audited_merge_batch(
     stats = merge_batch(table, batch, order_cols, stage=True, **merge_kwargs)
     if stats.skipped:
         return stats
+    if stats.staged_id is None:
+        # merge decided not to stage anything (empty batch under
+        # commit_empty=False) — nothing to audit or publish
+        return stats
     no_tests = not (not_null or unique or expressions)
     if not stats.buckets or no_tests:
         # empty batch, or an empty test battery (vacuously clean):

@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def project_debezium_events(
@@ -22,13 +23,28 @@ def project_debezium_events(
     lsn_col: str = "source.lsn",
 ) -> DataFrame:
     """``env`` has columns: op (c/u/d/r), ts_ms (long, epoch millis),
-    before (struct), after (struct), source (struct with lsn).
+    before (struct), after (struct), source (struct with lsn and,
+    in full Debezium envelopes, ts_ms).
+
+    ``_ab_cdc_updated_at`` prefers ``source.ts_ms`` (the DB TRANSACTION
+    time — the reference's DebeziumEventUtils semantics) over the
+    envelope-level ``ts_ms`` (connector PROCESSING time): on an
+    at-least-once redelivery the stale copy carries a NEWER processing
+    time than the fresh event it duplicates, so ordering on it would
+    resurrect old data wherever updated_at breaks an LSN tie. Envelopes
+    without ``source.ts_ms`` fall back to the envelope time.
 
     Returns the flat change-record the rest of the engine consumes.
     """
     is_delete = F.col("op") == F.lit("d")
     image = F.when(is_delete, F.col("before")).otherwise(F.col("after"))
-    ts = F.timestamp_millis(F.col("ts_ms"))
+    src_type = env.schema["source"].dataType
+    if isinstance(src_type, T.StructType) and "ts_ms" in src_type.fieldNames():
+        ts = F.timestamp_millis(
+            F.coalesce(F.col("source").getField("ts_ms"), F.col("ts_ms"))
+        )
+    else:
+        ts = F.timestamp_millis(F.col("ts_ms"))
     proj = env.select(
         *[image.getField(c).alias(c) for c in payload_cols],
         F.col(lsn_col).cast("long").alias("_ab_cdc_lsn"),

@@ -84,3 +84,40 @@ def test_canonicalize_udf_matches_pandas(spark):
     ]
     want = list(canonicalize_pandas(pd.Series(vals, dtype=object)))
     assert got == [None if w is None else w for w in want]
+
+
+def test_debezium_projection_prefers_source_transaction_time(spark):
+    """A full Debezium envelope carries both the envelope ts_ms
+    (connector PROCESSING time) and source.ts_ms (DB TRANSACTION time):
+    _ab_cdc_updated_at must take the transaction time, or a redelivered
+    stale event (newer processing time) would win ordering ties and
+    resurrect old data. Envelopes without source.ts_ms still fall back."""
+    import datetime
+
+    from airbyte_spark.operators.cdc import project_debezium_events
+    from pyspark.sql import types as T
+
+    env_schema = T.StructType([
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("before", T.StructType([T.StructField("id", T.LongType())])),
+        T.StructField("after", T.StructType([T.StructField("id", T.LongType())])),
+        T.StructField("source", T.StructType([
+            T.StructField("lsn", T.LongType()),
+            T.StructField("ts_ms", T.LongType()),
+        ])),
+    ])
+    env = spark.createDataFrame(
+        [("u", 2_000_000, (1,), (1,), (10, 1_000_000))], env_schema
+    )
+    (row,) = project_debezium_events(env, ["id"]).collect()
+    assert row["_ab_cdc_updated_at"] == datetime.datetime(1970, 1, 1, 0, 16, 40)
+
+    # no source.ts_ms in the envelope schema -> envelope time
+    env2_schema = T.StructType(
+        list(env_schema.fields[:-1])
+        + [T.StructField("source", T.StructType([T.StructField("lsn", T.LongType())]))]
+    )
+    env2 = spark.createDataFrame([("u", 2_000_000, (1,), (1,), (10,))], env2_schema)
+    (row2,) = project_debezium_events(env2, ["id"]).collect()
+    assert row2["_ab_cdc_updated_at"] == datetime.datetime(1970, 1, 1, 0, 33, 20)

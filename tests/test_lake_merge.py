@@ -293,3 +293,57 @@ def test_latest_per_key_empty_payload_is_distinct_keys(spark):
     out = latest_per_key(df, ["id"], ["cur"], payload_cols=[])
     assert sorted(r["id"] for r in out.collect()) == ["a", "b"]
     assert out.columns == ["id"]
+
+
+def test_cow_merge_null_pads_evolved_column(spark, tmp_path):
+    """After a metadata-only evolve adds a column, a batch that doesn't
+    carry it yet must COW-merge with the column null-padded (the MOR path
+    already conformed; COW referenced s.<col> unconditionally and died
+    with UNRESOLVED_COLUMN)."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=2,
+    )
+    import datetime
+
+    TS = datetime.datetime(2025, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(c, t, "user", txt, None, TS, lsn, TS, None, TS)
+             for (c, t, lsn, txt) in rows],
+            CHANGE_STRUCT,
+        )
+
+    merge_batch(table, batch([("c1", 0, 10, "a")]), ORDER_COLS,
+                app_id="m", batch_id=0, strategy="cow")
+    target = T.StructType(
+        list(TRANSCRIPT_STRUCT.fields)
+        + [T.StructField("tool_version", T.StringType(), True)]
+    )
+    table.evolve(diff_schemas(table.snapshot().schema, target,
+                              primary_key=list(PK)))
+    merge_batch(table, batch([("c1", 0, 20, "b")]), ORDER_COLS,
+                app_id="m", batch_id=1, strategy="cow")
+    rows = table.read().collect()
+    assert [(r["text"], r["tool_version"]) for r in rows] == [("b", None)]
+
+
+def test_staged_empty_batch_respects_commit_empty(spark, tmp_path):
+    """commit_empty=False must leave NO commit for a zero-row trigger on
+    the STAGED (write-audit-publish) path too — an audited idle tail
+    would otherwise publish one empty commit per quiet-hour trigger."""
+    from airbyte_spark.lake.quality import audited_merge_batch
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TableSchema.from_struct(TRANSCRIPT_STRUCT),
+        primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=2,
+    )
+    empty = spark.createDataFrame([], CHANGE_STRUCT)
+    v0 = table.snapshot().version
+    stats = audited_merge_batch(
+        table, empty, ORDER_COLS, not_null=["conv_id"], batch_id=0,
+        commit_empty=False,
+    )
+    assert stats.version is None and table.snapshot().version == v0
+    assert table.list_staged() == []

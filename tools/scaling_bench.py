@@ -21,6 +21,11 @@ from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# the documented positional [feed_events_multiplier] — must land in the
+# env BEFORE bench is imported (bench reads it at import time) and is
+# inherited by the per-level subprocesses
+if len(sys.argv) > 1 and not sys.argv[1].startswith("-"):
+    os.environ["SPARK_GRAFT_FEED_SCALE"] = sys.argv[1]
 from bench import BENCH_EPOCH  # noqa: E402  (epoch-scoped state keys)
 
 def _epoch_suffix(epoch: int) -> str:
@@ -131,11 +136,15 @@ def main():
         if (k.startswith(KEY_PREFIX) if KEY_PREFIX else ":" not in k)
         and (k.endswith(suffix) if suffix else "#" not in k)
     ]
+    # choose the LARGEST feed that has BOTH levels: a bigger feed whose 4N
+    # partner is still missing (storm) must not shadow a complete pair on
+    # a smaller feed — the evidence needs the pair, not one point
     events = None
-    for k in sorted(mine, key=lambda k: -_parse(k)[1]):
-        if _parse(k)[0] == LEVEL_N:
-            events = _parse(k)[1]
-            break
+    level_n_feeds = {_parse(k)[1] for k in mine if _parse(k)[0] == LEVEL_N}
+    level_4n_feeds = {_parse(k)[1] for k in mine if _parse(k)[0] == LEVEL_4N}
+    complete = sorted(level_n_feeds & level_4n_feeds, reverse=True)
+    if complete:
+        events = complete[0]
     r8 = st.get(f"{KEY_PREFIX}{LEVEL_N}@{events}{suffix}")
     r32 = st.get(f"{KEY_PREFIX}{LEVEL_4N}@{events}{suffix}")
     if not (r8 and r32):

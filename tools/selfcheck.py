@@ -26,6 +26,15 @@ TABLES = [
 def norm_cell(v):
     if v is None:
         return None
+    # Decimal must normalize THROUGH the same float rounding as floats:
+    # one engine returning Decimal('0.3') against the other's 0.3 would
+    # otherwise compare unequal in Python despite numeric equality.
+    # (The absolute 9-dp rounding mirrors the driver's gate — keep in
+    # lockstep with it; looser local tolerance would hide driver FAILs.)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

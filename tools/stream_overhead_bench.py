@@ -63,7 +63,14 @@ def main():
     spark = get_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # batch replay reference on the same feed
+    # WARMUP before timing the batch reference: the first job of a session
+    # pays JVM/codegen spin-up and the pandas-UDF worker-pool spawn — a
+    # fixed cost a long-lived cluster never sees. Timing batch cold but
+    # the stream warm would bias the stream-vs-batch comparison in
+    # streaming's favor (bench.py warms for the same reason).
+    batch_replay(spark, feed).write.format("noop").mode("overwrite").save()
+
+    # batch replay reference on the same feed (warm)
     t0 = time.time()
     batch_replay(spark, feed).write.format("noop").mode("overwrite").save()
     batch_sec = time.time() - t0
@@ -123,6 +130,11 @@ def main():
             "scd_resolved_read_sec": round(time.time() - t0, 1),
             "scd_commit_version": scd_table.snapshot().version,
         }
+    # post-run calibration bracket: the pre-run quiet check can be many
+    # minutes stale by now — a storm arriving mid-stream must show up in
+    # the recorded number (same policy as bench.py --replay-only)
+    calib_post = cpu_calibration()
+    calib_worst = round(max(calib, calib_post), 3)
     report = {
         "metric": "stream_overhead_500batch_scd" if with_scd else "stream_overhead_500batch",
         **scd_info,
@@ -138,7 +150,7 @@ def main():
         "final_commit_version": snap.version,
         "snapshot_log_reads": table.last_snapshot_log_reads,
         "snapshot_sec": round(snap_sec, 4),
-        "cpu_calibration_sec": calib,
+        "cpu_calibration_sec": calib_worst,
     }
     print(json.dumps(report))
 
@@ -150,7 +162,7 @@ def main():
 ## {'SCD2-history ' if with_scd else ''}Metadata overhead at {n} micro-batches / {snap.version} commits ({datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%M UTC')})
 
 `python tools/stream_overhead_bench.py {n_segments}{' --scd' if with_scd else ''}` — {n_events:,} events through
-{n} MOR micro-batches (compaction every 64{', Type-2 history table maintained per batch with append-only MOR deltas + scd_compact folds' if with_scd else ''}), cpu_calibration {calib}s:
+{n} MOR micro-batches (compaction every 64{', Type-2 history table maintained per batch with append-only MOR deltas + scd_compact folds' if with_scd else ''}), cpu_calibration {calib_worst}s (worst of pre/post bracket):
 
 | | value |
 |---|---|
