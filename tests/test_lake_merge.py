@@ -347,3 +347,34 @@ def test_staged_empty_batch_respects_commit_empty(spark, tmp_path):
     )
     assert stats.version is None and table.snapshot().version == v0
     assert table.list_staged() == []
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    cur=st.lists(
+        st.one_of(st.none(), st.integers(-100, 100)), min_size=1, max_size=8
+    )
+)
+def test_latest_per_key_matches_python_nulls_lose_model(spark, cur):
+    """Property: the winner per key is exactly the Python max with
+    nulls-lose semantics, for any mix of NULL/negative/zero cursors on a
+    narrow int type (the sentinel-coalesce bug class)."""
+    from airbyte_spark.operators.dedup import latest_per_key
+
+    rows = [("k", c, i) for i, c in enumerate(cur)]
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("i", T.LongType()),
+        ]),
+    )
+    (row,) = latest_per_key(df, ["id"], ["c", "i"]).collect()
+    # model: nulls lose; ties on c broken by i (the unique row index)
+    best = max(range(len(cur)), key=lambda i: ((cur[i] is not None, cur[i] if cur[i] is not None else 0), i))
+    assert row["i"] == best

@@ -719,3 +719,59 @@ def test_job_cli_backfill_runs_post_sync_steps(spark, tmp_path, tmp_path_factory
     silver = LakeTable(spark, str(tmp_path / "silver"))
     main_t = LakeTable(spark, str(tmp_path / "tbl"))
     assert _rows(silver) == _rows(main_t)
+
+
+def test_materialized_agg_randomized_against_full_recompute(spark, tmp_path):
+    """Randomized model check for incremental view maintenance: random
+    upserts (including group MOVES on the non-pk group column), deletes,
+    and a truncate boundary — after every maintenance call the view must
+    equal the full GROUP BY of the source's head state (pre-image keys,
+    gone-group tombstones, fence advance all exercised)."""
+    import random
+
+    from airbyte_spark.lake.pipeline import bootstrap_agg_table, materialized_agg_into
+
+    rng = random.Random(7)
+    import datetime
+
+    TS = datetime.datetime(2025, 1, 1)
+    ROLES = ["user", "assistant", "tool", "system"]
+
+    def row(conv, turn, role, lsn, deleted=False):
+        return (conv, turn, role, "txt", None, TS, lsn, TS,
+                TS if deleted else None, TS)
+
+    src = _mk_table(spark, tmp_path / "src")
+    AGGS = {
+        "n": F.count(F.lit(1)).cast("long"),
+        "mx": F.max("turn_idx").cast("long"),
+    }
+    dst = bootstrap_agg_table(spark, str(tmp_path / "agg"), src, ["role"], AGGS)
+
+    def expect():
+        return sorted(
+            tuple(r)
+            for r in src.read().groupBy("role")
+            .agg(*[c.alias(n) for n, c in AGGS.items()]).collect()
+        )
+
+    def got():
+        return sorted(tuple(r) for r in dst.read().collect())
+
+    lsn = 0
+    keys = [(f"c{i}", t) for i in range(6) for t in range(3)]
+    for rnd in range(8):
+        batch = []
+        for _ in range(rng.randint(2, 6)):
+            conv, turn = rng.choice(keys)
+            lsn += 1
+            if rng.random() < 0.2:
+                batch.append(row(conv, turn, rng.choice(ROLES), lsn, deleted=True))
+            else:
+                batch.append(row(conv, turn, rng.choice(ROLES), lsn))
+        merge_batch(src, spark.createDataFrame(batch, CHANGE_STRUCT),
+                    ORDER_COLS, app_id="ing", batch_id=rnd, strategy="mor")
+        if rnd == 5:  # truncate boundary mid-stream
+            src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
+        materialized_agg_into(src, dst, ["role"], AGGS)
+        assert got() == expect(), f"diverged at round {rnd}"
