@@ -199,7 +199,9 @@ def main(argv: list[str] | None = None) -> None:
         targets: list[tuple[LakeTable, bool]] = [
             (LakeTable(spark, args.table), False)
         ]
-        if args.scd_table:
+        if args.scd_table and LakeTable.exists(args.scd_table):
+            # --backfill never creates the SCD table; guard like the
+            # child tables instead of crashing on a missing _log dir
             targets.append((LakeTable(spark, args.scd_table), True))
         if args.child_tables:
             import os as _os
@@ -232,7 +234,7 @@ def main(argv: list[str] | None = None) -> None:
         report = run_schema_tests(
             table.read(), not_null=list(PK), unique=[list(PK)]
         )
-        if args.scd_table:
+        if args.scd_table and LakeTable.exists(args.scd_table):
             from .lake import read_scd
 
             scd_df = read_scd(LakeTable(spark, args.scd_table))

@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import TableSchema
-from ..operators.dedup import latest_per_key, surrogate_hash_id
+from ..operators.dedup import latest_per_key, surrogate_hash_id, surrogate_key_expr
 from ..operators.unnest import unnest_children_with_specs
 from .merge import MergeStats, merge_batch
 from .table import LakeTable, META_LSN
@@ -240,13 +240,11 @@ def merge_children_batch(
             # `adv` ones, so a replayed level still cascades (see above).
             if any(s2["parent"] == name for s2 in specs):
                 child_hashid = f"_{name}_hashid"
-                link = F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.coalesce(F.col(hashid_col), F.lit("")),
-                        F.coalesce(F.col("pos").cast("string"), F.lit("")),
-                    )
-                ).alias(child_hashid)
+                # the shared surrogate-key expression — MUST stay in
+                # lockstep with the hashids unnest_children chains
+                link = surrogate_key_expr([hashid_col, "pos"]).alias(
+                    child_hashid
+                )
                 touched[name] = (
                     new_prop.join(F.broadcast(prop), hashid_col)
                     .select(link, "_new_lsn")

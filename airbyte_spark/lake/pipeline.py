@@ -40,6 +40,7 @@ and a consumer must re-derive them via ``scd.resolve_scd_changelog``;
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -396,8 +397,15 @@ def materialized_agg_into(
             # groups, or a delete, must refresh the group the row LEFT,
             # which only the old state still names.
             new_keys = ch.filter(~F.col(META_DELETED)).select(*group_cols)
-            if a >= 1:
-                hist = src.snapshot(at_version=a)
+            hist = src.snapshot(at_version=a) if a >= 1 else None
+            if hist is not None:
+                hist_cols = {f.name for f in hist.schema.fields}
+                if not all(c in hist_cols for c in group_cols):
+                    # a group column added by an evolve AFTER version a:
+                    # no pre-image group existed then, so there is nothing
+                    # to refresh — skipping old_keys is exact
+                    hist = None
+            if hist is not None:
                 changed_pks = ch.select(*src_pk).distinct()
                 if pk_aligned:
                     pkb = sorted(
@@ -408,9 +416,26 @@ def materialized_agg_into(
                             ).distinct().collect()
                         }
                     )
-                    old_state = src.read(buckets=pkb, snap=hist)
+                    hist_files = [
+                        p for p, m in hist.files.items()
+                        if m["bucket"] in set(pkb)
+                    ]
                 else:
-                    old_state = src.read(snap=hist)
+                    hist_files = list(hist.files)
+                # vacuum guard: changes_between's existence check covers
+                # the DELTA files, not the base files this historical scan
+                # needs — a lagging consumer must degrade to the full
+                # refresh contract, not die on executors mid-poll
+                if not all(
+                    os.path.exists(os.path.join(src.path, p))
+                    for p in hist_files
+                ):
+                    raise ValueError(
+                        f"segment-start snapshot v{a} partially vacuumed"
+                    )
+                old_state = src.read(
+                    buckets=pkb if pk_aligned else None, snap=hist
+                )
                 old_keys = old_state.join(
                     F.broadcast(changed_pks), src_pk, "left_semi"
                 ).select(*group_cols)

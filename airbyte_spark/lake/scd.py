@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import TableSchema
-from ..operators.dedup import scd2, scd2_bounded
+from ..operators.dedup import scd2, scd2_bounded, surrogate_key_expr
 from ..operators.skew import salted_scd2_input
 from .table import LakeTable, META_DELETED, META_LSN, Snapshot
 
@@ -191,9 +191,7 @@ def scd_merge_batch(
             # LSM write path: append the immutable version rows; the two
             # derived columns stay NULL until read/compaction re-derives
             # them from the next-version lag.
-            uk = F.md5(F.concat_ws(
-                "-", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in pk]
-            ))
+            uk = surrogate_key_expr(pk)
             schema_cols = []
             for fs in snap.schema.fields:
                 if fs.name == "_airbyte_unique_key":

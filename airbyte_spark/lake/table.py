@@ -38,6 +38,8 @@ connection owning its destination tables.
 
 from __future__ import annotations
 
+import threading
+
 import json
 import os
 import uuid
@@ -88,6 +90,13 @@ class Snapshot:
     def schema(self) -> TableSchema:
         return self.schemas[self.current_schema_id]
 
+
+#: parquet timestamp-encoding conf guard (see write_data_files): one
+#: SparkSession per process, shared across concurrent lake writers
+_TS_KEY = "spark.sql.parquet.outputTimestampType"
+_TS_CONF_LOCK = threading.Lock()
+_TS_CONF_DEPTH = 0
+_TS_CONF_PREV = None
 
 class CommitConflict(RuntimeError):
     pass
@@ -701,16 +710,26 @@ class LakeTable:
         # column statistics, which would silence event-time data skipping;
         # TIMESTAMP_MICROS is the modern stats-bearing encoding. The
         # setting is session-global (the parquet writer ignores it as a
-        # per-write option), so save/restore around the write — a user
-        # session that configured its own encoding must not have it
+        # per-write option), so it is save/restored around the write — a
+        # user session that configured its own encoding must not have it
         # silently hijacked for its OWN writes after touching a LakeTable.
-        _TS_KEY = "spark.sql.parquet.outputTimestampType"
-        prev_ts = self.spark.conf.get(_TS_KEY)
-        self.spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+        # REFCOUNTED: concurrent lake writers in one session (multi-stream
+        # sync's foreachBatch threads) overlap; a plain save/restore would
+        # let the first finisher flip an in-flight sibling back to INT96.
+        # Only the OUTERMOST writer captures and restores.
+        with _TS_CONF_LOCK:
+            global _TS_CONF_DEPTH, _TS_CONF_PREV
+            if _TS_CONF_DEPTH == 0:
+                _TS_CONF_PREV = self.spark.conf.get(_TS_KEY)
+                self.spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+            _TS_CONF_DEPTH += 1
         try:
             writer.write.partitionBy("_b").parquet(out, compression="zstd")
         finally:
-            self.spark.conf.set(_TS_KEY, prev_ts)
+            with _TS_CONF_LOCK:
+                _TS_CONF_DEPTH -= 1
+                if _TS_CONF_DEPTH == 0:
+                    self.spark.conf.set(_TS_KEY, _TS_CONF_PREV)
         total: Optional[int] = None
         if obs is not None:
             try:

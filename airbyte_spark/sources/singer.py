@@ -70,7 +70,7 @@ TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 # Parsing is LENIENT (optional sections): real taps emit RFC3339
 # ('2021-01-01T00:00:00.000000Z') while our own captures use TS_FORMAT —
 # both must type-parse, or cursor timestamps silently come back NULL.
-PARSE_TS_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSSSSS][XXX][X]"
+PARSE_TS_FORMAT = "yyyy-MM-dd['T'][ ]HH:mm:ss[.SSSSSS][XXX][XX][X]"
 
 
 # ---------------------------------------------------------------------------

@@ -775,3 +775,22 @@ def test_materialized_agg_randomized_against_full_recompute(spark, tmp_path):
             src.overwrite(src.read(include_meta=True), lsn_col="__lsn")
         materialized_agg_into(src, dst, ["role"], AGGS)
         assert got() == expect(), f"diverged at round {rnd}"
+
+
+def test_job_cli_backfill_with_scd_flags_does_not_crash(spark, tmp_path, tmp_path_factory):
+    """--backfill never creates the SCD table; combining it with
+    --scd-table and --compact/--schema-tests must skip the missing table
+    (like child tables), not crash opening a nonexistent _log dir."""
+    from airbyte_spark import job
+
+    feed = tmp_path_factory.mktemp("jbsfeed")
+    generate_feed(str(feed), SPEC)
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4", "--backfill",
+        "--scd-table", str(tmp_path / "never_created_scd"),
+        "--compact", "--schema-tests",
+    ])
+    assert LakeTable(spark, str(tmp_path / "tbl")).read().count() > 0

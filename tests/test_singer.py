@@ -283,6 +283,9 @@ def test_rfc3339_timestamps_parse_by_default(spark):
                     "record": {"id": 1, "at": "2021-01-01T00:00:00.000000Z"}}),
         json.dumps({"type": "RECORD", "stream": "s",
                     "record": {"id": 2, "at": "2021-01-01 00:00:00.000123"}}),
+        # Python strftime('%z') basic-format offset (no colon)
+        json.dumps({"type": "RECORD", "stream": "s",
+                    "record": {"id": 3, "at": "2021-01-01T01:00:00+0000"}}),
     ]
     env = sg.parse_singer_lines(
         spark.createDataFrame([(l,) for l in lines], "value string")
@@ -293,6 +296,7 @@ def test_rfc3339_timestamps_parse_by_default(spark):
     vals = {r["id"]: r["at"] for r in sg.records(env, "s", schema).collect()}
     assert vals[1] == datetime.datetime(2021, 1, 1)  # session tz is UTC
     assert vals[2] == datetime.datetime(2021, 1, 1, 0, 0, 0, 123)
+    assert vals[3] == datetime.datetime(2021, 1, 1, 1, 0)
 
 
 def test_record_field_name_with_dot(spark):
