@@ -39,6 +39,7 @@ from airbyte_spark.sources.declarative import (
 from airbyte_spark.functions.text import canonicalize_udf
 from airbyte_spark.functions.names import canonicalize_identifier_udf, resolve_collisions
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
+from airbyte_spark.ops.curation import EMAIL_RE as EMAIL_RE_SQL, PHONE_RE as PHONE_RE_SQL
 from airbyte_spark.ops.hashing import h60_sql
 from airbyte_spark.ops.multimodal import (
     attach_fake_payload,
@@ -1050,6 +1051,65 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministic synthetic PII
+    injected first (the corpus itself is PII-free word salad): every
+    doc_id % 7 == 0 gains an email, % 7 == 3 a phone number — the SAME
+    injection runs in the oracle, so the redaction (not the fixture) is
+    what the hash compares."""
+    from airbyte_spark.ops.curation import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 7 == 3,
+                F.concat(
+                    F.lit(" call +1 (555) 010-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ),
+    )
+    return redact_pii(injected)
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus = documents with doc_id % 11 != 0,
+    benchmark (the held-out eval set) = the rest; count 4-gram overlaps."""
+    from airbyte_spark.ops.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 11 != 0),
+        d.filter(F.col("doc_id") % 11 == 0),
+        n=4,
+    )
+
+
+def q_sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.ops.curation import stratified_split
+
+    return stratified_split(_t(spark, sf_dir, "documents"))
+
+
+def q_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.ops.curation import sample_per_stratum
+
+    return sample_per_stratum(_t(spark, sf_dir, "documents"), k=20)
+
+
 # ---------------------------------------------------------------------------
 # Dedup ladder
 # ---------------------------------------------------------------------------
@@ -1193,6 +1253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
+        "text_pii_redact": q_text_pii_redact,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "sample_stratified_split": q_sample_stratified_split,
+        "sample_per_stratum": q_sample_per_stratum,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1775,6 +1839,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS dup_cnt
             FROM documents GROUP BY md5(text)
+        """,
+        "text_pii_redact": rf"""
+            WITH injected AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now'
+                       WHEN doc_id % 7 = 3 THEN ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+              FROM documents),
+            emailed AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{EMAIL_RE_SQL}')) AS BIGINT) AS n_emails,
+                     regexp_replace(text, '{EMAIL_RE_SQL}', '<EMAIL>', 'g') AS t1
+              FROM injected)
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1, '{PHONE_RE_SQL}')) AS BIGINT) AS n_phones,
+                   regexp_replace(t1, '{PHONE_RE_SQL}', '<PHONE>', 'g') AS redacted
+            FROM emailed
+        """,
+        "dedup_decontaminate": rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     {_H("array_to_string(t[i:i+3], ' ')")} AS g
+              FROM toks, UNNEST(range(1, greatest(len(t) - 3, 0) + 1)) AS u(i)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+            hits AS (
+              SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM grams c JOIN bench b USING (g)
+              WHERE c.doc_id % 11 <> 0 GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        "sample_stratified_split": f"""
+            SELECT doc_id, lang AS stratum,
+                   {_H("doc_id || ':split'")} % 1000 AS bucket,
+                   CASE WHEN {_H("doc_id || ':split'")} % 1000 < 800 THEN 'train'
+                        WHEN {_H("doc_id || ':split'")} % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "sample_per_stratum": f"""
+            SELECT doc_id, stratum, rank FROM (
+              SELECT doc_id, lang AS stratum,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_H("doc_id || ':sample'")} ASC, doc_id ASC
+                     ) AS BIGINT) AS rank
+              FROM documents)
+            WHERE rank <= 20
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -1,0 +1,194 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs on
+top of dedup/ANN: benchmark decontamination, PII redaction, and
+deterministic dataset splits/samples.
+
+Reference parity note: these go BEYOND phiture/airbyte's operator set —
+they are the curation stages a 100 TB pretraining-data pipeline runs after
+ingest (the brief's "training-data pipeline" mandate), built with the same
+cross-engine determinism contract as ops/dedup_docs.py: every hash routes
+through md5 (ops/hashing.h60) so the DuckDB oracle reproduces results
+bit-for-bit.
+
+Scale shapes (all verified on `.explain`):
+
+* ``decontaminate`` — the benchmark side (held-out eval sets) is SMALL by
+  construction (10^3-10^6 docs vs 10^9+ corpus docs), so its distinct
+  n-gram set broadcasts and the corpus side stays a map-only
+  explode -> broadcast-hash-join; the only shuffle is the final per-doc
+  hit count (partial count, map-side combine). Never an all-pairs join.
+* ``redact_pii`` — pure ``regexp_replace``/``regexp_count`` column
+  expressions inside whole-stage codegen: scan -> project, zero shuffle,
+  zero Python.
+* ``stratified_split`` — one md5 per row, zero shuffle: split assignment
+  is a pure function of the id, so it is stable under reruns, appends,
+  and repartitioning (no global sort or sampling pass over 100 TB).
+* ``sample_per_stratum`` — per-stratum deterministic top-k by hash order:
+  one shuffle on the stratum key; the window sort is bounded per stratum
+  and the hash order makes the sample uniform without a random() that an
+  oracle could not replay.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h60
+from .text_analysis import tokens
+
+#: email / phone patterns shared verbatim with the DuckDB oracle — kept
+#: RE2-compatible (no lookarounds, no backrefs) so Java regex (Spark) and
+#: RE2 (DuckDB) agree on every match.
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def ngram_hashes(text_col: Column, n: int) -> Column:
+    """Distinct 60-bit hashes of the word n-grams of a text column.
+
+    Word tokens come from the same whitespace split the rest of the text
+    stack uses; grams of docs shorter than ``n`` tokens are empty (not a
+    padded partial gram), matching the oracle's ``range(1, len-n+2)``.
+    """
+    toks = tokens(text_col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: h60(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    # sequence(1, 0) yields [1, 0] descending — guard empty docs explicitly
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its distinct
+    word n-grams appear anywhere in the benchmark set.
+
+    The standard pretraining hygiene step (GPT-3 appendix C / PaLM-style
+    13-gram overlap, here parameterized): a doc with ``n_hits > 0`` leaks
+    eval data and is dropped or flagged before training. Returns EVERY
+    corpus doc (`n_hits = 0` for clean ones) so the caller filters rather
+    than joins back.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_hashes(F.col(text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("_g")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).cast("long").alias(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact emails/phone numbers to typed placeholder tokens and count
+    what was redacted — scan -> project, no shuffle, no Python.
+
+    Emails redact FIRST: an email's domain can contain digit runs a
+    greedy phone pattern would otherwise eat, so the order is part of the
+    contract (the oracle applies the same order).
+    """
+    emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long")
+    after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    phones = F.regexp_count(after_email, F.lit(PHONE_RE)).cast("long")
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        F.regexp_replace(after_email, PHONE_RE, "<PHONE>").alias("redacted"),
+    )
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic 0..999 bucket for dataset splits: md5 of the id — a
+    pure per-row function, so assignment survives reruns/appends/shuffles
+    (the property random() lacks) and any engine can reproduce it."""
+    return (
+        h60(F.concat(id_col.cast("string"), F.lit(":" + salt))) % 1000
+    ).cast("long")
+
+
+def stratified_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    train_upto: int = 800,
+    val_upto: int = 900,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by hashed-id bucket, reported per stratum.
+
+    The hash is uniform per id, so each stratum independently receives
+    ~train_upto/1000 of its rows in train — stratification without a
+    per-stratum pass (no count, no sort, no shuffle at 100 TB).
+    """
+    b = split_bucket(F.col(id_col), salt)
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(stratum_col).alias("stratum"),
+        b.alias("bucket"),
+        F.when(b < train_upto, F.lit("train"))
+        .when(b < val_upto, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sample_per_stratum(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "sample",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` docs per stratum: rank by
+    hashed id inside each stratum, keep rank <= k.
+
+    Hash order is uniform AND replayable — the distributed stand-in for
+    per-group reservoir sampling (same marginal distribution, none of the
+    nondeterminism). One shuffle on the stratum key; the sort is bounded
+    per stratum.
+    """
+    hcol = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("stratum").orderBy(hcol.asc(), F.col(id_col).asc())
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(stratum_col).alias("stratum"),
+            *[F.col(c) for c in carry_cols],
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,142 @@
+"""Tests for corpus-curation operators (airbyte_spark/ops/curation.py):
+decontamination, PII redaction, deterministic splits/samples.
+
+Small hand-checkable corpora; determinism is the core contract (every op
+must be a pure function of its input so the DuckDB oracle and any re-run
+reproduce it bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.ops.curation import (
+    decontaminate,
+    ngram_hashes,
+    redact_pii,
+    sample_per_stratum,
+    split_bucket,
+    stratified_split,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en"),
+            (2, "a b c d x y", "en"),      # shares gram "a b c d" with 1
+            (3, "p q r s t u", "en"),      # clean
+            (4, "x", "de"),                # shorter than n — zero grams
+            (5, "a b c d e f g", "de"),    # shares two grams with 1
+        ],
+        ["doc_id", "text", "lang"],
+    )
+
+
+def test_ngram_hashes_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
+    rows = df.select(F.size(ngram_hashes(F.col("text"), 4)).alias("n")).collect()
+    assert [r["n"] for r in rows] == [0, 0]
+
+
+def test_ngram_hashes_distinct(spark):
+    # repeated gram collapses: "a b a b a b" has 3 bigrams, 2 distinct
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    assert df.select(F.size(ngram_hashes(F.col("text"), 2)).alias("n")).head()["n"] == 2
+
+
+def test_decontaminate_counts(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    rest = corpus.filter(F.col("doc_id") != 1)
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(rest, bench, n=4).collect()}
+    # doc 2: grams {a b c d, b c d x, c d x y} -> 1 hit
+    # doc 5: grams of "a b c d e f g" overlap bench's {a b c d, b c d e, c d e f} on 3
+    assert got[2] == (1, 1)
+    assert got[5] == (3, 1)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)  # zero-gram doc still reported, clean
+    assert set(got) == {2, 3, 4, 5}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, corpus):
+    bench = corpus.filter(F.col("doc_id") == 1)
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org or d@e.co thanks"),
+            (2, "call +1 (555) 010-1234 or 555 123 4567"),
+            (3, "email x@y.io then call 555-010-9999 ok"),
+            (4, "nothing here"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 0
+    assert got[1]["redacted"] == "mail <EMAIL> or <EMAIL> thanks"
+    assert got[2]["n_emails"] == 0 and got[2]["n_phones"] == 2
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE>"
+    assert got[3]["n_emails"] == 1 and got[3]["n_phones"] == 1
+    assert got[3]["redacted"] == "email <EMAIL> then call <PHONE> ok"
+    assert got[4]["redacted"] == "nothing here"
+    assert got[5]["redacted"] == ""
+
+
+def test_redact_order_email_before_phone(spark):
+    # digits inside an email must not survive as a phone match
+    df = spark.createDataFrame([(1, "u15551234567@example.com")], ["doc_id", "text"])
+    r = redact_pii(df).head()
+    assert r["redacted"] == "<EMAIL>" and r["n_phones"] == 0
+
+
+def test_stratified_split_deterministic_and_partitioned(spark, corpus):
+    a = stratified_split(corpus).collect()
+    b = stratified_split(corpus.repartition(5)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r["split"] == (
+            "train" if r["bucket"] < 800 else "val" if r["bucket"] < 900 else "test"
+        )
+        assert 0 <= r["bucket"] < 1000
+
+
+def test_stratified_split_stable_under_append(spark, corpus):
+    # an existing row's assignment never moves when new rows arrive
+    before = {r["doc_id"]: r["split"] for r in stratified_split(corpus).collect()}
+    grown = corpus.unionByName(
+        spark.createDataFrame([(99, "z z z z", "fr")], ["doc_id", "text", "lang"])
+    )
+    after = {r["doc_id"]: r["split"] for r in stratified_split(grown).collect()}
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_split_bucket_salt_independence(spark, corpus):
+    two = corpus.select(
+        split_bucket(F.col("doc_id"), "split").alias("a"),
+        split_bucket(F.col("doc_id"), "sample").alias("b"),
+    ).collect()
+    # different salts give different (independent) assignments
+    assert any(r["a"] != r["b"] for r in two)
+
+
+def test_sample_per_stratum_k_and_determinism(spark, corpus):
+    got = sample_per_stratum(corpus, k=2).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["stratum"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert all(len(v) <= 2 for v in per.values())
+    again = sample_per_stratum(corpus.repartition(7), k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_sample_per_stratum_carry_cols(spark, corpus):
+    got = sample_per_stratum(corpus, k=1, carry_cols=("text",)).collect()
+    assert {"doc_id", "stratum", "text", "rank"} == set(got[0].asDict())
