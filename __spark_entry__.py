@@ -1110,6 +1110,12 @@ def q_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_per_stratum(_t(spark, sf_dir, "documents"), k=20)
 
 
+def q_text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airbyte_spark.ops.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=2048, n_shards=8)
+
+
 # ---------------------------------------------------------------------------
 # Dedup ladder
 # ---------------------------------------------------------------------------
@@ -1257,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "sample_stratified_split": q_sample_stratified_split,
         "sample_per_stratum": q_sample_per_stratum,
+        "text_pack_sequences": q_text_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1893,6 +1900,25 @@ def oracle_sql() -> dict[str, str]:
                      ) AS BIGINT) AS rank
               FROM documents)
             WHERE rank <= 20
+        """,
+        "text_pack_sequences": rf"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_H("doc_id || ':pack'")} AS h,
+                     CAST(len(regexp_extract_all(text, '{text_analysis.BPE_REGEX}')) AS BIGINT)
+                         AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, h % 8 AS shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM base)
+            SELECT doc_id, shard,
+                   shard * 1000000000 + CAST(floor((cum - n_tokens) / 2048) AS BIGINT)
+                       AS pack_id,
+                   n_tokens
+            FROM c
         """,
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLES_CTE},

@@ -165,6 +165,62 @@ def stratified_split(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs (sequence
+    packing / example batching for pretraining).
+
+    Deterministic two-level scheme built for 100 TB:
+
+    1. shard = md5-bucket of the id (``n_shards`` of them) — packing never
+       needs a GLOBAL order, so the only shuffle is on the shard key and
+       each shard packs independently (set ``n_shards`` ~ cluster
+       parallelism).
+    2. within a shard, docs are ordered by hashed id (uniform, replayable)
+       and packed by running token count:
+       ``pack_local = floor((cumsum - n_tokens) / budget)`` — i.e. a doc
+       joins the pack where its token interval STARTS. Every pack's token
+       sum is < budget + max_doc_tokens (the standard streaming-packing
+       bound); a doc longer than the budget overflows its own pack rather
+       than being dropped or split, and callers truncate downstream.
+
+    Token counts use the same BPE-ish regex as ``text_analysis.token_count``
+    so the packing is reproducible in any engine with RE2. Output:
+    (doc_id, shard, pack_id, n_tokens) with ``pack_id`` globally unique
+    (shard-qualified).
+    """
+    from .text_analysis import BPE_REGEX
+
+    hcol = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        (hcol % n_shards).alias("shard"),
+        hcol.alias("_h"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    pack_local = F.floor((cum - F.col("n_tokens")) / budget).cast("long")
+    return base.select(
+        id_col,
+        "shard",
+        (F.col("shard") * F.lit(1_000_000_000) + pack_local).alias("pack_id"),
+        "n_tokens",
+    )
+
+
 def sample_per_stratum(
     docs: DataFrame,
     k: int,

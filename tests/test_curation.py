@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from airbyte_spark.ops.curation import (
     decontaminate,
     ngram_hashes,
+    pack_sequences,
     redact_pii,
     sample_per_stratum,
     split_bucket,
@@ -140,3 +141,48 @@ def test_sample_per_stratum_k_and_determinism(spark, corpus):
 def test_sample_per_stratum_carry_cols(spark, corpus):
     got = sample_per_stratum(corpus, k=1, carry_cols=("text",)).collect()
     assert {"doc_id", "stratum", "text", "rank"} == set(got[0].asDict())
+
+
+def test_pack_sequences_budget_bound(spark):
+    # 40 docs of 3-7 tokens, one shard so packing order is fully checked
+    rows = [(i, " ".join(["tok"] * (3 + i % 5))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pack_sequences(df, budget=10, n_shards=1).collect()
+    per_pack: dict[int, int] = {}
+    max_doc = 0
+    for r in got:
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+        max_doc = max(max_doc, r["n_tokens"])
+    # streaming-packing bound: every pack < budget + max doc size
+    assert all(v < 10 + max_doc for v in per_pack.values())
+    # packs are contiguous 0..P-1 within the single shard
+    assert sorted(per_pack) == list(range(len(per_pack)))
+    # total token mass is conserved
+    assert sum(per_pack.values()) == sum(3 + i % 5 for i in range(40))
+
+
+def test_pack_sequences_oversize_doc_own_pack(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, " ".join(["x"] * 50)), (3, "c d")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in pack_sequences(df, budget=10, n_shards=1).collect()}
+    big = got[2]
+    others = [got[1], got[3]]
+    # the oversize doc overflows whichever pack its interval starts in,
+    # and nothing else lands in a LATER position of that pack
+    assert big["n_tokens"] == 50
+    assert all(o["pack_id"] != big["pack_id"] or o["n_tokens"] <= 10 for o in others)
+
+
+def test_pack_sequences_deterministic(spark):
+    rows = [(i, " ".join(["w"] * (1 + i % 9))) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, pack_sequences(df, budget=16, n_shards=4).collect()))
+    b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=16, n_shards=4).collect()))
+    assert a == b
+    # shard-qualified pack ids never collide across shards
+    shards = {t[1] for t in a}
+    assert len(shards) > 1
+    for (_, shard, pack_id, _n) in a:
+        assert pack_id // 1_000_000_000 == shard
