@@ -175,6 +175,66 @@ def test_pack_sequences_oversize_doc_own_pack(spark):
     assert all(o["pack_id"] != big["pack_id"] or o["n_tokens"] <= 10 for o in others)
 
 
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+_TEXTS = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    corpus_rows=st.lists(_TEXTS, min_size=1, max_size=12),
+    bench_rows=st.lists(_TEXTS, min_size=1, max_size=4),
+    n=st.sampled_from([2, 3]),
+)
+def test_decontaminate_matches_bruteforce(spark, corpus_rows, bench_rows, n):
+    """Property: for ANY corpus/benchmark (tiny shared vocabulary forces
+    overlaps), per-doc n_hits equals a brute-force python recount of
+    distinct-gram intersections."""
+    def grams(text: str) -> set:
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    corpus = spark.createDataFrame(
+        list(enumerate(corpus_rows)), ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        list(enumerate(bench_rows)), ["doc_id", "text"]
+    )
+    bench_set = set().union(*(grams(t) for t in bench_rows))
+    expected = {
+        i: len(grams(t) & bench_set) for i, t in enumerate(corpus_rows)
+    }
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, bench, n=n).collect()
+    }
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 30), min_size=1, max_size=30),
+    budget=st.sampled_from([1, 7, 64]),
+)
+def test_pack_sequences_bound_property(spark, sizes, budget):
+    """Property: for ANY doc-size mix and budget, every pack's token sum
+    stays below budget + max doc size and token mass is conserved. (Pack
+    ids within a shard need NOT be contiguous: a doc longer than the
+    budget spans several budget windows, and the next doc starts in a
+    later pack — the intervening ids are simply never issued.)"""
+    rows = [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = pack_sequences(df, budget=budget, n_shards=2).collect()
+    per_pack: dict[int, int] = {}
+    for r in got:
+        assert r["pack_id"] >= 0 and r["shard"] == r["pack_id"] // 1_000_000_000
+        per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
+    cap = budget + max(sizes)
+    assert all(v < cap for v in per_pack.values())
+    assert sum(per_pack.values()) == sum(sizes)
+
+
 def test_pack_sequences_deterministic(spark):
     rows = [(i, " ".join(["w"] * (1 + i % 9))) for i in range(60)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
