@@ -188,7 +188,9 @@ def pack_sequences(
        joins the pack where its token interval STARTS. Every pack's token
        sum is < budget + max_doc_tokens (the standard streaming-packing
        bound); a doc longer than the budget overflows its own pack rather
-       than being dropped or split, and callers truncate downstream.
+       than being dropped or split, and callers truncate downstream. Pack
+       ids after an oversize doc skip the budget windows it spans, so ids
+       within a shard are monotone but not necessarily contiguous.
 
     Token counts use the same BPE-ish regex as ``text_analysis.token_count``
     so the packing is reproducible in any engine with RE2. Output:
@@ -234,8 +236,11 @@ def sample_per_stratum(
 
     Hash order is uniform AND replayable — the distributed stand-in for
     per-group reservoir sampling (same marginal distribution, none of the
-    nondeterminism). One shuffle on the stratum key; the sort is bounded
-    per stratum.
+    nondeterminism). One shuffle on the stratum key — and the
+    ``rank <= k`` filter triggers Catalyst's WindowGroupLimit pushdown
+    (plan-audited: a *Partial* WindowGroupLimit runs map-side), so each
+    mapper ships at most k rows per stratum and a hot stratum never
+    funnels its full row set through one reducer.
     """
     hcol = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
     w = Window.partitionBy("stratum").orderBy(hcol.asc(), F.col(id_col).asc())
