@@ -1915,7 +1915,7 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM base)
             SELECT doc_id, shard,
-                   shard * 1000000000 + CAST(floor((cum - n_tokens) / 2048) AS BIGINT)
+                   CAST(floor((cum - n_tokens) / 2048) AS BIGINT) * 8 + shard
                        AS pack_id,
                    n_tokens
             FROM c

@@ -45,14 +45,19 @@ EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
-def ngram_hashes(text_col: Column, n: int) -> Column:
-    """Distinct 60-bit hashes of the word n-grams of a text column.
+def ngram_hashes(toks: Column, n: int) -> Column:
+    """Distinct 60-bit hashes of the word n-grams of a MATERIALIZED
+    token-array column.
 
-    Word tokens come from the same whitespace split the rest of the text
-    stack uses; grams of docs shorter than ``n`` tokens are empty (not a
-    padded partial gram), matching the oracle's ``range(1, len-n+2)``.
+    Takes the token array, not raw text: an unevaluated ``split`` embedded
+    here would be re-run inside the transform lambda once PER GRAM
+    (higher-order-function lambdas are interpreted, no common-subexpression
+    reuse), turning shingling O(tokens) into O(tokens²) — callers
+    materialize the array in a prior select (same contract as
+    ``dedup_docs.word_shingles``). Grams of docs shorter than ``n`` tokens
+    are empty (not a padded partial gram), matching the oracle's
+    ``range(1, len-n+2)``.
     """
-    toks = tokens(text_col)
     count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), count),
@@ -79,30 +84,36 @@ def decontaminate(
     eval data and is dropped or flagged before training. Returns EVERY
     corpus doc (`n_hits = 0` for clean ones) so the caller filters rather
     than joins back.
+
+    ONE corpus scan, ONE shuffle: grams ``explode_outer`` (a zero-gram doc
+    keeps a null-gram row so it stays in the output), left-join the
+    broadcast benchmark set, then count matches per doc — the per-doc
+    partial count collapses each doc's gram rows map-side (they come from
+    one input row, so they are mapper-local), leaving the exchange at one
+    row per doc per mapper.
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(ngram_hashes(F.col(text_col), n)).alias("_g")
+
+    def _grams(df: DataFrame, *cols: Column) -> DataFrame:
+        toked = df.select(*cols, tokens(F.col(text_col)).alias("_toks"))
+        return toked.select(
+            *[c for c in toked.columns if c != "_toks"],
+            F.explode_outer(ngram_hashes(F.col("_toks"), n)).alias("_g"),
         )
-        .distinct()
+
+    bench_grams = (
+        _grams(benchmark).select("_g").where(F.col("_g").isNotNull()).distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("_g")
-    )
-    hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "_g")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("_hits"))
-    )
+    corpus_grams = _grams(corpus, F.col(id_col).cast("long").alias(id_col))
     return (
-        corpus.select(F.col(id_col).cast("long").alias(id_col))
-        .join(hits, id_col, "left")
+        corpus_grams.join(
+            F.broadcast(bench_grams.withColumn("_m", F.lit(1))), "_g", "left"
+        )
+        .groupBy(id_col)
+        .agg(F.count("_m").cast("long").alias("n_hits"))
         .select(
             id_col,
-            F.coalesce(F.col("_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("_hits"), F.lit(0)) > 0)
-            .cast("int")
-            .alias("contaminated"),
+            "n_hits",
+            (F.col("n_hits") > 0).cast("int").alias("contaminated"),
         )
     )
 
@@ -194,11 +205,21 @@ def pack_sequences(
 
     Token counts use the same BPE-ish regex as ``text_analysis.token_count``
     so the packing is reproducible in any engine with RE2. Output:
-    (doc_id, shard, pack_id, n_tokens) with ``pack_id`` globally unique
-    (shard-qualified).
+    (doc_id, shard, pack_id, n_tokens) with
+    ``pack_id = pack_local * n_shards + shard`` — interleaved numbering is
+    collision-free for ANY pack count (a fixed per-shard offset would
+    alias once a shard's token mass outgrew it), and
+    ``pack_id % n_shards`` recovers the shard.
     """
     from .text_analysis import BPE_REGEX
 
+    if budget < 1 or n_shards < 1:
+        # budget 0 would null out every pack id via try-less division —
+        # a silently corrupt packing rather than an error
+        raise ValueError(
+            f"pack_sequences needs budget >= 1 and n_shards >= 1 "
+            f"(got budget={budget}, n_shards={n_shards})"
+        )
     hcol = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
     base = docs.select(
         F.col(id_col).cast("long").alias(id_col),
@@ -218,7 +239,7 @@ def pack_sequences(
     return base.select(
         id_col,
         "shard",
-        (F.col("shard") * F.lit(1_000_000_000) + pack_local).alias("pack_id"),
+        (pack_local * n_shards + F.col("shard")).alias("pack_id"),
         "n_tokens",
     )
 

@@ -70,13 +70,19 @@ def word_shingles(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
-def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded inverted-index input."""
-    toked = docs.select(
+def token_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, _toks) — the ONE tokenization every shingle consumer shares
+    (a second copy of the split would let exact/LSH dedup silently diverge
+    from Jaccard dedup if tokenization ever changes)."""
+    return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.split(F.trim("text"), r"\s+").alias("_toks"),
     )
-    return toked.select(
+
+
+def shingle_table(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded inverted-index input."""
+    return token_table(docs).select(
         "doc_id", F.explode(word_shingles(F.col("_toks"), k)).alias("sh")
     )
 
@@ -137,12 +143,16 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     shuffled every shingle occurrence just to re-group rows that were
     already per-doc). The j-salted md5 plays the role of k independent
     hash functions and is reproducible in any engine with md5.
+
+    PRECONDITION (now load-bearing): ``doc_id`` is unique — one row in,
+    one signature row out. The earlier groupBy incidentally collapsed
+    duplicate ids; a feed that can repeat ids must exact-dedup first
+    (duplicate signature rows would double-count shared bands in
+    ``minhash_lsh_candidates``).
     """
-    toked = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.split(F.trim("text"), r"\s+").alias("_toks"),
+    sh = token_table(docs).select(
+        "doc_id", word_shingles(F.col("_toks")).alias("_sh")
     )
-    sh = toked.select("doc_id", word_shingles(F.col("_toks")).alias("_sh"))
 
     def _sig(j: int) -> Column:
         # closure factory, NOT a default-arg lambda: pyspark dispatches HOF

@@ -36,16 +36,22 @@ def corpus(spark):
     )
 
 
+def _toks(df):
+    # ngram_hashes takes a MATERIALIZED token array (an inline split would
+    # re-run once per gram inside the interpreted HOF lambda)
+    return df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_toks"))
+
+
 def test_ngram_hashes_short_doc_empty(spark):
-    df = spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"])
-    rows = df.select(F.size(ngram_hashes(F.col("text"), 4)).alias("n")).collect()
+    df = _toks(spark.createDataFrame([(1, "a b"), (2, "")], ["doc_id", "text"]))
+    rows = df.select(F.size(ngram_hashes(F.col("_toks"), 4)).alias("n")).collect()
     assert [r["n"] for r in rows] == [0, 0]
 
 
 def test_ngram_hashes_distinct(spark):
     # repeated gram collapses: "a b a b a b" has 3 bigrams, 2 distinct
-    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
-    assert df.select(F.size(ngram_hashes(F.col("text"), 2)).alias("n")).head()["n"] == 2
+    df = _toks(spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"]))
+    assert df.select(F.size(ngram_hashes(F.col("_toks"), 2)).alias("n")).head()["n"] == 2
 
 
 def test_decontaminate_counts(spark, corpus):
@@ -161,18 +167,40 @@ def test_pack_sequences_budget_bound(spark):
     assert sum(per_pack.values()) == sum(3 + i % 5 for i in range(40))
 
 
-def test_pack_sequences_oversize_doc_own_pack(spark):
+def _h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_pack_sequences_matches_python_model(spark):
+    """Exact-model check incl. an oversize doc: replay the packing rule in
+    python (hash order, running cumsum, interval-start pack) and require
+    identical assignments — also proves nothing co-packs AFTER an
+    oversize doc inside its overflowed pack."""
+    sizes = {1: 2, 2: 50, 3: 2, 4: 7, 5: 9}
+    budget, n_shards = 10, 1
     df = spark.createDataFrame(
-        [(1, "a b"), (2, " ".join(["x"] * 50)), (3, "c d")],
-        ["doc_id", "text"],
+        [(i, " ".join(["x"] * s)) for i, s in sizes.items()], ["doc_id", "text"]
     )
-    got = {r["doc_id"]: r for r in pack_sequences(df, budget=10, n_shards=1).collect()}
-    big = got[2]
-    others = [got[1], got[3]]
-    # the oversize doc overflows whichever pack its interval starts in,
-    # and nothing else lands in a LATER position of that pack
-    assert big["n_tokens"] == 50
-    assert all(o["pack_id"] != big["pack_id"] or o["n_tokens"] <= 10 for o in others)
+    order = sorted(sizes, key=lambda i: (_h60_py(f"{i}:pack"), i))
+    cum, expected = 0, {}
+    for i in order:
+        expected[i] = ((cum // budget) * n_shards, sizes[i])
+        cum += sizes[i]
+    got = {
+        r["doc_id"]: (r["pack_id"], r["n_tokens"])
+        for r in pack_sequences(df, budget=budget, n_shards=n_shards).collect()
+    }
+    assert got == expected
+
+
+def test_pack_sequences_rejects_degenerate_params(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=16, n_shards=0)
 
 
 from hypothesis import given, settings, strategies as st
@@ -228,7 +256,8 @@ def test_pack_sequences_bound_property(spark, sizes, budget):
     got = pack_sequences(df, budget=budget, n_shards=2).collect()
     per_pack: dict[int, int] = {}
     for r in got:
-        assert r["pack_id"] >= 0 and r["shard"] == r["pack_id"] // 1_000_000_000
+        # interleaved numbering: shard always recoverable, never aliased
+        assert r["pack_id"] >= 0 and r["shard"] == r["pack_id"] % 2
         per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
     cap = budget + max(sizes)
     assert all(v < cap for v in per_pack.values())
@@ -241,8 +270,8 @@ def test_pack_sequences_deterministic(spark):
     a = sorted(map(tuple, pack_sequences(df, budget=16, n_shards=4).collect()))
     b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=16, n_shards=4).collect()))
     assert a == b
-    # shard-qualified pack ids never collide across shards
+    # interleaved pack ids never collide across shards
     shards = {t[1] for t in a}
     assert len(shards) > 1
     for (_, shard, pack_id, _n) in a:
-        assert pack_id // 1_000_000_000 == shard
+        assert pack_id % 4 == shard
