@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> None:
                         "medallion bronze->silver hop as a CLI step")
     p.add_argument("--tail-app-id", default="table_tail",
                    help="fence id for the --tail-to hop (one per edge)")
+    p.add_argument("--reset", action="store_true",
+                   help="per-stream reset (Airbyte reset job): wipe the "
+                   "stream's data + exactly-once fences on the main/SCD/"
+                   "child tables and delete its checkpoint, then exit — "
+                   "the next sync re-bootstraps from the feed's beginning")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -117,6 +122,24 @@ def main(argv: list[str] | None = None) -> None:
                 else None
             ),
         )
+
+    if args.reset:
+        from .lake import LakeTable
+        from .streaming.sync import reset_stream
+
+        if not LakeTable.exists(args.table):
+            raise SystemExit(f"--reset: no table at {args.table}")
+        cfg = ReplayConfig(
+            feed_dir=args.feed_dir,
+            table_path=args.table,
+            checkpoint_dir=args.checkpoint,
+            app_id=args.app_id,
+            scd_table_path=args.scd_table,
+            child_tables_path=args.child_tables,
+        )
+        for path, version in reset_stream(spark, cfg).items():
+            print(f"reset {path} at commit {version}")
+        return
 
     if args.backfill:
         # one-shot batch replay (S4 snapshot); the post-sync blocks below

@@ -543,6 +543,7 @@ class LakeTable:
         new_schema: Optional[TableSchema] = None,
         op: str = "merge",
         retry_conflicts: int = 0,
+        fences_reset: Optional[dict] = None,
     ) -> int:
         """Publish one commit. Optimistic concurrency (Iceberg-style): the
         version file is hard-linked create-exclusive, so of two writers
@@ -565,6 +566,10 @@ class LakeTable:
             entry["lineage"] = lineage
         if new_schema is not None:
             entry["schema"] = new_schema.to_json()
+        if fences_reset is not None:
+            # wholesale fence replacement (rollback / reset): applied AFTER
+            # any per-commit fence in snapshot replay
+            entry["fences_reset"] = fences_reset
         for attempt in range(retry_conflicts + 1):
             version = snap.version + 1
             try:
@@ -834,6 +839,35 @@ class LakeTable:
         adds, _ = self.write_data_files(snap, prepared)
         return self.commit(
             snap, adds, list(snap.files), fence=fence, op="overwrite"
+        )
+
+    def reset(self, app_id: Optional[str] = None) -> int:
+        """Per-stream reset — the Airbyte "reset" job for one stream
+        (EmptyAirbyteSource overwrite + state wipe,
+        DefaultJobCreator.createResetConnectionJob): ONE commit that drops
+        every data file and clears the exactly-once fence for ``app_id``
+        (all fences when None), so the next sync re-bootstraps from the
+        source's beginning and re-applies batch 0 onward instead of being
+        fenced off as already-committed duplicates.
+
+        The table keeps its schema, layout, and commit history — time
+        travel to pre-reset versions and ``rollback`` across the reset
+        still work (the dropped files stay on disk until ``vacuum``). The
+        changelog treats the commit as a truncate boundary exactly like
+        ``overwrite`` (not row-attributable), so tailing consumers re-sync
+        via their normal boundary path. Metadata-only: no data scan, no
+        write job."""
+        snap = self.snapshot()
+        fences: dict = {} if app_id is None else {
+            k: v for k, v in snap.fences.items() if k != app_id
+        }
+        return self.commit(
+            snap,
+            [],
+            list(snap.files),
+            op="reset",
+            fences_reset=fences,
+            lineage={"app_id": app_id, "rows_in": 0, "reset": True},
         )
 
     def commit_ops(

@@ -15,11 +15,14 @@ stream if one stream must not starve the rest).
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Sequence
 
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from ..lake.table import LakeTable
 from .runner import ReplayConfig, run_replay_stream
 
 
@@ -55,3 +58,39 @@ def run_sync(
                 + ", ".join(f"{n}: {e}" for n, e in errors)
             ) from errors[0][1]
     return queries
+
+
+def reset_stream(spark: SparkSession, cfg: ReplayConfig) -> dict[str, int]:
+    """Airbyte's per-stream "reset" job (reset connection for one stream:
+    EmptyAirbyteSource overwrite + state wipe,
+    DefaultJobCreator.createResetConnectionJob): wipe the stream's data
+    and exactly-once state everywhere it lives, so the next
+    ``run_replay_stream(cfg)`` re-bootstraps from the feed's beginning.
+
+    Three independent state surfaces, each cleared:
+
+    1. the main table — one metadata-only ``reset`` commit (all files
+       dropped, ``cfg.app_id``'s fence cleared; history/time-travel kept,
+       changelog consumers see a truncate boundary);
+    2. the SCD history table and every persisted child table, when the
+       config maintains them (same per-table reset — each carries its own
+       fence for the same app_id);
+    3. the Structured-Streaming checkpoint directory, so source offsets
+       restart at the feed's first file.
+
+    Returns {table path: reset commit version} for the tables touched.
+    Not run while the stream's queries are active — stop them first (the
+    same contract as Airbyte, which cancels the sync before resetting)."""
+    out: dict[str, int] = {}
+    out[cfg.table_path] = LakeTable(spark, cfg.table_path).reset(cfg.app_id)
+    if cfg.scd_table_path and LakeTable.exists(cfg.scd_table_path):
+        out[cfg.scd_table_path] = LakeTable(spark, cfg.scd_table_path).reset(
+            cfg.app_id
+        )
+    if cfg.child_tables_path and os.path.isdir(cfg.child_tables_path):
+        for name in sorted(os.listdir(cfg.child_tables_path)):
+            path = os.path.join(cfg.child_tables_path, name)
+            if LakeTable.exists(path):
+                out[path] = LakeTable(spark, path).reset(cfg.app_id)
+    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    return out
