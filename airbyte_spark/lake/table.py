@@ -843,8 +843,9 @@ class LakeTable:
 
     def reset(self, app_id: Optional[str] = None) -> int:
         """Per-stream reset — the Airbyte "reset" job for one stream
-        (EmptyAirbyteSource overwrite + state wipe,
-        DefaultJobCreator.createResetConnectionJob): ONE commit that drops
+        (EmptyAirbyteSource overwrite + per-stream state wipe:
+        DefaultJobCreator.java:112-151 builds the reset job with
+        ResetSourceConfiguration.withStreamsToReset): ONE commit that drops
         every data file and clears the exactly-once fence for ``app_id``
         (all fences when None), so the next sync re-bootstraps from the
         source's beginning and re-applies batch 0 onward instead of being
