@@ -1,0 +1,157 @@
+"""Corpus-curation pipeline CLI — the training-data side's ``job.py``.
+
+Composes the ops/ curation ladder into one runnable pipeline over a
+documents parquet directory (columns: doc_id, text, lang, ...):
+
+    exact dedup (keep min doc_id per content hash)
+      -> quality filter (C4/Gopher-style column-expression score)
+      -> benchmark decontamination (optional --benchmark-dir)
+      -> deterministic stratified train/val/test split
+      -> token-budget sequence packing (train split)
+      -> parquet out, partitioned by split, + ONE JSON stats line
+
+Scale shape: every stage is the documented scale form of its operator —
+the only shuffles are exact-dedup's hash agg, decontaminate's per-doc hit
+count, and packing's shard exchange; quality/split are map-only; the
+benchmark gram set broadcasts. Stage row counts are measured with ONE
+aggregate over a cached frame per stage boundary (the cache is reused by
+the next stage, so counting adds no extra scan of the input).
+
+Usage:
+    spark-submit --py-files airbyte_spark.zip -m airbyte_spark.curate \\
+        --docs-dir ... --out ... [--benchmark-dir ...] [--min-quality 0.3]
+        [--budget 2048] [--n-shards 64] [--stratum-col lang]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.appName("airbyte-spark-curate")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float = 0.0,
+    decontaminate_n: int = 4,
+    stratum_col: str = "lang",
+    train_upto: int = 800,
+    val_upto: int = 900,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> tuple[DataFrame, dict]:
+    """Run the curation ladder; returns (curated frame, stage stats).
+
+    The curated frame carries the input columns plus quality, split, and
+    (train rows only) pack_id/n_tokens — everything a downstream trainer
+    needs to shard, sample, and batch without re-deriving state.
+    """
+    from .ops.curation import decontaminate, pack_sequences, stratified_split
+    from .ops.dedup_docs import exact_dedup
+    from .ops.text_analysis import quality_score
+
+    stats: dict = {"rows_in": docs.count()}
+
+    # 1. exact dedup — keep the canonical (min doc_id) copy per content
+    keep = exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id", "left_semi").cache()
+    stats["rows_after_exact_dedup"] = deduped.count()
+
+    # 2. quality filter (map-only score)
+    q = quality_score(deduped).select("doc_id", "quality")
+    passed = deduped.join(
+        q.filter(F.col("quality") >= min_quality).select("doc_id", "quality"),
+        "doc_id",
+    ).cache()
+    stats["rows_after_quality"] = passed.count()
+    deduped.unpersist()
+
+    # 3. decontamination (optional; benchmark gram set broadcasts)
+    if benchmark is not None:
+        clean_ids = decontaminate(passed, benchmark, n=decontaminate_n).filter(
+            F.col("contaminated") == 0
+        ).select("doc_id")
+        clean = passed.join(clean_ids, "doc_id", "left_semi").cache()
+        stats["rows_after_decontaminate"] = clean.count()
+        passed.unpersist()
+    else:
+        clean = passed
+        stats["rows_after_decontaminate"] = stats["rows_after_quality"]
+
+    # 4. deterministic stratified split (map-only)
+    split = stratified_split(
+        clean, stratum_col=stratum_col, train_upto=train_upto,
+        val_upto=val_upto,
+    ).select("doc_id", "split")
+    with_split = clean.join(split, "doc_id")
+
+    # 5. pack the train split into token-budget batches
+    packs = pack_sequences(
+        with_split.filter(F.col("split") == "train"),
+        budget=budget, n_shards=n_shards,
+    ).select("doc_id", "pack_id", "n_tokens")
+    out = with_split.join(packs, "doc_id", "left")
+
+    split_counts = {
+        r["split"]: r["n"]
+        for r in with_split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    stats["split_counts"] = split_counts
+    return out, stats
+
+
+def main(argv: list[str] | None = None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--docs-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--benchmark-dir", default=None,
+                   help="parquet dir of held-out eval docs; documents "
+                   "sharing any word n-gram with them are dropped")
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--decontaminate-n", type=int, default=4)
+    p.add_argument("--stratum-col", default="lang")
+    p.add_argument("--train-upto", type=int, default=800,
+                   help="split buckets [0,this) of 1000 are train")
+    p.add_argument("--val-upto", type=int, default=900)
+    p.add_argument("--budget", type=int, default=2048,
+                   help="token budget per training pack")
+    p.add_argument("--n-shards", type=int, default=64)
+    args = p.parse_args(argv)
+
+    spark = build_session()
+    docs = spark.read.parquet(args.docs_dir)
+    bench = (
+        spark.read.parquet(args.benchmark_dir) if args.benchmark_dir else None
+    )
+    out, stats = curate(
+        spark, docs, bench,
+        min_quality=args.min_quality,
+        decontaminate_n=args.decontaminate_n,
+        stratum_col=args.stratum_col,
+        train_upto=args.train_upto,
+        val_upto=args.val_upto,
+        budget=args.budget,
+        n_shards=args.n_shards,
+    )
+    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    stats["out"] = args.out
+    print(json.dumps(stats, sort_keys=True))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

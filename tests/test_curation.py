@@ -144,6 +144,55 @@ def test_sample_per_stratum_k_and_determinism(spark, corpus):
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
 
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """curate.py over a corpus with a known dup, a junk doc, and one
+    contaminated doc: the output holds exactly the survivors, each with a
+    split, train rows packed, and the stats line accounts every stage."""
+    from airbyte_spark import curate
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again today", "en"),  # dup of 1
+        (3, "!!!! ???? ....", "en"),                                           # junk
+        (4, "a completely distinct and quite long document of words here", "en"),
+        (5, "der hund lief und die katze schlief im haus dort", "de"),
+        (6, "secret eval answer sequence alpha beta gamma delta epsilon", "en"),  # contaminated
+    ]
+    bench_rows = [(100, "answer sequence alpha beta gamma delta", "en")]
+    docs_dir = str(tmp_path / "docs")
+    bench_dir = str(tmp_path / "bench")
+    out_dir = str(tmp_path / "curated")
+    cols = ["doc_id", "text", "lang"]
+    spark.createDataFrame(rows, cols).write.parquet(docs_dir)
+    spark.createDataFrame(bench_rows, cols).write.parquet(bench_dir)
+
+    stats = curate.main([
+        "--docs-dir", docs_dir,
+        "--out", out_dir,
+        "--benchmark-dir", bench_dir,
+        "--min-quality", "0.2",
+        "--decontaminate-n", "4",
+        "--budget", "16",
+        "--n-shards", "2",
+    ])
+    assert stats["rows_in"] == 6
+    assert stats["rows_after_exact_dedup"] == 5          # dup collapsed
+    assert stats["rows_after_quality"] == 4              # junk dropped
+    assert stats["rows_after_decontaminate"] == 3        # leak dropped
+    got = spark.read.parquet(out_dir)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert ids == {1, 4, 5}
+    r = {row["doc_id"]: row for row in got.collect()}
+    for i in ids:
+        assert r[i]["split"] in ("train", "val", "test")
+        assert r[i]["quality"] >= 0.2
+        if r[i]["split"] == "train":
+            assert r[i]["pack_id"] is not None and r[i]["n_tokens"] > 0
+        else:
+            assert r[i]["pack_id"] is None
+    assert sum(stats["split_counts"].values()) == 3
+
+
 def test_sample_per_stratum_carry_cols(spark, corpus):
     got = sample_per_stratum(corpus, k=1, carry_cols=("text",)).collect()
     assert {"doc_id", "stratum", "text", "rank"} == set(got[0].asDict())
