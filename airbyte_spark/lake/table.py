@@ -857,11 +857,22 @@ class LakeTable:
         changelog treats the commit as a truncate boundary exactly like
         ``overwrite`` (not row-attributable), so tailing consumers re-sync
         via their normal boundary path. Metadata-only: no data scan, no
-        write job."""
+        write job.
+
+        Staged (write-audit-publish) commits fenced under ``app_id`` are
+        ABORTED: with the fence cleared, a leftover pre-reset stage would
+        otherwise publish cleanly after the reset (add-only stages carry no
+        removes to conflict on) and resurrect wiped data — the same reason
+        Airbyte cancels a connection's running jobs before resetting it.
+        Other apps' staged commits are untouched."""
         snap = self.snapshot()
         fences: dict = {} if app_id is None else {
             k: v for k, v in snap.fences.items() if k != app_id
         }
+        for sid in self.list_staged():
+            f = self._load_staged(sid).get("fence")
+            if app_id is None or (f is not None and f["app_id"] == app_id):
+                self.abort_staged(sid)
         return self.commit(
             snap,
             [],

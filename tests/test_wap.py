@@ -259,3 +259,26 @@ def test_audit_error_aborts_staged_commit(spark, tmp_path, feed):
     # an EMPTY test battery is vacuously clean: publish, don't error
     stats = audited_merge_batch(table, _chunk(spark, feed, a), ORDER_COLS, batch_id=0)
     assert stats.version is not None and table.list_staged() == []
+
+
+def test_reset_aborts_this_apps_staged_commits(spark, tmp_path, feed):
+    """stage -> reset -> publish must NOT resurrect pre-reset data: the
+    reset aborts staged commits fenced under the reset app_id (their fence
+    no longer guards them), while another app's stage survives."""
+    a, b = _halves(feed)
+    table = _mk_table(spark, tmp_path / "tbl_reset_wap")
+    merge_batch(table, _chunk(spark, feed, a), ORDER_COLS, app_id="app-a", batch_id=0)
+    staged_a = merge_batch(
+        table, _chunk(spark, feed, b), ORDER_COLS, app_id="app-a", batch_id=1,
+        strategy="mor", stage=True,
+    ).staged_id
+    staged_b = merge_batch(
+        table, _chunk(spark, feed, b), ORDER_COLS, app_id="app-b", batch_id=1,
+        strategy="mor", stage=True,
+    ).staged_id
+    table.reset("app-a")
+    assert table.list_staged() == [staged_b]  # app-a's stage aborted
+    with pytest.raises(Exception):
+        table.publish_staged(staged_a)  # marker gone
+    table.publish_staged(staged_b)  # the other app's work is unaffected
+    assert table.read().count() > 0
