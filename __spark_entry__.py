@@ -1186,6 +1186,14 @@ def q_ann_lsh_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.sign_lsh_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_ops.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return emb_ops.ivf_search(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1272,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_banded": q_dedup_simhash_banded,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
+        "ann_ivf_assign": q_ann_ivf_assign,
+        "ann_ivf_search": q_ann_ivf_search,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -1991,6 +2001,48 @@ def oracle_sql() -> dict[str, str]:
                        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                       AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        """,
+        "ann_ivf_assign": f"""
+            WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
+                           WHERE vec_id < 8),
+            s AS (SELECT e.vec_id, cents.cell,
+                         {_cos("cents.c", "e.embedding")} AS cos
+                  FROM embeddings e, cents),
+            r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY cos DESC, cell ASC) rnk FROM s)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id, cell, cos
+            FROM r WHERE rnk = 1
+        """,
+        "ann_ivf_search": f"""
+            WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
+                           WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT e.vec_id, cents.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("cents.c", "e.embedding")} DESC,
+                                  cents.cell ASC) rnk
+                FROM embeddings e, cents) WHERE rnk = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                  WHERE vec_id < 10),
+            probes AS (
+              SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, cents.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos("q.qe", "cents.c")} DESC,
+                                  cents.cell ASC) prank
+                FROM q, cents) WHERE prank <= 2),
+            cand AS (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     {_cos("p.qe", "e.embedding")} AS cos
+              FROM probes p
+              JOIN assigned a USING (cell)
+              JOIN embeddings e ON e.vec_id = a.neighbor_id
+              WHERE e.vec_id <> p.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) rank FROM cand)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+            FROM r WHERE rank <= 5
         """,
         "ann_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

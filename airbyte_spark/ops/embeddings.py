@@ -127,6 +127,98 @@ def label_blocked_near_dup(
     )
 
 
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 8, centroids: DataFrame | None = None
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine distance — the real inverted-file cell id
+    (``label_blocked_near_dup`` uses a pre-existing label as a stand-in;
+    this derives the cell from the geometry).
+
+    Centroids default to the first ``n_cells`` vectors (deterministic
+    "init" — a k-means refinement would iterate assign/update, but the
+    ASSIGNMENT plan is the part that must scale and it is one broadcast
+    join + a per-vector top-1: corpus side map-only, WindowGroupLimit
+    keeps the rank-1 filter partial map-side, ties broken by smaller cell
+    id so any engine reproduces the cells bit-for-bit).
+
+    Output: (vec_id, cell, cos) — cos is the similarity to the assigned
+    centroid (rounded like every score here, see module banner).
+    """
+    cents = centroids if centroids is not None else emb.filter(
+        F.col("vec_id") < n_cells
+    )
+    cents = cents.select(
+        F.col("vec_id").cast("long").alias("cell"), F.col("embedding").alias("c")
+    )
+    scored = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding").alias("t")
+    ).join(F.broadcast(cents)).withColumn(
+        "cos", F.round(cosine(F.col("c"), F.col("t")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("vec_id", "cell", "cos")
+    )
+
+
+def ivf_search(
+    emb: DataFrame,
+    n_cells: int = 8,
+    n_queries: int = 10,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF top-k search: probe only the ``nprobe`` cells nearest each
+    query, exact cosine inside the probed cells — the standard
+    recall/cost dial (nprobe = n_cells degenerates to brute force).
+
+    Scale shape: both the query set and the (query, probed-cell) table are
+    broadcast; the corpus is scanned ONCE with its cell assignment and
+    joined on the cell equi-key, so candidate fanout is bounded by the
+    probed cells' sizes, never all-pairs. Output mirrors ``cosine_topk``
+    (query_id, neighbor_id, rank, cos) for side-by-side recall checks.
+    """
+    assigned = ivf_assign(emb, n_cells)
+    corpus = emb.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        F.col("embedding").alias("t"),
+    ).join(assigned.withColumnRenamed("vec_id", "neighbor_id").select(
+        "neighbor_id", "cell"), "neighbor_id")
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("q"),
+    )
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").cast("long").alias("cell"), F.col("embedding").alias("c")
+    )
+    qc = queries.join(F.broadcast(cents)).withColumn(
+        "qcos", F.round(cosine(F.col("q"), F.col("c")), 6)
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qc.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "q", "cell")
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).withColumn("cos", F.round(cosine(F.col("q"), F.col("t")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def sign_bucket(emb_col: Column, n_bits: int = 8) -> Column:
     """Axis-aligned hyperplane LSH bucket: bit j = sign(v[j] > 0).
 

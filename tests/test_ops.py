@@ -327,3 +327,47 @@ def test_banding_guards_raise(spark):
         minhash_lsh_candidates(docs, k=12, band_width=5)
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_banded_pairs(docs, n_bands=4, max_hamming=4)
+
+
+def test_ivf_assign_and_search(spark):
+    """IVF assignment puts every vector in its geometrically nearest cell;
+    nprobe=n_cells search equals brute-force top-k exactly (recall dial at
+    its max), and the probed plan broadcasts the query/probe side."""
+    import math
+
+    # ids 0..3 are the 4 unit directions (they BECOME the centroids —
+    # ivf_assign defaults to the first n_cells vectors); ids 4.. are
+    # perturbed copies, two per direction
+    vecs = []
+    for d in range(4):
+        base = [0.0] * 8
+        base[d] = 1.0
+        vecs.append((d, base))
+    nxt = 4
+    for d in range(4):
+        for j in range(2):
+            v = [0.0] * 8
+            v[d] = 1.0
+            v[(d + 4) % 8] = 0.05 * (j + 1)
+            vecs.append((nxt, v))
+            nxt += 1
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+    assigned = {r["vec_id"]: r["cell"] for r in emb_ops.ivf_assign(emb, n_cells=4).collect()}
+    assert len(assigned) == 12
+    for d in range(4):
+        assert assigned[d] == d  # a centroid lands in its own cell
+        assert assigned[4 + 2 * d] == d and assigned[5 + 2 * d] == d
+
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in emb_ops.cosine_topk(emb, n_queries=4, k=2).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in emb_ops.ivf_search(emb, n_cells=4, n_queries=4, nprobe=4, k=2).collect()
+    }
+    assert full_probe == exact  # nprobe = n_cells degenerates to brute force
+
+    plan = emb_ops.ivf_search(emb, n_cells=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan and "CartesianProduct" not in plan
