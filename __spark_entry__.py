@@ -1186,6 +1186,23 @@ def q_ann_lsh_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.sign_lsh_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
+def q_cdc_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation assembly (the north rule's stable-turn-ordering
+    invariant as an oracle-checked query): events re-keyed as transcript
+    turns (conv = user, turn = event id, text = floor(value) so the
+    rendered string is engine-portable), assembled in ONE hash agg."""
+    from airbyte_spark.operators.transcripts import assemble_conversations
+
+    e = _t(spark, sf_dir, "events")
+    turns = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.floor("value").cast("long").cast("string").alias("text"),
+    )
+    return assemble_conversations(turns)
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.ivf_assign(_t(spark, sf_dir, "embeddings"))
 
@@ -1278,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_banded": q_dedup_simhash_banded,
+        "cdc_conversation_assembly": q_cdc_conversation_assembly,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
         "ann_ivf_assign": q_ann_ivf_assign,
@@ -2001,6 +2019,16 @@ def oracle_sql() -> dict[str, str]:
                        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                       AND a.doc_id < b.doc_id)
             SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        """,
+        "cdc_conversation_assembly": """
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(role || ': ' || txt, chr(10) ORDER BY turn_idx)
+                       AS transcript
+            FROM (SELECT user_id AS conv_id, event_id AS turn_idx,
+                         event_type AS role,
+                         CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS txt
+                  FROM events)
+            GROUP BY conv_id
         """,
         "ann_ivf_assign": f"""
             WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
