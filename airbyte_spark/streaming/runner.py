@@ -89,6 +89,16 @@ class ReplayConfig:
     #: The checkpoint never advances past the failed batch, so fixing the
     #: gate (or the data) and restarting resumes exactly-once.
     audit_tests: Optional[dict] = None
+    #: ingest-time enrichment (the O7 extension surface as a config knob):
+    #: DataFrame -> DataFrame applied AFTER the per-key collapse and
+    #: canonicalization — |keys| rows per trigger, not |events| — on BOTH
+    #: the main-table merge and the SCD-history write, so the two tables
+    #: always agree on the enriched values. The standard ingest-side
+    #: curation hook: PII redaction, quality scoring, language tagging.
+    #: Columns it ADDS must already exist in the table schema (bootstrap
+    #: with an extended struct or evolve first); in-place rewrites of
+    #: existing columns need no schema change.
+    enrich: Optional[Callable[[DataFrame], DataFrame]] = None
     #: False = zero-row triggers leave no commit (idle continuous tails
     #: would otherwise grow the log one empty commit per trigger; safe
     #: because an empty batch is a no-op on re-delivery). True keeps the
@@ -182,15 +192,18 @@ def _process_batch(
     tail_dst: Optional[LakeTable] = None,
 ):
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        def _post(df: DataFrame) -> DataFrame:
+            # canonicalization (pandas UDF) + optional enrichment run after
+            # the per-key collapse inside the merge — |keys| rows, not
+            # |events|
+            out = prepare_changes(df, canonicalize=cfg.canonicalize)
+            return cfg.enrich(out) if cfg.enrich is not None else out
+
         merge_kwargs = dict(
             app_id=cfg.app_id,
             batch_id=batch_id,
             epoch=cfg.epoch,
-            # canonicalization (pandas UDF) runs after the per-key collapse
-            # inside the merge — |keys| rows, not |events|
-            post_collapse=lambda df: prepare_changes(
-                df, canonicalize=cfg.canonicalize
-            ),
+            post_collapse=_post,
             strategy=cfg.strategy,
             commit_empty=cfg.commit_empty_batches,
         )
@@ -218,9 +231,7 @@ def _process_batch(
                 app_id=cfg.app_id,
                 batch_id=batch_id,
                 epoch=cfg.epoch,
-                post_dedup=lambda df: prepare_changes(
-                    df, canonicalize=cfg.canonicalize
-                ),
+                post_dedup=_post,
                 strategy=cfg.scd_strategy,
                 commit_empty=cfg.commit_empty_batches,
             )

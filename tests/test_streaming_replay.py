@@ -129,3 +129,34 @@ def test_watermark_dedup_requires_emitted_at_column(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="_airbyte_emitted_at"):
         run_replay_stream(spark, cfg)
+
+
+def test_stream_enrich_hook_applies_to_both_tables(spark, tmp_path, feed_dir):
+    """ReplayConfig.enrich runs after collapse+canonicalize on every
+    micro-batch (|keys| rows) and BOTH tables see it: the final state
+    equals the oracle with the enrichment applied, and the SCD history's
+    version rows carry enriched text too — ingest-time curation (PII
+    redaction / tagging) with exactly-once semantics."""
+    from pyspark.sql import functions as F
+
+    d, ev = feed_dir
+    cfg = ReplayConfig(
+        feed_dir=d,
+        table_path=str(tmp_path / "table_enrich"),
+        checkpoint_dir=str(tmp_path / "ckpt_enrich"),
+        scd_table_path=str(tmp_path / "scd_enrich"),
+        scd_strategy="mor",
+        max_files_per_trigger=2,
+        enrich=lambda df: df.withColumn("text", F.upper("text")),
+    )
+    run_replay_stream(spark, cfg)
+    expected = _oracle(ev)
+    expected["text"] = expected["text"].str.upper()
+    table = LakeTable(spark, cfg.table_path)
+    assert_same(table.read(), expected)
+
+    from airbyte_spark.lake.scd import read_scd
+
+    hist = read_scd(LakeTable(spark, cfg.scd_table_path))
+    texts = [r["text"] for r in hist.select("text").dropna().collect()]
+    assert texts and all(t == t.upper() for t in texts)
