@@ -1,5 +1,5 @@
 """Randomized model test: a seeded sequence of lake operations (merge cow/
-mor, compact, vacuum, rebucket, rollback) is checked after every step
+mor, compact, vacuum, rebucket, rollback, reset) is checked after every step
 against a plain-dict replay model. The lake's entire public behavior —
 LSN conflict resolution, tombstones, fencing, layout evolution, restore —
 must match the 20-line model exactly, whatever the interleaving.
@@ -49,7 +49,7 @@ def test_lake_random_op_sequence_matches_model(spark, tmp_path):
         primary_key=list(PK), bucket_cols=["conv_id"], n_buckets=4,
     )
     model: dict = {}
-    history = []  # (version, model snapshot) for rollback targets
+    history = []  # (version, model snapshot, next batch_id) for rollbacks
     lsn = 0
     batch_id = 0
 
@@ -67,27 +67,38 @@ def test_lake_random_op_sequence_matches_model(spark, tmp_path):
         merge_batch(table, _batch_df(spark, rows), ORDER_COLS,
                     app_id="model", batch_id=batch_id, strategy=strategy)
 
-    ops = ["merge_cow", "merge_mor", "merge_mor", "compact", "rebucket", "rollback"]
-    for step in range(14):
+    ops = ["merge_cow", "merge_mor", "merge_mor", "compact", "rebucket",
+           "rollback", "reset"]
+    for step in range(18):
         op = rng.choice(ops)
         if op in ("merge_cow", "merge_mor"):
             apply_merge("cow" if op == "merge_cow" else "mor")
             batch_id += 1
-            history.append((table.snapshot().version, dict(model)))
+            history.append((table.snapshot().version, dict(model), batch_id))
         elif op == "compact":
             table.compact()
         elif op == "rebucket":
             table.rebucket(rng.choice([2, 4, 8]))
+        elif op == "reset":
+            # per-stream reset: data gone AND the fence cleared, so the
+            # batch-id counter legitimately restarts at 0 — the next merge
+            # must APPLY (a reset that left the fence would silently fence
+            # every replayed batch off)
+            table.reset("model")
+            model = {}
+            batch_id = 0
+            history.append((table.snapshot().version, {}, 0))
         elif op == "rollback" and len(history) >= 2:
-            tv, tmodel = history[rng.randrange(len(history) - 1)]
+            tv, tmodel, tbid = history[rng.randrange(len(history) - 1)]
             try:
                 table.rollback(tv)
             except ValueError:
                 continue  # target vacuumed/expired — legitimate refusal
             model = dict(tmodel)
-            # fences rolled back: future merges need fresh batch ids only
-            # from the restored fence; keep monotonically increasing ones
-            history = [(v, m) for v, m in history if v <= tv]
+            # rollback restores the fences wholesale: the batch-id counter
+            # must rewind with them or later merges would be fenced off
+            batch_id = tbid
+            history = [(v, m, b) for v, m, b in history if v <= tv]
         assert _table_read(table) == _model_read(model), f"divergence at step {step} ({op})"
 
     # final invariant: lineage watermark equals the model's max applied lsn
