@@ -32,6 +32,23 @@ def build_session(app_name: str = "airbyte-spark-replay") -> SparkSession:
     )
 
 
+def redact_pii_enrich():
+    """--redact-pii preset: in-place email/phone redaction of the text
+    column (ops.curation patterns; no schema change needed). Built as an
+    enrich hook so it runs post-collapse at |keys| rows on both tables."""
+    from pyspark.sql import functions as F
+
+    from .ops.curation import EMAIL_RE, PHONE_RE
+
+    def enrich(df):
+        if "text" not in df.columns:
+            return df
+        t = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+        return df.withColumn("text", F.regexp_replace(t, PHONE_RE, "<PHONE>"))
+
+    return enrich
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(description="transcripts CDC replay")
     p.add_argument("--feed-dir", required=True)
@@ -78,6 +95,12 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--backfill", action="store_true",
                    help="one-shot batch replay into the table (S4 snapshot)")
     p.add_argument("--no-canonicalize", action="store_true")
+    p.add_argument("--redact-pii", action="store_true",
+                   help="redact emails/phones from the text column at "
+                   "ingest (ReplayConfig.enrich preset): runs after the "
+                   "per-key collapse at |keys| rows per trigger, applied "
+                   "to BOTH the main table and the SCD history — rows "
+                   "land already-redacted, the compliance-pipeline shape")
     p.add_argument("--tail-to", default=None,
                    help="after a bounded sync, advance a DOWNSTREAM lake "
                         "table to this table's committed state via the "
@@ -153,11 +176,12 @@ def main(argv: list[str] | None = None) -> None:
         from .functions.text import canonicalize_udf  # noqa: F401 (worker warmup)
         from .plans.replay import prepare_changes
 
+        _enrich = redact_pii_enrich() if args.redact_pii else (lambda df: df)
         merge_batch(
             table, raw, ORDER_COLS, app_id=args.app_id, batch_id=0,
             epoch=args.epoch,
-            post_collapse=lambda df: prepare_changes(
-                df, canonicalize=not args.no_canonicalize
+            post_collapse=lambda df: _enrich(
+                prepare_changes(df, canonicalize=not args.no_canonicalize)
             ),
         )
     else:
@@ -178,6 +202,7 @@ def main(argv: list[str] | None = None) -> None:
             stream_name=args.stream_name,
             feed_struct=feed_struct,
             maintenance_policy=maintenance_policy,
+            enrich=redact_pii_enrich() if args.redact_pii else None,
         )
         # honor --n-buckets on the streaming path too: the runner's
         # bootstrap is open-if-exists, so creating here pins the layout

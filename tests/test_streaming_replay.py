@@ -160,3 +160,37 @@ def test_stream_enrich_hook_applies_to_both_tables(spark, tmp_path, feed_dir):
     hist = read_scd(LakeTable(spark, cfg.scd_table_path))
     texts = [r["text"] for r in hist.select("text").dropna().collect()]
     assert texts and all(t == t.upper() for t in texts)
+
+
+def test_job_cli_redact_pii(spark, tmp_path, tmp_path_factory):
+    """--redact-pii lands rows already redacted (emails/phones replaced in
+    the text column on the way in) — the compliance-pipeline shape via the
+    spark-submit CLI."""
+    import glob
+
+    from airbyte_spark import job
+
+    src = tmp_path_factory.mktemp("pii_feed_src")
+    ev = generate_feed(str(src), FeedSpec(
+        n_convs=8, turns_per_conv=2, n_updates=20, n_deletes=0,
+        dup_rate=0.0, late_rate=0.0, n_segments=2, seed=808))
+    # inject an email into every event text, preserving the WAL layout
+    feed = tmp_path / "pii_feed"
+    feed.mkdir()
+    for f in glob.glob(os.path.join(str(src), "*.parquet")):
+        pdf = pd.read_parquet(f)
+        pdf["text"] = pdf["text"] + " mail bob" + pdf["turn_idx"].astype(str) + "@corp.example.org now"
+        pdf.to_parquet(os.path.join(str(feed), os.path.basename(f)))
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl_pii"),
+        "--checkpoint", str(tmp_path / "ck_pii"),
+        "--n-buckets", "4",
+        "--redact-pii",
+    ])
+    texts = [
+        r["text"]
+        for r in LakeTable(spark, str(tmp_path / "tbl_pii")).read().collect()
+    ]
+    assert texts and all("<EMAIL>" in t for t in texts)
+    assert all("@" not in t for t in texts)
