@@ -145,6 +145,16 @@ def ivf_assign(
     Output: (vec_id, cell, cos) — cos is the similarity to the assigned
     centroid (rounded like every score here, see module banner).
     """
+    return _assign(emb, n_cells, centroids).select("vec_id", "cell", "cos")
+
+
+def _assign(
+    emb: DataFrame, n_cells: int, centroids: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, cell, cos, t) — assignment WITH the vector carried through,
+    so ``ivf_search`` consumes it directly instead of joining the corpus
+    back to its own assignment on vec_id (a full self-join shuffle of the
+    corpus at 10^9 vectors; carrying ``t`` keeps it one scan)."""
     cents = centroids if centroids is not None else emb.filter(
         F.col("vec_id") < n_cells
     )
@@ -160,7 +170,7 @@ def ivf_assign(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") == 1)
-        .select("vec_id", "cell", "cos")
+        .select("vec_id", "cell", "cos", "t")
     )
 
 
@@ -181,12 +191,9 @@ def ivf_search(
     probed cells' sizes, never all-pairs. Output mirrors ``cosine_topk``
     (query_id, neighbor_id, rank, cos) for side-by-side recall checks.
     """
-    assigned = ivf_assign(emb, n_cells)
-    corpus = emb.select(
-        F.col("vec_id").cast("long").alias("neighbor_id"),
-        F.col("embedding").alias("t"),
-    ).join(assigned.withColumnRenamed("vec_id", "neighbor_id").select(
-        "neighbor_id", "cell"), "neighbor_id")
+    corpus = _assign(emb, n_cells).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "t"
+    )
 
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").cast("long").alias("query_id"),
