@@ -198,8 +198,16 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    bt = sig.select("doc_id", F.explode(bands).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_key"
+    bt = (
+        sig.select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_idx", "band.band_key")
+        # explicit exchange on the join keys BEFORE the self-join: the join
+        # shuffles here anyway, and pinning the exchange makes both aliases
+        # share one shuffle stage — signatures compute ONCE. Without it the
+        # map-only signature pipeline (no exchange of its own since the
+        # array_min rewrite) is duplicated into each join side: measured 2x
+        # slower at sf0.1 (12.2s vs 6.6s median).
+        .repartition("band_idx", "band_key")
     )
     return (
         bt.alias("a")

@@ -255,7 +255,11 @@ def sign_lsh_near_dup(emb: DataFrame, n_bits: int = 8, threshold: float = 0.3) -
     bucket id — the scale path), verified by exact cosine."""
     v = emb.select("vec_id", "embedding").withColumn(
         "bucket", sign_bucket(F.col("embedding"), n_bits)
-    )
+    # pin the join-key exchange so both self-join sides share one shuffle
+    # stage (the bucket computation and scan run once, not per side; the
+    # join shuffles on bucket anyway) — same reuse shape as the LSH band
+    # join in dedup_docs.minhash_lsh_candidates
+    ).repartition("bucket")
     a, b = v.alias("a"), v.alias("b")
     pairs = a.join(
         b,
