@@ -62,6 +62,10 @@ def curate(
     from .ops.dedup_docs import exact_dedup
     from .ops.text_analysis import quality_score
 
+    # cache the input BEFORE the rows_in count: the count, exact_dedup's
+    # hash agg and the keep semi-join all reuse one materialization —
+    # counting never pays its own full input scan
+    docs = docs.cache()
     stats: dict = {"rows_in": docs.count()}
 
     # 1. exact dedup — keep the canonical (min doc_id) copy per content
@@ -70,6 +74,7 @@ def curate(
     )
     deduped = docs.join(keep, "doc_id", "left_semi").cache()
     stats["rows_after_exact_dedup"] = deduped.count()
+    docs.unpersist()
 
     # 2. quality filter (map-only score)
     q = quality_score(deduped).select("doc_id", "quality")
@@ -97,20 +102,25 @@ def curate(
         clean, stratum_col=stratum_col, train_upto=train_upto,
         val_upto=val_upto,
     ).select("doc_id", "split")
-    with_split = clean.join(split, "doc_id")
-
-    # 5. pack the train split into token-budget batches
-    packs = pack_sequences(
-        with_split.filter(F.col("split") == "train"),
-        budget=budget, n_shards=n_shards,
-    ).select("doc_id", "pack_id", "n_tokens")
-    out = with_split.join(packs, "doc_id", "left")
+    with_split = clean.join(split, "doc_id").cache()
 
     split_counts = {
         r["split"]: r["n"]
         for r in with_split.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
     stats["split_counts"] = split_counts
+    clean.unpersist()
+
+    # 5. pack the train split into token-budget batches (reuses the
+    # with_split cache — the ONE cache left alive: it directly backs the
+    # returned frame, so the caller's write rescans nothing; release it
+    # with ``out.sparkSession.catalog.clearCache()`` (or end the session)
+    # once the result is materialized
+    packs = pack_sequences(
+        with_split.filter(F.col("split") == "train"),
+        budget=budget, n_shards=n_shards,
+    ).select("doc_id", "pack_id", "n_tokens")
+    out = with_split.join(packs, "doc_id", "left")
     return out, stats
 
 
@@ -148,6 +158,9 @@ def main(argv: list[str] | None = None) -> dict:
         n_shards=args.n_shards,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    # the pipeline's one remaining stage cache backed that write; don't
+    # pin executor memory after the job's last action
+    spark.catalog.clearCache()
     stats["out"] = args.out
     print(json.dumps(stats, sort_keys=True))
     return stats

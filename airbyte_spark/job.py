@@ -34,17 +34,18 @@ def build_session(app_name: str = "airbyte-spark-replay") -> SparkSession:
 
 def redact_pii_enrich():
     """--redact-pii preset: in-place email/phone redaction of the text
-    column (ops.curation patterns; no schema change needed). Built as an
-    enrich hook so it runs post-collapse at |keys| rows on both tables."""
+    column via ops.curation.redact_text — the ONE replace-chain contract
+    (patterns + email-before-phone order), so the CLI preset can never
+    drift from the batch op. Built as an enrich hook so it runs
+    post-collapse at |keys| rows on both tables."""
     from pyspark.sql import functions as F
 
-    from .ops.curation import EMAIL_RE, PHONE_RE
+    from .ops.curation import redact_text
 
     def enrich(df):
         if "text" not in df.columns:
             return df
-        t = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
-        return df.withColumn("text", F.regexp_replace(t, PHONE_RE, "<PHONE>"))
+        return df.withColumn("text", redact_text(F.col("text")))
 
     return enrich
 

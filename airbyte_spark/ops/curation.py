@@ -118,6 +118,18 @@ def decontaminate(
     )
 
 
+def redact_text(text: Column) -> Column:
+    """THE redaction contract as one column expression: emails redact
+    FIRST (an email's domain can contain digit runs a greedy phone
+    pattern would otherwise eat — the order is part of the contract; the
+    oracle applies the same order). Every redaction surface
+    (``redact_pii``, the ingest-time ``--redact-pii`` enrich preset)
+    MUST build on this expression so patterns and order can never
+    diverge between the batch op and the CLI."""
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+
+
 def redact_pii(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -126,9 +138,8 @@ def redact_pii(
     """Redact emails/phone numbers to typed placeholder tokens and count
     what was redacted — scan -> project, no shuffle, no Python.
 
-    Emails redact FIRST: an email's domain can contain digit runs a
-    greedy phone pattern would otherwise eat, so the order is part of the
-    contract (the oracle applies the same order).
+    The replace chain itself is ``redact_text`` (shared with the
+    ingest-time enrich preset); this op adds the per-pattern counts.
     """
     emails = F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long")
     after_email = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
@@ -137,7 +148,7 @@ def redact_pii(
         F.col(id_col).cast("long").alias(id_col),
         emails.alias("n_emails"),
         phones.alias("n_phones"),
-        F.regexp_replace(after_email, PHONE_RE, "<PHONE>").alias("redacted"),
+        redact_text(F.col(text_col)).alias("redacted"),
     )
 
 

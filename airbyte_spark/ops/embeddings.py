@@ -148,6 +148,21 @@ def ivf_assign(
     return _assign(emb, n_cells, centroids).select("vec_id", "cell", "cos")
 
 
+def _centroids(
+    emb: DataFrame, n_cells: int, centroids: DataFrame | None = None
+) -> DataFrame:
+    """The ONE centroid-frame derivation (default: first ``n_cells``
+    vectors), shared by assignment and search so a caller's custom
+    centroids — or a changed default — can never make ``ivf_search``
+    probe cells a different assignment produced."""
+    cents = centroids if centroids is not None else emb.filter(
+        F.col("vec_id") < n_cells
+    )
+    return cents.select(
+        F.col("vec_id").cast("long").alias("cell"), F.col("embedding").alias("c")
+    )
+
+
 def _assign(
     emb: DataFrame, n_cells: int, centroids: DataFrame | None = None
 ) -> DataFrame:
@@ -155,12 +170,7 @@ def _assign(
     so ``ivf_search`` consumes it directly instead of joining the corpus
     back to its own assignment on vec_id (a full self-join shuffle of the
     corpus at 10^9 vectors; carrying ``t`` keeps it one scan)."""
-    cents = centroids if centroids is not None else emb.filter(
-        F.col("vec_id") < n_cells
-    )
-    cents = cents.select(
-        F.col("vec_id").cast("long").alias("cell"), F.col("embedding").alias("c")
-    )
+    cents = _centroids(emb, n_cells, centroids)
     scored = emb.select(
         F.col("vec_id").cast("long").alias("vec_id"), F.col("embedding").alias("t")
     ).join(F.broadcast(cents)).withColumn(
@@ -180,6 +190,7 @@ def ivf_search(
     n_queries: int = 10,
     nprobe: int = 2,
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k search: probe only the ``nprobe`` cells nearest each
     query, exact cosine inside the probed cells — the standard
@@ -191,7 +202,7 @@ def ivf_search(
     probed cells' sizes, never all-pairs. Output mirrors ``cosine_topk``
     (query_id, neighbor_id, rank, cos) for side-by-side recall checks.
     """
-    corpus = _assign(emb, n_cells).select(
+    corpus = _assign(emb, n_cells, centroids).select(
         F.col("vec_id").alias("neighbor_id"), "cell", "t"
     )
 
@@ -199,9 +210,7 @@ def ivf_search(
         F.col("vec_id").cast("long").alias("query_id"),
         F.col("embedding").alias("q"),
     )
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").cast("long").alias("cell"), F.col("embedding").alias("c")
-    )
+    cents = _centroids(emb, n_cells, centroids)
     qc = queries.join(F.broadcast(cents)).withColumn(
         "qcos", F.round(cosine(F.col("q"), F.col("c")), 6)
     )

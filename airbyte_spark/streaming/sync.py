@@ -88,9 +88,26 @@ def reset_stream(spark: SparkSession, cfg: ReplayConfig) -> dict[str, int]:
             cfg.app_id
         )
     if cfg.child_tables_path and os.path.isdir(cfg.child_tables_path):
-        for name in sorted(os.listdir(cfg.child_tables_path)):
-            path = os.path.join(cfg.child_tables_path, name)
+        # only THIS stream's child tables: the same schema walk that
+        # bootstraps them names them (unnest_children_with_specs), so a
+        # base dir shared with another stream's children is never touched
+        # — a blanket listdir reset would drop the other stream's data
+        # while its fences survive (different app_id), leaving it
+        # permanently empty behind fenced no-op batches
+        from ..operators.unnest import unnest_children_with_specs
+        from ..schemas import CURSOR, PK
+
+        empty = spark.createDataFrame([], cfg.feed_struct)
+        _, specs = unnest_children_with_specs(
+            empty, PK, cfg.stream_name, carry_cols=[CURSOR]
+        )
+        for spec in specs:
+            path = os.path.join(cfg.child_tables_path, spec["name"])
             if LakeTable.exists(path):
                 out[path] = LakeTable(spark, path).reset(cfg.app_id)
-    shutil.rmtree(cfg.checkpoint_dir, ignore_errors=True)
+    # a failed checkpoint wipe must RAISE: swallowing it leaves a
+    # half-reset stream (data + fence wiped, source offsets kept) that
+    # silently resumes mid-feed and lands a fraction of the table
+    if os.path.isdir(cfg.checkpoint_dir):
+        shutil.rmtree(cfg.checkpoint_dir)
     return out

@@ -502,3 +502,61 @@ def test_null_cursor_parent_lands_in_children(spark, tmp_path):
     # a late null-cursor re-delivery must NOT clobber CDC state
     apply([_direct_row("c1", 0, None, ["s1", "s2"], None)], 2)
     assert [r.element for r in t_tags.read().collect()] == ["r1"]
+
+
+def test_reset_scopes_to_one_streams_children(spark, tmp_path, tmp_path_factory):
+    """Two streams sharing ONE child_tables_path base dir: resetting stream
+    alpha must wipe only alpha's child tables. A blanket listdir reset
+    would drop beta's data while beta's fences (different app_id) survive,
+    leaving beta permanently empty behind fenced no-op batches."""
+    from airbyte_spark.streaming.sync import reset_stream
+
+    shared = str(tmp_path / "children")
+    cfgs = {}
+    for name, seed in (("alpha", 71), ("beta", 72)):
+        src = tmp_path_factory.mktemp(f"resetsrc_{name}")
+        spec = FeedSpec(n_convs=6, turns_per_conv=2, n_updates=20, n_deletes=2,
+                        dup_rate=0.0, late_rate=0.0, n_segments=2, seed=seed)
+        generate_feed(str(src), spec)
+        feed = str(tmp_path / f"nested_feed_{name}")
+        _mk_nested_feed(spark, str(src), feed, n_segments=2)
+        cfgs[name] = ReplayConfig(
+            feed_dir=feed,
+            table_path=str(tmp_path / f"tbl_{name}"),
+            checkpoint_dir=str(tmp_path / f"ck_{name}"),
+            child_tables_path=shared,
+            feed_struct=NESTED_STRUCT,
+            stream_name=name,
+            app_id=f"app-{name}",
+            canonicalize=False,
+        )
+        run_replay_stream(spark, cfgs[name])
+
+    beta_tags = LakeTable(spark, child_table_path(shared, "beta_tags"))
+    beta_rows_before = beta_tags.read().count()
+    assert beta_rows_before > 0
+
+    versions = reset_stream(spark, cfgs["alpha"])
+    # only alpha's surfaces were reset — no beta path in the result
+    assert all("beta" not in p for p in versions)
+    alpha_tags = LakeTable(spark, child_table_path(shared, "alpha_tags"))
+    assert alpha_tags.read().count() == 0
+
+    # beta's child data AND fence survive untouched
+    beta_snap = LakeTable(spark, child_table_path(shared, "beta_tags")).snapshot()
+    assert LakeTable(spark, child_table_path(shared, "beta_tags")).read().count() \
+        == beta_rows_before
+    assert "app-beta" in beta_snap.fences
+
+    # alpha's re-run reproduces its children from scratch (the
+    # _expected_children oracle names streams "transcripts"; re-walk as alpha)
+    run_replay_stream(spark, cfgs["alpha"])
+    raw = spark.read.schema(NESTED_STRUCT).parquet(
+        f"{cfgs['alpha'].feed_dir}/*.parquet"
+    )
+    winners = latest_per_key(raw, PK, ORDER_COLS)
+    live = winners.filter(F.col("_ab_cdc_deleted_at").isNull())
+    exp, specs = unnest_children_with_specs(live, PK, "alpha", carry_cols=[CURSOR])
+    for s in specs:
+        table = LakeTable(spark, child_table_path(shared, s["name"]))
+        _assert_df_equal(table.read(), exp[s["name"]])
