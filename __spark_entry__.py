@@ -266,6 +266,110 @@ def q_cdc_lake_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/C5 as a CHUNKED RESUMABLE snapshot interleaved with the WAL tail
+    (sources/snapshot.py — the DBLog/Debezium-incremental-snapshot upgrade
+    of the reference's blocking snapshot-then-WAL composition,
+    PostgresSource.java:377-381). The source table's state at LSN L0 =
+    floor(max(event_id)/2) is applied in pk-range chunks, every chunk row
+    stamped with the low watermark L0, ADVERSARIALLY interleaved with three
+    post-L0 WAL micro-batches through the same fenced LSN-resolving merge.
+    Convergence claim under test: any interleaving lands on the exact
+    union-winner state — snapshot-only keys carry last_lsn = L0 (Debezium
+    snapshot-record stamp), tailed keys carry their newest event_id, keys
+    whose newest change is a delete vanish."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable
+    from airbyte_spark.lake.merge import merge_batch
+    from airbyte_spark.operators.dedup import latest_per_key
+    from airbyte_spark.sources.snapshot import plan_snapshot, run_snapshot
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    l0 = int(e.agg(F.floor(F.max("event_id") / 2)).first()[0])
+
+    # the "source table" a snapshot would read: consistent state at L0
+    low = e.filter(F.col("event_id") <= l0)
+    state = latest_per_key(
+        low, ["user_id", "event_type"], ["event_id"], payload_cols=["value"]
+    ).filter(~(F.col("value") < DELETE_THRESHOLD))
+
+    # the WAL tail past L0, as fenced change events (delete = tombstone)
+    wal = e.filter(F.col("event_id") > l0).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("event_id").alias("_ab_cdc_lsn"),
+        F.when(
+            F.col("value") < DELETE_THRESHOLD,
+            F.lit("2025-01-01 00:00:00").cast("timestamp"),
+        ).alias("_ab_cdc_deleted_at"),
+    )
+
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_snap_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(
+            T.StructType(
+                [
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+        ),
+        primary_key=["user_id", "event_type"],
+        bucket_cols=["user_id"],
+        n_buckets=8,
+    )
+    plan = plan_snapshot(
+        state,
+        "user_id",
+        low_watermark=l0,
+        rows_per_chunk=max(1, state.count() // 5),
+        app_id="oracle-snapshot",
+    )
+
+    def _wal_slice(i: int) -> DataFrame:
+        return wal.filter(F.pmod(F.col("_ab_cdc_lsn"), F.lit(3)) == i)
+
+    def _merge_wal(i: int) -> None:
+        merge_batch(
+            table,
+            _wal_slice(i),
+            ["_ab_cdc_lsn"],
+            app_id="oracle-snapshot-wal",
+            batch_id=i,
+        )
+
+    # adversarial interleave: tail first (updates/deletes of keys whose
+    # chunk has not landed yet), then chunks, tail, remaining chunks, tail
+    _merge_wal(0)
+    run_snapshot(table, plan, state, order_cols=["_ab_cdc_lsn"], max_chunks=2)
+    _merge_wal(1)
+    run_snapshot(table, plan, state, order_cols=["_ab_cdc_lsn"])
+    _merge_wal(2)
+
+    return table.read(include_meta=True).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("__lsn").cast("long").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed read over the stored lake table with per-file
     range skipping on RECORDED column stats (generalizes the ``__lsn``
@@ -1255,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
         "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
+        "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_changelog_feed": q_cdc_changelog_feed,
         "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
@@ -1517,6 +1622,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS lsn
             FROM events
             WHERE event_id > (2 * (SELECT MAX(event_id) FROM events)) // 3
+        """,
+        # snapshot rows carry the low-watermark stamp L0; WAL rows carry
+        # their own lsn; newest wins; a delete winner removes the key —
+        # the union-winner formulation of the DBLog convergence claim
+        "cdc_incremental_snapshot": f"""
+            WITH l0 AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS v
+                        FROM events),
+            low AS (
+                SELECT user_id, event_type, value, event_id,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY event_id DESC) rn
+                FROM events WHERE event_id <= (SELECT v FROM l0)
+            ),
+            src AS (
+                SELECT user_id, event_type, (SELECT v FROM l0) AS lsn, value
+                FROM low WHERE rn = 1 AND NOT (value < {DELETE_THRESHOLD})
+            ),
+            wal AS (
+                SELECT user_id, event_type, CAST(event_id AS BIGINT) AS lsn,
+                       value
+                FROM events WHERE event_id > (SELECT v FROM l0)
+            ),
+            u AS (SELECT * FROM src UNION ALL SELECT * FROM wal),
+            w AS (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                             ORDER BY lsn DESC) rn
+                FROM u
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   lsn AS last_lsn, value AS last_value
+            FROM w WHERE rn = 1 AND NOT (value < {DELETE_THRESHOLD})
         """,
         # the stored rows ARE the source rows; the window filter over the
         # raw table is the exact oracle for the stats-pruned lake read

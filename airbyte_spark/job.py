@@ -116,6 +116,21 @@ def main(argv: list[str] | None = None) -> None:
                    "stream's data + exactly-once fences on the main/SCD/"
                    "child tables and delete its checkpoint, then exit — "
                    "the next sync re-bootstraps from the feed's beginning")
+    p.add_argument("--snapshot-source", default=None,
+                   help="parquet dir of plain source rows to bootstrap via "
+                   "the CHUNKED RESUMABLE snapshot (sources/snapshot.py), "
+                   "interleaved with the WAL tail — the non-blocking "
+                   "alternative to --backfill for an already-flowing feed")
+    p.add_argument("--snapshot-plan", default=None,
+                   help="path of the persisted chunk plan JSON; created "
+                   "from --snapshot-source on first run, re-loaded on "
+                   "resume (chunk ranges must not re-plan after a crash)")
+    p.add_argument("--snapshot-low-watermark", type=int, default=None,
+                   help="source LSN at/before the snapshot read — stamped "
+                   "on every chunk row (required when creating a plan)")
+    p.add_argument("--snapshot-chunk-rows", type=int, default=1 << 20)
+    p.add_argument("--snapshot-chunks-per-trigger", type=int, default=2)
+    p.add_argument("--snapshot-chunk-col", default="conv_id")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -186,6 +201,32 @@ def main(argv: list[str] | None = None) -> None:
             ),
         )
     else:
+        snapshot_plan_path = None
+        if args.snapshot_source:
+            import os
+
+            from .sources.snapshot import SnapshotPlan, plan_snapshot
+
+            snapshot_plan_path = args.snapshot_plan or (
+                args.checkpoint.rstrip("/") + ".snapshot_plan.json"
+            )
+            if not os.path.exists(snapshot_plan_path):
+                if args.snapshot_low_watermark is None:
+                    raise SystemExit(
+                        "--snapshot-low-watermark is required when creating "
+                        "a new snapshot plan (the source LSN the chunk rows "
+                        "are stamped with)"
+                    )
+                plan_snapshot(
+                    spark.read.parquet(args.snapshot_source),
+                    args.snapshot_chunk_col,
+                    low_watermark=args.snapshot_low_watermark,
+                    rows_per_chunk=args.snapshot_chunk_rows,
+                    app_id=f"{args.app_id}-snapshot",
+                ).save(snapshot_plan_path)
+            else:
+                # resume: ranges come from the persisted plan, never re-plan
+                SnapshotPlan.load(snapshot_plan_path)
         cfg = ReplayConfig(
             feed_dir=args.feed_dir,
             table_path=args.table,
@@ -204,6 +245,9 @@ def main(argv: list[str] | None = None) -> None:
             feed_struct=feed_struct,
             maintenance_policy=maintenance_policy,
             enrich=redact_pii_enrich() if args.redact_pii else None,
+            snapshot_plan_path=snapshot_plan_path,
+            snapshot_source_dir=args.snapshot_source,
+            snapshot_chunks_per_trigger=args.snapshot_chunks_per_trigger,
         )
         # honor --n-buckets on the streaming path too: the runner's
         # bootstrap is open-if-exists, so creating here pins the layout

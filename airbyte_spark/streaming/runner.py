@@ -122,6 +122,24 @@ class ReplayConfig:
     tail_app_id: Optional[str] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
+    #: chunked resumable initial snapshot (sources/snapshot.py — the
+    #: DBLog / Debezium-incremental-snapshot analog of the reference's
+    #: snapshot-then-WAL composition, PostgresSource.java:377-381, made
+    #: resumable and NON-blocking): a persisted SnapshotPlan at this path
+    #: is drained ``snapshot_chunks_per_trigger`` chunks per micro-batch,
+    #: each chunk a fenced merge through the SAME per-table pipeline
+    #: (main + SCD history + children) as the live tail. Low-watermark
+    #: LSN stamping makes any chunk/tail interleaving converge (module
+    #: docstring has the argument); a crash resumes at the chunk fence.
+    #: Bounded (availableNow) syncs drain any remaining chunks after the
+    #: stream ends; a CONTINUOUS tail drains only on data triggers — on a
+    #: quiet feed finish the snapshot out-of-band with run_snapshot (safe
+    #: concurrently-ordered by the same fences).
+    snapshot_plan_path: Optional[str] = None
+    #: parquet dir of plain source rows (payload shape) to snapshot;
+    #: unneeded when the plan was staged (stage_chunks)
+    snapshot_source_dir: Optional[str] = None
+    snapshot_chunks_per_trigger: int = 2
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
     #: tests crash in the at-least-once window between sink commit and
     #: checkpoint commit
@@ -190,8 +208,16 @@ def _process_batch(
     scd_table: Optional[LakeTable] = None,
     children: Optional[tuple[dict, list]] = None,
     tail_dst: Optional[LakeTable] = None,
+    snapshot_ctx: Optional[tuple] = None,
 ):
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def _apply(
+        batch_df: DataFrame, app_id: str, batch_id: int, commit_empty: bool
+    ):
+        """One fenced pass of the whole per-table pipeline (main merge +
+        SCD history + children) — shared by live WAL micro-batches and
+        interleaved snapshot chunks, so a snapshotted row gets exactly the
+        same treatment (audit gate included) as a tailed one."""
+
         def _post(df: DataFrame) -> DataFrame:
             # canonicalization (pandas UDF) + optional enrichment run after
             # the per-key collapse inside the merge — |keys| rows, not
@@ -200,12 +226,12 @@ def _process_batch(
             return cfg.enrich(out) if cfg.enrich is not None else out
 
         merge_kwargs = dict(
-            app_id=cfg.app_id,
+            app_id=app_id,
             batch_id=batch_id,
             epoch=cfg.epoch,
             post_collapse=_post,
             strategy=cfg.strategy,
-            commit_empty=cfg.commit_empty_batches,
+            commit_empty=commit_empty,
         )
         if cfg.audit_tests is not None:
             from ..lake.quality import audited_merge_batch
@@ -228,12 +254,12 @@ def _process_batch(
                 scd_table,
                 batch_df,
                 PK,
-                app_id=cfg.app_id,
+                app_id=app_id,
                 batch_id=batch_id,
                 epoch=cfg.epoch,
                 post_dedup=_post,
                 strategy=cfg.scd_strategy,
-                commit_empty=cfg.commit_empty_batches,
+                commit_empty=commit_empty,
             )
         if children is not None:
             from ..lake.children import merge_children_batch
@@ -248,10 +274,33 @@ def _process_batch(
                 PK,
                 ORDER_COLS,
                 stream_name=cfg.stream_name,
-                app_id=cfg.app_id,
+                app_id=app_id,
                 batch_id=batch_id,
                 strategy=cfg.strategy,
             )
+        return stats
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stats = _apply(
+            batch_df, cfg.app_id, batch_id, cfg.commit_empty_batches
+        )
+        if snapshot_ctx is not None:
+            # drain a few snapshot chunks per trigger through the SAME
+            # pipeline — the reference's blocking snapshot-then-WAL
+            # composition (PostgresSource.java:377-381) turned into a
+            # non-blocking interleave; ordering is free (low-watermark
+            # stamping, sources/snapshot.py docstring)
+            from ..sources.snapshot import pending_chunks, read_chunk, stamp_chunk
+
+            plan, snap_source = snapshot_ctx
+            pend = pending_chunks(table, plan)
+            for i in pend[: max(0, cfg.snapshot_chunks_per_trigger)]:
+                chunk = stamp_chunk(
+                    read_chunk(batch_df.sparkSession, snap_source, plan, i),
+                    plan,
+                    order_cols=ORDER_COLS,
+                )
+                _apply(chunk, plan.app_id, i, True)
         if (
             tail_dst is not None
             and cfg.tail_every_batches
@@ -320,6 +369,7 @@ def _process_batch(
         if cfg.fault is not None:
             cfg.fault(batch_id)
 
+    process.apply_batch = _apply  # snapshot-chunk drain reuses the pipeline
     return process
 
 
@@ -362,6 +412,17 @@ def run_replay_stream(
         )
         if child_specs:
             children = (child_tables, child_specs)
+    snapshot_ctx = None
+    if cfg.snapshot_plan_path:
+        from ..sources.snapshot import SnapshotPlan
+
+        plan = SnapshotPlan.load(cfg.snapshot_plan_path)
+        snap_source = (
+            spark.read.parquet(cfg.snapshot_source_dir)
+            if cfg.snapshot_source_dir
+            else None
+        )
+        snapshot_ctx = (plan, snap_source)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
 
     reader = spark.readStream.schema(cfg.feed_struct)
@@ -400,7 +461,7 @@ def run_replay_stream(
 
     writer = (
         stream.writeStream.foreachBatch(
-            _process_batch(table, cfg, scd_table, children, tail_dst)
+            _process_batch(table, cfg, scd_table, children, tail_dst, snapshot_ctx)
         )
         .option("checkpointLocation", cfg.checkpoint_dir)
         .queryName(cfg.app_id)
@@ -409,6 +470,38 @@ def run_replay_stream(
         q = writer.trigger(availableNow=True).start()
         if await_termination:
             q.awaitTermination()
+            if snapshot_ctx is not None:
+                # a bounded sync must not finish with the snapshot half
+                # done (short feeds drain fewer triggers than chunks):
+                # apply the remainder now through the SAME fenced
+                # pipeline (main + SCD + children), chunk fences resume
+                from ..sources.snapshot import (
+                    pending_chunks,
+                    read_chunk,
+                    stamp_chunk,
+                )
+
+                plan, snap_source = snapshot_ctx
+                proc = _process_batch(table, cfg, scd_table, children)
+                drained = 0
+                for i in pending_chunks(table, plan):
+                    chunk = stamp_chunk(
+                        read_chunk(spark, snap_source, plan, i),
+                        plan,
+                        order_cols=ORDER_COLS,
+                    )
+                    proc.apply_batch(chunk, plan.app_id, i, True)
+                    drained += 1
+                if drained and tail_dst is not None:
+                    # the per-trigger hops ran before these chunks landed —
+                    # catch the mirror up so a bounded sync never ends with
+                    # the downstream missing snapshot rows
+                    from ..lake.pipeline import tail_into
+
+                    tail_into(
+                        table, tail_dst,
+                        app_id=cfg.tail_app_id or f"{cfg.app_id}-tail",
+                    )
     else:
         q = writer.trigger(processingTime="1 second").start()
         if await_termination:
