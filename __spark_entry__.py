@@ -1237,6 +1237,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus near-dup detection (ops/dedup_index.py): the
+    documents table arrives in three increments; each is flagged against a
+    persistent LakeTable MinHash-LSH band index (intra-batch self-join +
+    batch-vs-accepted-corpus equi-join with a pushed IN-filter on
+    band_key), then fence-appended. Union of the three per-increment flag
+    sets must equal the ONE-SHOT batch candidate set exactly — pairs and
+    shared_bands counts — so this shares dedup_minhash_lsh's oracle. At
+    10^10 docs this is the only dedup shape that works: O(batch +
+    matched-buckets) per ingest instead of O(corpus)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.ops.dedup_index import bootstrap_dedup_index, flag_and_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_dedupidx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = bootstrap_dedup_index(spark, path, n_buckets=8)
+    parts = []
+    for i in range(3):
+        inc = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        parts.append(
+            flag_and_ingest(index, inc, app_id="oracle-dedup-index", batch_id=i)
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("shared_bands"),
+    )
+
+
 def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from MinHash-LSH candidate pairs — the step every
     curation pipeline runs after pair generation (keep one canonical doc
@@ -1397,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental_index": q_dedup_incremental_index,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_banded": q_dedup_simhash_banded,
@@ -2103,6 +2138,19 @@ def oracle_sql() -> dict[str, str]:
             {_minhash_sig_sql()},
             bands AS ({band_rows})
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS shared_bands
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        """,
+        # the incremental index flags, unioned over increments, must equal
+        # the one-shot batch candidate set — same oracle by construction
+        "dedup_incremental_index": f"""
+            {_minhash_sig_sql()},
+            bands AS ({band_rows})
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+                   CAST(b.doc_id AS BIGINT) AS doc_b,
                    CAST(count(*) AS BIGINT) AS shared_bands
             FROM bands a
             JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key

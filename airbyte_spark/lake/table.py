@@ -787,13 +787,27 @@ class LakeTable:
                 )
         return adds, total
 
-    def append(self, df: DataFrame, lsn_col: Optional[str] = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        lsn_col: Optional[str] = None,
+        fence: Optional[tuple] = None,
+    ) -> Optional[int]:
         """Blind append (bronze / destination_sync_mode=append, K7).
 
         The LSN resolves from the INCOMING frame in the same select as the
         conform (same hazard as ``overwrite``: a cursor column the table
-        schema doesn't carry would already be projected away)."""
+        schema doesn't carry would already be projected away).
+
+        ``fence=(app_id, batch_id)`` makes the append exactly-once like the
+        merge paths: a batch_id at/behind the recorded fence returns None
+        without writing (at-least-once feeders can re-deliver appends —
+        a blind re-append would silently double rows)."""
         snap = self.snapshot()
+        if fence is not None:
+            last = snap.fences.get(fence[0])
+            if last is not None and fence[1] <= last:
+                return None
         lsn = (
             F.col(lsn_col).cast("long") if lsn_col else F.lit(0).cast("long")
         )
@@ -803,7 +817,7 @@ class LakeTable:
             .withColumn("_b", self.bucket_expr(snap))
         )
         adds, _ = self.write_data_files(snap, prepared)
-        return self.commit(snap, adds, [], op="append")
+        return self.commit(snap, adds, [], op="append", fence=fence)
 
     def overwrite(
         self,

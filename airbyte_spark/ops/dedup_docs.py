@@ -168,15 +168,13 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return sh.select("doc_id", *[_sig(j) for j in range(k)])
 
 
-def minhash_lsh_candidates(
+def minhash_band_table(
     docs: DataFrame, k: int = MINHASH_K, band_width: int = MINHASH_BAND_WIDTH
 ) -> DataFrame:
-    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
-
-    Output (doc_a, doc_b, shared_bands). At scale this is the whole point of
-    MinHash: the join key is (band_idx, band_key) — a bounded-fanout
-    equi-join, never O(n²).
-    """
+    """(doc_id, band_idx, band_key) LSH band entries — the unit both the
+    batch candidate join (``minhash_lsh_candidates``) and the persistent
+    incremental index (``dedup_index.py``) operate on. Map-only on top of
+    the map-only signatures: one posexplode-free array explode per doc."""
     if k % band_width != 0:
         raise ValueError(
             f"k={k} must be divisible by band_width={band_width}: trailing "
@@ -198,9 +196,22 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_idx", "band.band_key"
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, k: int = MINHASH_K, band_width: int = MINHASH_BAND_WIDTH
+) -> DataFrame:
+    """LSH banding: docs sharing ≥1 band bucket become candidate pairs.
+
+    Output (doc_a, doc_b, shared_bands). At scale this is the whole point of
+    MinHash: the join key is (band_idx, band_key) — a bounded-fanout
+    equi-join, never O(n²).
+    """
     bt = (
-        sig.select("doc_id", F.explode(bands).alias("band"))
-        .select("doc_id", "band.band_idx", "band.band_key")
+        minhash_band_table(docs, k, band_width)
         # explicit exchange on the join keys BEFORE the self-join: the join
         # shuffles here anyway, and pinning the exchange makes both aliases
         # share one shuffle stage — signatures compute ONCE. Without it the

@@ -1,0 +1,182 @@
+"""Incremental corpus near-dup detection: a persistent MinHash-LSH index.
+
+The batch dedup ladder (``dedup_docs.py``) answers "which documents in THIS
+corpus are near-duplicates" — one self-join over everything. A growing
+pretraining corpus asks a different question at every ingest: "which of the
+NEW documents near-duplicate anything already accepted?" Re-running the
+self-join over 10^10 accepted docs per increment is O(corpus) compute per
+batch; this module makes it O(batch + matched-buckets):
+
+* The index is a LakeTable of LSH band entries ``(doc_id, band_idx,
+  band_key)`` — the same banding as ``minhash_lsh_candidates`` (k=12
+  signatures, 6 bands of width 2), so incremental and batch flagging are
+  EXACTLY equivalent (the oracle test asserts union-of-increments ==
+  one-shot batch pairs, counts included).
+* Per increment: (1) compute the batch's band entries (map-only — the
+  signatures are array_min over hash transforms, zero shuffle); (2) flag
+  candidates = batch bands ⋈ index bands on (band_idx, band_key) PLUS the
+  intra-batch self-join; (3) append the batch's entries under a commit
+  fence — at-least-once feeders can re-deliver an increment and neither
+  double the index nor re-flag different pairs (the index side drops the
+  batch's own doc_ids, so a replay after a committed append flags the
+  identical pair set).
+* Scale shape: the batch side is the small side — for micro-batch ingest
+  the distinct band keys are collected (bounded by ``max_pushdown_keys``)
+  into an IN-filter that reaches the index's parquet scan as a pushed
+  predicate, so row groups whose band_key dictionary/stats miss the batch
+  never decompress; the index table clusters by band_key at compaction
+  (``sort_cols``) to make those stats tight. Past the threshold it falls
+  back to a plain shuffle equi-join (the right plan when the increment is
+  itself corpus-sized). Either way the index is never self-joined and the
+  join fanout is bounded by bucket occupancy, not corpus size.
+
+Reference frame: the reference dedups per-sync via the SCD window over
+primary keys (stream_processor.py:876-891) — exact-key only. Content-level
+incremental dedup is the training-data extension; the banding math follows
+the standard MinHash-LSH construction (Broder 1997; Leskovec-Rajaraman-
+Ullman ch.3), persisted the way a lakehouse would (fenced commits).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import TableSchema
+from ..lake.table import LakeTable
+from .dedup_docs import MINHASH_BAND_WIDTH, MINHASH_K, minhash_band_table
+
+INDEX_STRUCT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band_idx", T.IntegerType(), False),
+        T.StructField("band_key", T.StringType(), False),
+    ]
+)
+
+#: batch band-key cardinality up to which the index scan gets an IN-filter
+#: (collected on the driver — 8k 32-char keys ≈ 256 KB, bounded)
+DEFAULT_MAX_PUSHDOWN_KEYS = 8192
+
+
+def bootstrap_dedup_index(
+    spark: SparkSession, path: str, n_buckets: int = 32
+) -> LakeTable:
+    """Create (or open) the band-entry index table. Bucketed AND
+    compaction-sorted by band_key: bucketing bounds each append/compact
+    task's working set; the sort makes per-file band_key stats tight so
+    the pushed IN-filter skips row groups."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(INDEX_STRUCT),
+        primary_key=[],
+        bucket_cols=["band_key"],
+        n_buckets=n_buckets,
+        sort_cols=["band_key"],
+    )
+
+
+def _pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Band-bucket equi-join → (doc_a < doc_b, shared_bands)."""
+    return (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared_bands"))
+    )
+
+
+def flag_and_ingest(
+    index: LakeTable,
+    docs: DataFrame,
+    *,
+    app_id: str = "dedup-index",
+    batch_id: int = 0,
+    k: int = MINHASH_K,
+    band_width: int = MINHASH_BAND_WIDTH,
+    max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
+) -> DataFrame:
+    """One increment: flag near-dup candidates of ``docs`` (intra-batch ∪
+    vs-the-accepted-corpus), then append the batch's band entries under a
+    fence. Returns (doc_a, doc_b, shared_bands) with doc_a < doc_b — the
+    same shape as ``minhash_lsh_candidates``, so running increments in any
+    split reproduces the one-shot batch result exactly.
+
+    The returned DataFrame is resolved EAGERLY (it is the side output the
+    caller routes to a quarantine/review sink) — computing it lazily after
+    the append would let the batch's own just-appended entries re-enter
+    the index side of the join."""
+    bt = minhash_band_table(docs, k, band_width).persist()
+    try:
+        # index side: the accepted corpus, minus this batch's own entries
+        # (present only when a crashed caller re-delivers after the append
+        # committed — without the anti-join a replay would flag every doc
+        # as a duplicate of itself-in-the-index via sibling docs twice)
+        batch_ids = docs.select("doc_id").distinct()
+        idx = index.read().join(F.broadcast(batch_ids), "doc_id", "left_anti")
+
+        keys = [
+            r[0]
+            for r in bt.select("band_key")
+            .distinct()
+            .limit(max_pushdown_keys + 1)
+            .collect()
+        ]
+        if len(keys) <= max_pushdown_keys:
+            # micro-batch regime: the IN-predicate reaches the parquet scan
+            # (PushedFilters: In(band_key, ...)) — row groups that dictionary/
+            # stats-miss every batch key never decompress
+            idx = idx.filter(F.col("band_key").isin(keys))
+
+        # bt is persisted, so both self-join sides (and the cross join's
+        # probe side) read the materialized band entries — signatures
+        # compute once (the repartition-pinning trick in
+        # minhash_lsh_candidates serves the same purpose without a persist)
+        intra = _pairs(bt, bt)
+        # one join, then order the pair — the anti-joined index side can
+        # hold ids on either side of the batch's
+        cross = (
+            bt.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("shared_bands"))
+        )
+        flags = (
+            intra.unionByName(cross)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum("shared_bands").cast("long").alias("shared_bands"))
+        )
+        out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
+        index.append(bt, fence=(app_id, batch_id))
+        return out
+    finally:
+        bt.unpersist()
+
+
+def compact_index(index: LakeTable, grace_commits: int = 2) -> None:
+    """Fold the per-increment appends into band_key-sorted files (the
+    ``sort_cols`` spec applies at compaction) and reclaim old files —
+    run on the ingest cadence, same contract as the main-table compact."""
+    index.compact()
+    index.vacuum(grace_commits=grace_commits)

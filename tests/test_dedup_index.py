@@ -1,0 +1,134 @@
+"""Incremental MinHash-LSH dedup index (ops/dedup_index.py).
+
+The load-bearing claim: flagging per increment against the persistent index
+is EXACTLY equivalent to the one-shot batch self-join — same pairs, same
+shared_bands counts — regardless of how the corpus is split, and replays
+are idempotent (fenced append + batch-id anti-join on the index side).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airbyte_spark.ops import dedup_docs
+from airbyte_spark.ops.dedup_index import (
+    bootstrap_dedup_index,
+    compact_index,
+    flag_and_ingest,
+)
+
+BASES = [
+    "the cat sat on the mat near the door",
+    "a quick brown fox jumps over the lazy dog today",
+    "der hund und die katze spielen in dem garten zusammen",
+    "completely different words entirely here now for this one",
+    "data pipelines shuffle partitions across executors at scale",
+    "short doc",  # < 3 tokens after split: degenerate-shingle path
+]
+
+
+def _corpus():
+    rows = []
+    for i in range(1, 46):
+        base = BASES[i % len(BASES)]
+        # every third doc mutates one word — near-dup of its base family
+        text = base + (" extra" if i % 3 == 0 else "")
+        rows.append((i, text))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(_corpus(), ["doc_id", "text"])
+
+
+def _flags_set(df):
+    return {
+        (r.doc_a, r.doc_b): r.shared_bands
+        for r in df.collect()
+    }
+
+
+def test_incremental_equals_batch(spark, tmp_path, corpus):
+    batch = _flags_set(dedup_docs.minhash_lsh_candidates(corpus))
+    assert batch, "fixture must produce near-dup candidates"
+
+    index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
+    got = {}
+    for i in range(3):
+        inc = corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        flags = _flags_set(
+            flag_and_ingest(index, inc, app_id="t-idx", batch_id=i)
+        )
+        # each pair is flagged by exactly ONE increment (intra-batch, or
+        # the increment that ingested the pair's later-arriving member)
+        assert not set(flags) & set(got)
+        got.update(flags)
+    assert got == batch
+
+
+def test_redelivery_is_idempotent(spark, tmp_path, corpus):
+    index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
+    first = corpus.filter(F.col("doc_id") <= 20)
+    flags0 = _flags_set(flag_and_ingest(index, first, app_id="t", batch_id=0))
+    rows0 = index.read().count()
+    v0 = index.snapshot().version
+    # at-least-once feeder re-delivers the same increment after the commit
+    flags_replay = _flags_set(
+        flag_and_ingest(index, first, app_id="t", batch_id=0)
+    )
+    assert flags_replay == flags0
+    assert index.read().count() == rows0  # fenced: no doubled entries
+    assert index.snapshot().version == v0
+    # next increment still sees the corpus exactly once
+    second = corpus.filter(F.col("doc_id") > 20)
+    flags1 = _flags_set(flag_and_ingest(index, second, app_id="t", batch_id=1))
+    batch = _flags_set(dedup_docs.minhash_lsh_candidates(corpus))
+    merged = dict(flags0)
+    merged.update(flags1)
+    assert merged == batch
+
+
+def test_compact_preserves_flags(spark, tmp_path, corpus):
+    index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
+    for i in range(4):
+        inc = corpus.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+        flag_and_ingest(index, inc, app_id="t", batch_id=i)
+    before = index.read().count()
+    compact_index(index)
+    assert index.read().count() == before
+    # a post-compaction increment (re-using unseen ids) still matches the
+    # batch answer over the widened corpus
+    extra = spark.createDataFrame(
+        [(100, BASES[0]), (101, "nothing like anything else whatsoever")],
+        ["doc_id", "text"],
+    )
+    flags = _flags_set(flag_and_ingest(index, extra, app_id="t", batch_id=4))
+    widened = corpus.unionByName(extra)
+    batch = _flags_set(dedup_docs.minhash_lsh_candidates(widened))
+    want = {k: v for k, v in batch.items() if 100 in k or 101 in k}
+    assert flags == want
+
+
+def test_pushed_in_filter_reaches_scan(spark, tmp_path, corpus):
+    index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
+    flag_and_ingest(
+        index, corpus.filter(F.col("doc_id") <= 30), app_id="t", batch_id=0
+    )
+    probe = corpus.filter(F.col("doc_id") > 30)
+    keys = [
+        r[0]
+        for r in dedup_docs.minhash_band_table(probe)
+        .select("band_key")
+        .distinct()
+        .collect()
+    ]
+    plan = (
+        index.read()
+        .filter(F.col("band_key").isin(keys))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "band_key" in plan
