@@ -181,6 +181,13 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     if args.backfill:
+        if args.snapshot_source or args.snapshot_plan:
+            raise SystemExit(
+                "--backfill and --snapshot-source/--snapshot-plan are "
+                "alternative bootstrap modes: --backfill replays the feed "
+                "in one batch; the snapshot flags chunk a SOURCE TABLE "
+                "alongside the streaming tail. Pick one."
+            )
         # one-shot batch replay (S4 snapshot); the post-sync blocks below
         # (--tail-to / --compact / --schema-tests) apply to it like any
         # bounded sync
@@ -202,7 +209,7 @@ def main(argv: list[str] | None = None) -> None:
         )
     else:
         snapshot_plan_path = None
-        if args.snapshot_source:
+        if args.snapshot_source or args.snapshot_plan:
             import os
 
             from .sources.snapshot import SnapshotPlan, plan_snapshot
@@ -211,6 +218,13 @@ def main(argv: list[str] | None = None) -> None:
                 args.checkpoint.rstrip("/") + ".snapshot_plan.json"
             )
             if not os.path.exists(snapshot_plan_path):
+                if args.snapshot_source is None:
+                    raise SystemExit(
+                        f"--snapshot-plan {snapshot_plan_path} does not "
+                        "exist and no --snapshot-source was given to plan "
+                        "from (a staged plan must be created first via "
+                        "plan_snapshot/stage_chunks)"
+                    )
                 if args.snapshot_low_watermark is None:
                     raise SystemExit(
                         "--snapshot-low-watermark is required when creating "

@@ -118,7 +118,14 @@ def flag_and_ingest(
     The returned DataFrame is resolved EAGERLY (it is the side output the
     caller routes to a quarantine/review sink) — computing it lazily after
     the append would let the batch's own just-appended entries re-enter
-    the index side of the join."""
+    the index side of the join.
+
+    PRECONDITION: ``doc_id`` is unique across the WHOLE corpus, not just
+    the batch (same contract as ``minhash_signatures``, extended in time).
+    A reused id would (a) be anti-joined out of the index side — its true
+    near-dups silently unflagged — and (b) double its band entries on
+    append. Mint ids with ``surrogate_hash_id`` over a natural key when
+    the feed cannot guarantee this."""
     bt = minhash_band_table(docs, k, band_width).persist()
     try:
         # index side: the accepted corpus, minus this batch's own entries

@@ -224,3 +224,45 @@ def test_job_cli_snapshot_flags(spark, tmp_path, feed):
     job.main(argv)  # low watermark not needed once the plan exists
     assert table.snapshot().version == v
     assert_same(table.read(), want)
+    # --backfill and the snapshot flags are alternative bootstrap modes
+    with pytest.raises(SystemExit):
+        job.main(argv[:8] + ["--backfill", "--snapshot-source", src_dir])
+
+
+def test_job_cli_staged_plan_only(spark, tmp_path, feed):
+    """A plan whose chunks were STAGED (stage_chunks) needs no source at
+    run time: CLI --snapshot-plan alone drives the whole snapshot; naming
+    a missing plan with no source refuses loudly instead of starting a
+    tail that silently never snapshots."""
+    from airbyte_spark import job
+
+    _, ev = feed
+    l0 = int(ev["_ab_cdc_lsn"].quantile(0.5))
+    state = _source_state(ev, l0)
+    wal = ev[ev["_ab_cdc_lsn"] > l0].drop(columns=["op", "version"])
+    wal_dir = tmp_path / "wal"
+    _write_segments(wal, str(wal_dir), 2)
+    src = _source_df(spark, state)
+
+    plan = plan_snapshot(
+        src, "conv_id", low_watermark=l0, rows_per_chunk=30, app_id="snap-t6"
+    )
+    stage_chunks(src, plan, str(tmp_path / "staging"))
+    plan_path = str(tmp_path / "plan.json")
+    plan.save(plan_path)
+
+    argv = [
+        "--feed-dir", str(wal_dir),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4",
+        "--snapshot-plan", plan_path,
+    ]
+    job.main(argv)
+    assert_same(
+        LakeTable(spark, str(tmp_path / "tbl")).read(),
+        oracle_final_state(ev, canonicalize=canonicalize_pandas),
+    )
+    # a plan path that doesn't exist and no source to plan from: refuse
+    with pytest.raises(SystemExit):
+        job.main(argv[:-1] + [str(tmp_path / "nope.json")])
