@@ -53,7 +53,9 @@ INDEX_STRUCT = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("band_idx", T.IntegerType(), False),
-        T.StructField("band_key", T.StringType(), False),
+        # nullable: a MUTABLE index stores retractions as tombstone rows
+        # that carry only the (doc_id, band_idx) key
+        T.StructField("band_key", T.StringType(), True),
     ]
 )
 
@@ -63,14 +65,35 @@ DEFAULT_MAX_PUSHDOWN_KEYS = 8192
 
 
 def bootstrap_dedup_index(
-    spark: SparkSession, path: str, n_buckets: int = 32
+    spark: SparkSession, path: str, n_buckets: int = 32, mutable: bool = False
 ) -> LakeTable:
-    """Create (or open) the band-entry index table. Bucketed AND
-    compaction-sorted by band_key: bucketing bounds each append/compact
-    task's working set; the sort makes per-file band_key stats tight so
-    the pushed IN-filter skips row groups."""
+    """Create (or open) the band-entry index table.
+
+    ``mutable=False`` (append-only corpora — the common pretraining case):
+    no primary key, blind fenced appends, bucketed AND compaction-sorted by
+    band_key — bucketing bounds each append/compact task's working set and
+    the sort makes per-file band_key stats tight so the pushed IN-filter
+    skips row groups.
+
+    ``mutable=True`` (re-crawled / edited corpora): primary key
+    (doc_id, band_idx) with versioned MOR merges — a re-ingested doc's six
+    band entries REPLACE the previous version's at scan time (O(batch)
+    delta appends per increment, folded by ``compact_index``), and
+    ``retract_docs`` tombstones a removed doc so it stops matching. Bucketed
+    by doc_id (the merge's pruning key); band_key file stats stay useful
+    after compaction re-sorts."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
+    if mutable:
+        return LakeTable.create(
+            spark,
+            path,
+            TableSchema.from_struct(INDEX_STRUCT),
+            primary_key=["doc_id", "band_idx"],
+            bucket_cols=["doc_id"],
+            n_buckets=n_buckets,
+            sort_cols=["band_key"],
+        )
     return LakeTable.create(
         spark,
         path,
@@ -108,6 +131,7 @@ def flag_and_ingest(
     k: int = MINHASH_K,
     band_width: int = MINHASH_BAND_WIDTH,
     max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
+    version: Optional[int] = None,
 ) -> DataFrame:
     """One increment: flag near-dup candidates of ``docs`` (intra-batch ∪
     vs-the-accepted-corpus), then append the batch's band entries under a
@@ -120,12 +144,17 @@ def flag_and_ingest(
     the append would let the batch's own just-appended entries re-enter
     the index side of the join.
 
-    PRECONDITION: ``doc_id`` is unique across the WHOLE corpus, not just
-    the batch (same contract as ``minhash_signatures``, extended in time).
-    A reused id would (a) be anti-joined out of the index side — its true
-    near-dups silently unflagged — and (b) double its band entries on
-    append. Mint ids with ``surrogate_hash_id`` over a natural key when
-    the feed cannot guarantee this."""
+    PRECONDITION on an APPEND-ONLY index: ``doc_id`` is unique across the
+    WHOLE corpus, not just the batch (same contract as
+    ``minhash_signatures``, extended in time). A reused id would (a) be
+    anti-joined out of the index side — its true near-dups silently
+    unflagged — and (b) double its band entries on append. Mint ids with
+    ``surrogate_hash_id`` over a natural key when the feed cannot
+    guarantee this. On a MUTABLE index (``bootstrap_dedup_index(...,
+    mutable=True)``) a reused id means a NEW VERSION of that document:
+    the versioned MOR merge replaces its band entries at scan time
+    (``version`` defaults to ``batch_id`` — pass the doc revision when
+    increments can reorder)."""
     bt = minhash_band_table(docs, k, band_width).persist()
     try:
         # index side: the accepted corpus, minus this batch's own entries
@@ -145,7 +174,12 @@ def flag_and_ingest(
         if len(keys) <= max_pushdown_keys:
             # micro-batch regime: the IN-predicate reaches the parquet scan
             # (PushedFilters: In(band_key, ...)) — row groups that dictionary/
-            # stats-miss every batch key never decompress
+            # stats-miss every batch key never decompress. On a MUTABLE index
+            # holding MOR deltas the filter correctly stays ABOVE the version
+            # resolution (band_key is payload, not key — filtering pre-
+            # resolution could resurrect a stale version's matching entry),
+            # so scan pushdown only re-engages once compact_index folds the
+            # deltas: compact on the ingest cadence.
             idx = idx.filter(F.col("band_key").isin(keys))
 
         # bt is persisted, so both self-join sides (and the cross join's
@@ -175,10 +209,78 @@ def flag_and_ingest(
             .agg(F.sum("shared_bands").cast("long").alias("shared_bands"))
         )
         out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
-        index.append(bt, fence=(app_id, batch_id))
+        if index.snapshot().primary_key:
+            # mutable index: versioned MOR upsert — O(batch) delta append,
+            # a re-ingested doc's entries replace the old version's at scan
+            from ..lake.merge import merge_batch
+
+            merge_batch(
+                index,
+                _versioned(bt, batch_id if version is None else version),
+                ["_ab_cdc_lsn"],
+                app_id=app_id,
+                batch_id=batch_id,
+                strategy="mor",
+            )
+        else:
+            index.append(bt, fence=(app_id, batch_id))
         return out
     finally:
         bt.unpersist()
+
+
+def _versioned(df: DataFrame, version: int) -> DataFrame:
+    return df.withColumn(
+        "_ab_cdc_lsn", F.lit(version).cast("long")
+    ).withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
+
+
+def retract_docs(
+    index: LakeTable,
+    doc_ids: DataFrame,
+    *,
+    version: int,
+    app_id: str = "dedup-index",
+    batch_id: int = 0,
+    k: int = MINHASH_K,
+    band_width: int = MINHASH_BAND_WIDTH,
+) -> None:
+    """Remove documents from a MUTABLE index: tombstone every band slot of
+    each doc (fixed fan-out k/band_width rows per doc), fenced like any
+    merge. ``version`` must exceed the doc's last ingest version to win
+    the LSN resolution. Retractions make the doc stop matching future
+    increments; history stays time-travelable until vacuum."""
+    if not index.snapshot().primary_key:
+        raise ValueError(
+            "retract_docs needs a mutable index "
+            "(bootstrap_dedup_index(..., mutable=True)); an append-only "
+            "index has no per-doc key to tombstone"
+        )
+    from ..lake.merge import merge_batch
+
+    n_bands = k // band_width
+    rows = (
+        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_bands)])
+            ).alias("band_idx"),
+        )
+        .withColumn("band_key", F.lit(None).cast("string"))
+        .withColumn("_ab_cdc_lsn", F.lit(version).cast("long"))
+        .withColumn(
+            "_ab_cdc_deleted_at", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
+    )
+    merge_batch(
+        index,
+        rows,
+        ["_ab_cdc_lsn"],
+        app_id=app_id,
+        batch_id=batch_id,
+        strategy="mor",
+    )
 
 
 def compact_index(index: LakeTable, grace_commits: int = 2) -> None:

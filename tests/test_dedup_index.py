@@ -16,6 +16,7 @@ from airbyte_spark.ops.dedup_index import (
     bootstrap_dedup_index,
     compact_index,
     flag_and_ingest,
+    retract_docs,
 )
 
 BASES = [
@@ -109,6 +110,59 @@ def test_compact_preserves_flags(spark, tmp_path, corpus):
     batch = _flags_set(dedup_docs.minhash_lsh_candidates(widened))
     want = {k: v for k, v in batch.items() if 100 in k or 101 in k}
     assert flags == want
+
+
+def test_mutable_update_replaces_entries(spark, tmp_path, corpus):
+    """Re-ingesting a doc_id on a mutable index REPLACES its band entries:
+    probes match the new text, not the old."""
+    index = bootstrap_dedup_index(
+        spark, str(tmp_path / "idx"), n_buckets=4, mutable=True
+    )
+    # v1: doc 1 is the cat sentence
+    v1 = spark.createDataFrame([(1, BASES[0]), (2, BASES[3])], ["doc_id", "text"])
+    flag_and_ingest(index, v1, app_id="m", batch_id=0)
+    # v2: doc 1 becomes the fox sentence
+    v2 = spark.createDataFrame([(1, BASES[1])], ["doc_id", "text"])
+    flag_and_ingest(index, v2, app_id="m", batch_id=1)
+
+    cat_probe = spark.createDataFrame([(50, BASES[0])], ["doc_id", "text"])
+    fox_probe = spark.createDataFrame([(51, BASES[1])], ["doc_id", "text"])
+    cat = _flags_set(flag_and_ingest(index, cat_probe, app_id="m", batch_id=2))
+    fox = _flags_set(flag_and_ingest(index, fox_probe, app_id="m", batch_id=3))
+    assert (1, 50) not in cat  # stale v1 entries resolved away
+    assert (1, 51) in fox  # current v2 entries match
+    # compaction folds the version deltas without changing semantics
+    compact_index(index)
+    fox2_probe = spark.createDataFrame([(52, BASES[1])], ["doc_id", "text"])
+    fox2 = _flags_set(flag_and_ingest(index, fox2_probe, app_id="m", batch_id=4))
+    assert (1, 52) in fox2 and (51, 52) in fox2
+
+
+def test_mutable_retract_stops_matching(spark, tmp_path):
+    index = bootstrap_dedup_index(
+        spark, str(tmp_path / "idx"), n_buckets=4, mutable=True
+    )
+    docs = spark.createDataFrame(
+        [(1, BASES[0]), (2, BASES[0] + " extra")], ["doc_id", "text"]
+    )
+    flag_and_ingest(index, docs, app_id="m", batch_id=0)
+    retract_docs(
+        index,
+        spark.createDataFrame([(1,)], ["doc_id"]),
+        version=1,
+        app_id="m",
+        batch_id=1,
+    )
+    probe = spark.createDataFrame([(60, BASES[0])], ["doc_id", "text"])
+    flags = _flags_set(flag_and_ingest(index, probe, app_id="m", batch_id=2))
+    assert (2, 60) in flags  # surviving near-dup still matches
+    assert (1, 60) not in flags  # retracted doc is gone
+    # retracting on an append-only index is a contract error, not a no-op
+    ro = bootstrap_dedup_index(spark, str(tmp_path / "idx_ro"), n_buckets=4)
+    with pytest.raises(ValueError):
+        retract_docs(
+            ro, spark.createDataFrame([(1,)], ["doc_id"]), version=1, batch_id=0
+        )
 
 
 def test_pushed_in_filter_reaches_scan(spark, tmp_path, corpus):
