@@ -1349,6 +1349,43 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.ivf_search(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT incremental IVF (ops/ann_index.py): the embeddings table
+    is ingested in two fenced increments into a cell-bucketed LakeTable
+    (assignment = broadcast centroids + map-side top-1, O(batch)); search
+    then reads ONLY the probed cells' buckets (driver-side probe→bucket
+    resolution, read(buckets=...)) — at 10^9 vectors a search touches
+    nprobe/n_cells of the table, not all of it. Must be bit-equal to the
+    one-shot ivf_search plan, so it shares ann_ivf_search's oracle SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.ops.ann_index import (
+        ann_search,
+        bootstrap_ann_index,
+        ingest_vectors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_annidx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = bootstrap_ann_index(
+        spark, path, emb_ops._centroids(emb, 8), n_buckets=8
+    )
+    for i in range(2):
+        ingest_vectors(
+            index,
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == i),
+            app_id="oracle-ann-index",
+            batch_id=i,
+        )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q")
+    )
+    return ann_search(index, queries, nprobe=2, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1440,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
         "ann_ivf_assign": q_ann_ivf_assign,
         "ann_ivf_search": q_ann_ivf_search,
+        "ann_incremental_ivf": q_ann_incremental_ivf,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -2226,6 +2264,39 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rnk = 1
         """,
         "ann_ivf_search": f"""
+            WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
+                           WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id AS neighbor_id, cell FROM (
+                SELECT e.vec_id, cents.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("cents.c", "e.embedding")} DESC,
+                                  cents.cell ASC) rnk
+                FROM embeddings e, cents) WHERE rnk = 1),
+            q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                  WHERE vec_id < 10),
+            probes AS (
+              SELECT query_id, qe, cell FROM (
+                SELECT q.query_id, q.qe, cents.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_cos("q.qe", "cents.c")} DESC,
+                                  cents.cell ASC) prank
+                FROM q, cents) WHERE prank <= 2),
+            cand AS (
+              SELECT p.query_id, e.vec_id AS neighbor_id,
+                     {_cos("p.qe", "e.embedding")} AS cos
+              FROM probes p
+              JOIN assigned a USING (cell)
+              JOIN embeddings e ON e.vec_id = a.neighbor_id
+              WHERE e.vec_id <> p.query_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) rank FROM cand)
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+            FROM r WHERE rank <= 5
+        """,
+        # the persistent bucket-pruned IVF index must answer bit-equal
+        # to the one-shot ivf_search plan — same oracle by construction
+        "ann_incremental_ivf": f"""
             WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
                            WHERE vec_id < 8),
             assigned AS (

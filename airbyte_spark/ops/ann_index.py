@@ -1,0 +1,191 @@
+"""Persistent incremental IVF index: similarity search that reads only the
+probed cells' buckets.
+
+``embeddings.ivf_search`` is the right PLAN for one-shot search — but it
+re-assigns the whole corpus to cells on every call and scans every vector.
+A serving corpus is ingested once and searched many times; this module
+materializes the inverted file as a LakeTable BUCKETED BY CELL so that:
+
+* **Ingest** is O(batch): assign the new vectors to their nearest centroid
+  (broadcast centroids + map-side top-1 — the `ivf_assign` plan) and
+  fence-append them into their cells' buckets. Exactly-once under
+  at-least-once delivery, same contract as every other lake write.
+* **Search** reads only the probed cells' BUCKETS: the nprobe cells per
+  query resolve (driver-side, ≤ n_cells rows) to a bucket id set, and
+  ``read(buckets=...)`` never lists, opens, or scans any other bucket's
+  files. At 10^9 vectors in 1024 cells with nprobe=8, a search touches
+  <1% of the table instead of all of it — file-level pruning the one-shot
+  plan cannot have. A residual ``cell IN (probed)`` filter keeps the
+  result exact for cells that share a bucket hash.
+* Results are BIT-EQUAL to ``embeddings.ivf_search`` on the same corpus
+  (same centroid derivation, same rounding, same tiebreaks) — the oracle
+  query shares `ann_ivf_search`'s SQL.
+
+Centroids are fixed at bootstrap (persisted as JSON beside the table's
+commit log, like the snapshot plan) — the standard IVF contract: retrain
+centroids => rebuild the index. Cosine math and tiebreaks come from
+``embeddings.py`` so the two paths can never drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..catalog import TableSchema
+from ..lake.table import LakeTable
+from .embeddings import cosine
+
+INDEX_STRUCT = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+CENTROIDS_FILE = "centroids.json"
+
+
+def bootstrap_ann_index(
+    spark: SparkSession,
+    path: str,
+    centroids: DataFrame,
+    n_buckets: int = 32,
+) -> LakeTable:
+    """Create (or open) the IVF table. ``centroids`` = (cell, c:embedding)
+    — persisted to ``<path>/centroids.json`` at create time (bounded:
+    n_cells rows) and immutable for the index's lifetime."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    table = LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(INDEX_STRUCT),
+        primary_key=[],
+        bucket_cols=["cell"],
+        n_buckets=n_buckets,
+    )
+    rows = [
+        {"cell": int(r["cell"]), "c": [float(x) for x in r["c"]]}
+        for r in centroids.select("cell", "c").collect()
+    ]
+    tmp = os.path.join(path, f".{CENTROIDS_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sorted(rows, key=lambda r: r["cell"]), f)
+    os.replace(tmp, os.path.join(path, CENTROIDS_FILE))
+    return table
+
+
+def load_centroids(spark: SparkSession, table_path: str) -> DataFrame:
+    with open(os.path.join(table_path, CENTROIDS_FILE)) as f:
+        rows = json.load(f)
+    return spark.createDataFrame(
+        [(r["cell"], r["c"]) for r in rows],
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("c", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+
+
+def _nearest_cells(
+    vecs: DataFrame, cents: DataFrame, id_col: str, vec_col: str, n: int
+) -> DataFrame:
+    """Top-n nearest centroids per vector — ivf_assign/ivf_search's exact
+    scoring and tiebreak (cos desc, cell asc), shared by ingest (n=1) and
+    query probing (n=nprobe)."""
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "_cos", F.round(cosine(F.col("c"), F.col(vec_col)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ingest_vectors(
+    index: LakeTable,
+    emb: DataFrame,
+    *,
+    app_id: str = "ann-index",
+    batch_id: int = 0,
+) -> Optional[int]:
+    """Assign the batch to cells and fence-append into the index. The
+    assignment is the `ivf_assign` plan: broadcast centroids, map-side
+    WindowGroupLimit top-1 — O(batch), no corpus read at all."""
+    cents = load_centroids(index.spark, index.path)
+    assigned = _nearest_cells(
+        emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        ),
+        cents,
+        "vec_id",
+        "embedding",
+        1,
+    )
+    return index.append(assigned, fence=(app_id, batch_id))
+
+
+def ann_search(
+    index: LakeTable,
+    queries: DataFrame,
+    *,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k cosine neighbors per query over the PROBED CELLS ONLY.
+
+    The probed cell set (≤ n_cells distinct values) resolves to bucket ids
+    on the driver; ``read(buckets=...)`` prunes every other bucket's files
+    before the scan exists. Output mirrors ``ivf_search``:
+    (query_id, neighbor_id, rank, cos)."""
+    spark = index.spark
+    cents = load_centroids(spark, index.path)
+    q = queries.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("q").cast("array<float>").alias("q"),
+    )
+    probes = _nearest_cells(q, cents, "query_id", "q", nprobe)
+
+    snap = index.snapshot()
+    cells = [r[0] for r in probes.select("cell").distinct().collect()]
+    buckets = [
+        r["_b"]
+        for r in spark.createDataFrame(
+            [(c,) for c in cells], "cell int"
+        )
+        .withColumn("_b", index.bucket_expr(snap))
+        .select("_b")
+        .distinct()
+        .collect()
+    ]
+    corpus = index.read(buckets=buckets, snap=snap).filter(
+        F.col("cell").isin(cells)  # residual: cells sharing a bucket hash
+    )
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine(F.col("q"), F.col("embedding")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cos"
+        )
+    )
