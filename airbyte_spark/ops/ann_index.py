@@ -64,7 +64,20 @@ def bootstrap_ann_index(
     n_cells rows) and immutable for the index's lifetime."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
-    table = LakeTable.create(
+    # centroids FIRST, table-create second: the create commit is the
+    # "index exists" signal, so a crash between the two steps leaves a
+    # re-runnable bootstrap — the reverse order would leave a table that
+    # exists but can never load its centroids
+    rows = [
+        {"cell": int(r["cell"]), "c": [float(x) for x in r["c"]]}
+        for r in centroids.select("cell", "c").collect()
+    ]
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{CENTROIDS_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sorted(rows, key=lambda r: r["cell"]), f)
+    os.replace(tmp, os.path.join(path, CENTROIDS_FILE))
+    return LakeTable.create(
         spark,
         path,
         TableSchema.from_struct(INDEX_STRUCT),
@@ -72,15 +85,6 @@ def bootstrap_ann_index(
         bucket_cols=["cell"],
         n_buckets=n_buckets,
     )
-    rows = [
-        {"cell": int(r["cell"]), "c": [float(x) for x in r["c"]]}
-        for r in centroids.select("cell", "c").collect()
-    ]
-    tmp = os.path.join(path, f".{CENTROIDS_FILE}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(sorted(rows, key=lambda r: r["cell"]), f)
-    os.replace(tmp, os.path.join(path, CENTROIDS_FILE))
-    return table
 
 
 def load_centroids(spark: SparkSession, table_path: str) -> DataFrame:
