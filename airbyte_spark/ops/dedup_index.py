@@ -105,6 +105,32 @@ def bootstrap_dedup_index(
     )
 
 
+FLAGS_STRUCT = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("shared_bands", T.LongType(), False),
+    ]
+)
+
+
+def bootstrap_flags_table(
+    spark: SparkSession, path: str, n_buckets: int = 8
+) -> LakeTable:
+    """Append-only sink for per-increment candidate pairs — the quarantine/
+    review feed a curation pipeline consumes downstream."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(FLAGS_STRUCT),
+        primary_key=[],
+        bucket_cols=["doc_a"],
+        n_buckets=n_buckets,
+    )
+
+
 def _pairs(a: DataFrame, b: DataFrame) -> DataFrame:
     """Band-bucket equi-join → (doc_a < doc_b, shared_bands)."""
     return (
@@ -132,6 +158,8 @@ def flag_and_ingest(
     band_width: int = MINHASH_BAND_WIDTH,
     max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
     version: Optional[int] = None,
+    version_col: Optional[str] = None,
+    deletes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """One increment: flag near-dup candidates of ``docs`` (intra-batch ∪
     vs-the-accepted-corpus), then append the batch's band entries under a
@@ -211,18 +239,51 @@ def flag_and_ingest(
         out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
         if index.snapshot().primary_key:
             # mutable index: versioned MOR upsert — O(batch) delta append,
-            # a re-ingested doc's entries replace the old version's at scan
+            # a re-ingested doc's entries replace the old version's at scan.
+            # version_col names a per-doc cursor on ``docs`` (the CDC LSN):
+            # a late stale re-ingest then LOSES the resolution, keeping the
+            # index in lockstep with an LSN-merged main table; the scalar
+            # version (default batch_id) suits ordered append-only feeds.
             from ..lake.merge import merge_batch
 
+            if version_col is not None:
+                vmap = docs.select(
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col(version_col).cast("long").alias("_v"),
+                )
+                rows = (
+                    bt.join(F.broadcast(vmap), "doc_id")
+                    .withColumn("_ab_cdc_lsn", F.col("_v"))
+                    .drop("_v")
+                    .withColumn(
+                        "_ab_cdc_deleted_at", F.lit(None).cast("timestamp")
+                    )
+                )
+            else:
+                rows = _versioned(bt, batch_id if version is None else version)
+            if deletes is not None:
+                rows = rows.unionByName(
+                    _tombstone_rows(
+                        deletes,
+                        k // band_width,
+                        version_col=version_col,
+                        version=batch_id if version is None else version,
+                    )
+                )
             merge_batch(
                 index,
-                _versioned(bt, batch_id if version is None else version),
+                rows,
                 ["_ab_cdc_lsn"],
                 app_id=app_id,
                 batch_id=batch_id,
                 strategy="mor",
             )
         else:
+            if version_col is not None or deletes is not None:
+                raise ValueError(
+                    "per-doc versions / deletes need a mutable index "
+                    "(bootstrap_dedup_index(..., mutable=True))"
+                )
             index.append(bt, fence=(app_id, batch_id))
         return out
     finally:
@@ -233,6 +294,37 @@ def _versioned(df: DataFrame, version: int) -> DataFrame:
     return df.withColumn(
         "_ab_cdc_lsn", F.lit(version).cast("long")
     ).withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
+
+
+def _tombstone_rows(
+    doc_ids: DataFrame,
+    n_bands: int,
+    version_col: Optional[str] = None,
+    version: int = 0,
+) -> DataFrame:
+    """One tombstone change row per (doc, band slot) — the fixed-fanout
+    retraction unit of a mutable index."""
+    v = (
+        F.col(version_col).cast("long")
+        if version_col is not None and version_col in doc_ids.columns
+        else F.lit(version).cast("long")
+    )
+    return (
+        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"), v.alias("_v"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_bands)])
+            ).alias("band_idx"),
+            "_v",
+        )
+        .withColumn("band_key", F.lit(None).cast("string"))
+        .withColumn("_ab_cdc_lsn", F.col("_v"))
+        .drop("_v")
+        .withColumn(
+            "_ab_cdc_deleted_at", F.lit("1970-01-01 00:00:00").cast("timestamp")
+        )
+    )
 
 
 def retract_docs(
@@ -249,7 +341,9 @@ def retract_docs(
     each doc (fixed fan-out k/band_width rows per doc), fenced like any
     merge. ``version`` must exceed the doc's last ingest version to win
     the LSN resolution. Retractions make the doc stop matching future
-    increments; history stays time-travelable until vacuum."""
+    increments; history stays time-travelable until vacuum. (The CDC
+    wiring retracts through ``flag_and_ingest(deletes=...)`` instead —
+    one merge for the whole trigger, per-event versions.)"""
     if not index.snapshot().primary_key:
         raise ValueError(
             "retract_docs needs a mutable index "
@@ -258,24 +352,9 @@ def retract_docs(
         )
     from ..lake.merge import merge_batch
 
-    n_bands = k // band_width
-    rows = (
-        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.lit(i) for i in range(n_bands)])
-            ).alias("band_idx"),
-        )
-        .withColumn("band_key", F.lit(None).cast("string"))
-        .withColumn("_ab_cdc_lsn", F.lit(version).cast("long"))
-        .withColumn(
-            "_ab_cdc_deleted_at", F.lit("1970-01-01 00:00:00").cast("timestamp")
-        )
-    )
     merge_batch(
         index,
-        rows,
+        _tombstone_rows(doc_ids, k // band_width, version=version),
         ["_ab_cdc_lsn"],
         app_id=app_id,
         batch_id=batch_id,

@@ -140,6 +140,20 @@ class ReplayConfig:
     #: unneeded when the plan was staged (stage_chunks)
     snapshot_source_dir: Optional[str] = None
     snapshot_chunks_per_trigger: int = 2
+    #: ingest-time near-dup flagging (ops/dedup_index.py): maintain a
+    #: MUTABLE MinHash-LSH band index of the stream's text at this path,
+    #: updated per trigger with each key's winning version (its CDC LSN is
+    #: the index version, so late stale events lose the resolution exactly
+    #: like on the main table; deletes retract the doc's entries), and
+    #: append candidate pairs to a fenced ``<path>_flags`` table (override
+    #: via dedup_flags_path) — the quarantine feed a curation pipeline
+    #: reviews downstream. doc_id = h60 of the pk (60-bit; collisions
+    #: vanishingly rare and only ever ADD a spurious candidate pair).
+    #: Cost per trigger: O(|keys| + matched buckets) — document-sized
+    #: streams only; OFF by default.
+    dedup_index_path: Optional[str] = None
+    dedup_flags_path: Optional[str] = None
+    dedup_text_col: str = "text"
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
     #: tests crash in the at-least-once window between sink commit and
     #: checkpoint commit
@@ -209,6 +223,7 @@ def _process_batch(
     children: Optional[tuple[dict, list]] = None,
     tail_dst: Optional[LakeTable] = None,
     snapshot_ctx: Optional[tuple] = None,
+    dedup_ctx: Optional[tuple] = None,
 ):
     def _apply(
         batch_df: DataFrame, app_id: str, batch_id: int, commit_empty: bool
@@ -278,6 +293,40 @@ def _process_batch(
                 batch_id=batch_id,
                 strategy=cfg.strategy,
             )
+        if dedup_ctx is not None:
+            from ..operators.dedup import latest_per_key
+            from ..ops.dedup_index import flag_and_ingest
+            from ..ops.hashing import h60
+
+            d_index, d_flags = dedup_ctx
+            top = latest_per_key(batch_df, PK, ORDER_COLS)
+            did = h60(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in PK])
+            )
+            # the index must see the text the TABLE stores: same
+            # canonicalize+enrich as the merge's post-collapse
+            live = _post(top.filter(F.col("_ab_cdc_deleted_at").isNull()))
+            docs = live.select(
+                did.alias("doc_id"),
+                F.col(cfg.dedup_text_col).alias("text"),
+                F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+            )
+            dels = top.filter(F.col("_ab_cdc_deleted_at").isNotNull()).select(
+                did.alias("doc_id"),
+                F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+            )
+            flags = flag_and_ingest(
+                d_index,
+                docs,
+                app_id=app_id,
+                batch_id=batch_id,
+                version_col="_version",
+                deletes=dels,
+            )
+            # crash between the index merge and this append replays the
+            # trigger: the index merge fence-skips, the anti-join makes
+            # the recomputed flags identical, this fence decides
+            d_flags.append(flags, fence=(app_id, batch_id))
         return stats
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -412,6 +461,26 @@ def run_replay_stream(
         )
         if child_specs:
             children = (child_tables, child_specs)
+    dedup_ctx = None
+    if cfg.dedup_index_path:
+        from ..ops.dedup_index import bootstrap_dedup_index, bootstrap_flags_table
+
+        feed_cols = {f.name for f in cfg.feed_struct.fields}
+        if cfg.dedup_text_col not in feed_cols:
+            raise ValueError(
+                f"dedup_index_path needs a {cfg.dedup_text_col!r} column in "
+                "feed_struct (set dedup_text_col to the document column)"
+            )
+        dedup_ctx = (
+            bootstrap_dedup_index(
+                spark, cfg.dedup_index_path, n_buckets=8, mutable=True
+            ),
+            bootstrap_flags_table(
+                spark,
+                cfg.dedup_flags_path
+                or cfg.dedup_index_path.rstrip("/") + "_flags",
+            ),
+        )
     snapshot_ctx = None
     if cfg.snapshot_plan_path:
         from ..sources.snapshot import SnapshotPlan
@@ -461,7 +530,10 @@ def run_replay_stream(
 
     writer = (
         stream.writeStream.foreachBatch(
-            _process_batch(table, cfg, scd_table, children, tail_dst, snapshot_ctx)
+            _process_batch(
+                table, cfg, scd_table, children, tail_dst, snapshot_ctx,
+                dedup_ctx,
+            )
         )
         .option("checkpointLocation", cfg.checkpoint_dir)
         .queryName(cfg.app_id)
@@ -482,7 +554,9 @@ def run_replay_stream(
                 )
 
                 plan, snap_source = snapshot_ctx
-                proc = _process_batch(table, cfg, scd_table, children)
+                proc = _process_batch(
+                    table, cfg, scd_table, children, dedup_ctx=dedup_ctx
+                )
                 drained = 0
                 for i in pending_chunks(table, plan):
                     chunk = stamp_chunk(
