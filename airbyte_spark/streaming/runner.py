@@ -306,14 +306,24 @@ def _process_batch(
             # the index must see the text the TABLE stores: same
             # canonicalize+enrich as the merge's post-collapse
             live = _post(top.filter(F.col("_ab_cdc_deleted_at").isNull()))
-            docs = live.select(
+            has_text = F.col(cfg.dedup_text_col).isNotNull()
+            docs = live.filter(has_text).select(
                 did.alias("doc_id"),
                 F.col(cfg.dedup_text_col).alias("text"),
                 F.col("_ab_cdc_lsn").cast("long").alias("_version"),
             )
-            dels = top.filter(F.col("_ab_cdc_deleted_at").isNotNull()).select(
+            # deletes AND null-text winners both retract: a null text has
+            # no shingles — every such doc would otherwise collapse onto
+            # one degenerate band key and cross-flag all of them, and an
+            # update-to-null must stop the doc's OLD text from matching
+            retract = [
                 did.alias("doc_id"),
                 F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+            ]
+            dels = (
+                top.filter(F.col("_ab_cdc_deleted_at").isNotNull())
+                .select(*retract)
+                .unionByName(live.filter(~has_text).select(*retract))
             )
             flags = flag_and_ingest(
                 d_index,

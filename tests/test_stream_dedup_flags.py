@@ -121,3 +121,59 @@ def test_stream_flags_lifecycle(spark, tmp_path):
         LakeTable(spark, str(tmp_path / "didx") + "_flags").snapshot().version
         == v_flags
     )
+
+
+def test_stream_flags_null_text_retracts(spark, tmp_path):
+    """An update that NULLs the text retracts the doc from the index —
+    its old text must stop matching, and null-text docs must never
+    cross-flag each other through the degenerate empty-shingle band."""
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        ("a", T1, 1, False),
+        ("b", T1, 2, False),   # trigger 1: (a, b) flagged
+        ("b", None, 3, False), # trigger 2: b's text becomes NULL (live row)
+        ("x", None, 4, False), # trigger 2: another null-text doc
+        ("g", T1, 5, False),   # trigger 3: matches a only — b retracted
+        ("y", None, 6, False), # trigger 3: must NOT pair with b or x
+    ]
+    ev = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": np.zeros(len(rows), dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[1] for r in rows],
+            "tool": [None] * len(rows),
+            "ts": [base] * len(rows),
+            "_ab_cdc_lsn": np.array([r[2] for r in rows], dtype="int64"),
+            "_ab_cdc_updated_at": [base + np.timedelta64(r[2], "s") for r in rows],
+            "_ab_cdc_deleted_at": [np.datetime64("NaT")] * len(rows),
+            "_airbyte_emitted_at": [base + np.timedelta64(r[2], "s") for r in rows],
+        }
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_segments(ev, str(feed), 3)
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        dedup_index_path=str(tmp_path / "didx"),
+    )
+    run_replay_stream(spark, cfg)
+    ids = {c: _h60(c) for c in "abgxy"}
+    flags = {
+        (r.doc_a, r.doc_b)
+        for r in LakeTable(spark, str(tmp_path / "didx") + "_flags")
+        .read()
+        .collect()
+    }
+    assert flags == {
+        tuple(sorted((ids["a"], ids["b"]))),
+        tuple(sorted((ids["a"], ids["g"]))),
+    }
+    # only a and g remain indexed
+    idx = LakeTable(spark, str(tmp_path / "didx"))
+    assert {r.doc_id for r in idx.read().select("doc_id").distinct().collect()} == {
+        ids["a"], ids["g"]
+    }
