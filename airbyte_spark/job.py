@@ -131,6 +131,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--snapshot-chunk-rows", type=int, default=1 << 20)
     p.add_argument("--snapshot-chunks-per-trigger", type=int, default=2)
     p.add_argument("--snapshot-chunk-col", default="conv_id")
+    p.add_argument("--dedup-index", default=None,
+                   help="maintain a mutable MinHash-LSH near-dup index of "
+                   "the stream's text at this path (ingest-time flagging: "
+                   "candidate pairs land in <path>_flags; updates re-point, "
+                   "deletes retract — ops/dedup_index.py)")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -262,6 +267,7 @@ def main(argv: list[str] | None = None) -> None:
             snapshot_plan_path=snapshot_plan_path,
             snapshot_source_dir=args.snapshot_source,
             snapshot_chunks_per_trigger=args.snapshot_chunks_per_trigger,
+            dedup_index_path=args.dedup_index,
         )
         # honor --n-buckets on the streaming path too: the runner's
         # bootstrap is open-if-exists, so creating here pins the layout

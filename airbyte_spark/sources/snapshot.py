@@ -84,6 +84,8 @@ class SnapshotPlan:
         return len(self.boundaries) + 1
 
     def save(self, path: str) -> None:
+        parent = os.path.dirname(os.path.abspath(path))
+        os.makedirs(parent, exist_ok=True)  # CLI saves before the ckpt dir exists
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(

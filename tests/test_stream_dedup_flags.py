@@ -123,6 +123,24 @@ def test_stream_flags_lifecycle(spark, tmp_path):
     )
 
 
+def test_job_cli_dedup_index(spark, tmp_path):
+    """--dedup-index wires the ingest-time flagging through spark-submit."""
+    from airbyte_spark import job
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _feed(str(feed))
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4",
+        "--dedup-index", str(tmp_path / "didx"),
+    ])
+    flags = LakeTable(spark, str(tmp_path / "didx") + "_flags").read().count()
+    assert flags > 0
+
+
 def test_stream_flags_null_text_retracts(spark, tmp_path):
     """An update that NULLs the text retracts the doc from the index —
     its old text must stop matching, and null-text docs must never
