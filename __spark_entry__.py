@@ -1307,6 +1307,42 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash half of the incremental-index story
+    (ops/dedup_index.py::simhash_flag_and_ingest): three fenced increments
+    against a persistent pigeonhole-band index; union of the per-increment
+    flags must equal the one-shot banded self-join exactly (pigeonhole
+    recall is exact for hamming ≤ 3 over 4 bands), so it shares
+    dedup_simhash_banded's oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.ops.dedup_index import (
+        bootstrap_simhash_index,
+        simhash_flag_and_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_simidx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = bootstrap_simhash_index(spark, path, n_buckets=8)
+    parts = []
+    for i in range(3):
+        inc = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        parts.append(
+            simhash_flag_and_ingest(
+                index, inc, app_id="oracle-simhash-index", batch_id=i
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -1472,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_banded": q_dedup_simhash_banded,
+        "dedup_incremental_simhash": q_dedup_incremental_simhash,
         "cdc_conversation_assembly": q_cdc_conversation_assembly,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
@@ -2230,6 +2267,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         """,
         "dedup_simhash_banded": f"""
+            WITH {_SIMHASH_SIG_CTE},
+            bands AS (SELECT doc_id, simhash, bb.b AS band_idx,
+                             (simhash >> (bb.b * 15)) & 32767 AS band_val
+                      FROM sig, (SELECT unnest(generate_series(0, 3)) b) bb),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                                AS hamming
+                     FROM bands a JOIN bands b
+                       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        """,
+        # incremental simhash index: union-of-increments == one-shot
+        # banded pairs — same oracle by construction
+        "dedup_incremental_simhash": f"""
             WITH {_SIMHASH_SIG_CTE},
             bands AS (SELECT doc_id, simhash, bb.b AS band_idx,
                              (simhash >> (bb.b * 15)) & 32767 AS band_val

@@ -277,6 +277,31 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 SIMHASH_BANDS = 4
 
 
+def simhash_band_table(
+    docs: DataFrame, bits: int = SIMHASH_BITS, n_bands: int = SIMHASH_BANDS
+) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) pigeonhole band entries —
+    shared by the batch candidate join (``simhash_banded_pairs``) and the
+    persistent incremental index (``dedup_index.py``). The full simhash
+    rides along because the hamming filter needs both pair members'
+    signatures at join time."""
+    sig = simhash_signatures(docs, bits)
+    bw = bits // n_bands
+    mask = (1 << bw) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.expr(f"(simhash >> {b * bw}) & {mask}").alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
+        "doc_id", "simhash", "band.band_idx", "band.band_val"
+    )
+
+
 def simhash_banded_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -302,21 +327,7 @@ def simhash_banded_pairs(
             f"pigeonhole recall needs max_hamming ({max_hamming}) < n_bands "
             f"({n_bands}): a pair may differ in every band otherwise"
         )
-    sig = simhash_signatures(docs, bits)
-    bw = bits // n_bands
-    mask = (1 << bw) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.expr(f"(simhash >> {b * bw}) & {mask}").alias("band_val"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bt = sig.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
-        "doc_id", "simhash", "band.band_idx", "band.band_val"
-    )
+    bt = simhash_band_table(docs, bits, n_bands)
     ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
     return (
         bt.alias("a")

@@ -362,6 +362,108 @@ def retract_docs(
     )
 
 
+SIMHASH_INDEX_STRUCT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+        T.StructField("band_idx", T.IntegerType(), False),
+        T.StructField("band_val", T.LongType(), False),
+    ]
+)
+
+
+def bootstrap_simhash_index(
+    spark: SparkSession, path: str, n_buckets: int = 32
+) -> LakeTable:
+    """SimHash pigeonhole-band index (append-only): same incremental
+    contract as the MinHash index, different signature family — hamming
+    radius on one 60-bit fingerprint instead of Jaccard bands. Bucketed +
+    compaction-sorted by band_val so the pushed numeric IN-filter prunes
+    files and row groups."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(SIMHASH_INDEX_STRUCT),
+        primary_key=[],
+        bucket_cols=["band_val"],
+        n_buckets=n_buckets,
+        sort_cols=["band_val"],
+    )
+
+
+def simhash_flag_and_ingest(
+    index: LakeTable,
+    docs: DataFrame,
+    *,
+    app_id: str = "simhash-index",
+    batch_id: int = 0,
+    max_hamming: int = 3,
+    max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
+) -> DataFrame:
+    """One increment against the SimHash index: flag (doc_a, doc_b,
+    hamming) pairs with hamming ≤ max_hamming — intra-batch ∪ vs the
+    accepted corpus — then fence-append the batch's band entries. Same
+    exactness contract as ``flag_and_ingest``: union-of-increments ==
+    one-shot ``simhash_banded_pairs`` (pigeonhole recall is exact for
+    max_hamming < n_bands), and redelivery after a committed append
+    reflags the identical set (batch-id anti-join)."""
+    from .dedup_docs import SIMHASH_BANDS, simhash_band_table
+
+    if max_hamming >= SIMHASH_BANDS:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming ({max_hamming}) < n_bands "
+            f"({SIMHASH_BANDS})"
+        )
+    bt = simhash_band_table(docs).persist()
+    try:
+        batch_ids = docs.select("doc_id").distinct()
+        idx = index.read().join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        keys = [
+            r[0]
+            for r in bt.select("band_val")
+            .distinct()
+            .limit(max_pushdown_keys + 1)
+            .collect()
+        ]
+        if len(keys) <= max_pushdown_keys:
+            idx = idx.filter(F.col("band_val").isin(keys))
+
+        ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
+        on = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+            F.col("a.band_val") == F.col("b.band_val")
+        )
+        intra = (
+            bt.alias("a")
+            .join(bt.alias("b"), on & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+        )
+        cross = (
+            bt.alias("a")
+            .join(idx.alias("b"), on)
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+        )
+        flags = (
+            intra.unionByName(cross)
+            .distinct()  # a pair can share several bands
+            .filter(F.col("hamming") <= max_hamming)
+        )
+        out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
+        index.append(bt, fence=(app_id, batch_id))
+        return out
+    finally:
+        bt.unpersist()
+
+
 def compact_index(index: LakeTable, grace_commits: int = 2) -> None:
     """Fold the per-increment appends into band_key-sorted files (the
     ``sort_cols`` spec applies at compaction) and reclaim old files —

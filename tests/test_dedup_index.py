@@ -165,6 +165,46 @@ def test_mutable_retract_stops_matching(spark, tmp_path):
         )
 
 
+def test_simhash_incremental_equals_batch(spark, tmp_path, corpus):
+    from airbyte_spark.ops.dedup_index import (
+        bootstrap_simhash_index,
+        simhash_flag_and_ingest,
+    )
+
+    batch = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_docs.simhash_banded_pairs(corpus, max_hamming=3).collect()
+    }
+    assert batch, "fixture must produce simhash near-dups"
+    index = bootstrap_simhash_index(spark, str(tmp_path / "sidx"), n_buckets=4)
+    got, last = {}, {}
+    for i in range(3):
+        inc = corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        last = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_flag_and_ingest(
+                index, inc, app_id="t-sim", batch_id=i
+            ).collect()
+        }
+        assert not set(last) & set(got)  # each pair flagged exactly once
+        got.update(last)
+    assert got == batch
+    # redelivery of the last increment: fenced append (no growth) and the
+    # batch-id anti-join reproduces the increment's own flag set exactly
+    rows = index.read().count()
+    replay = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_flag_and_ingest(
+            index,
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2),
+            app_id="t-sim",
+            batch_id=2,
+        ).collect()
+    }
+    assert index.read().count() == rows
+    assert replay == last
+
+
 def test_pushed_in_filter_reaches_scan(spark, tmp_path, corpus):
     index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
     flag_and_ingest(
