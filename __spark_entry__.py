@@ -1360,6 +1360,43 @@ def q_ann_lsh_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.sign_lsh_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_incremental_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup on the incremental-index machinery
+    (ops/ann_index.py::embedding_flag_and_ingest): three fenced increments
+    against a persistent sign-bucket index — semantic near-dups by cosine,
+    completing the MinHash / SimHash / sign-LSH trilogy. Union of the
+    per-increment flags == one-shot sign_lsh_near_dup, so it shares
+    ann_lsh_signbucket's oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.ops.ann_index import (
+        bootstrap_embedding_dedup_index,
+        embedding_flag_and_ingest,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_embidx_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    index = bootstrap_embedding_dedup_index(spark, path, n_buckets=8)
+    parts = []
+    for i in range(3):
+        inc = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        parts.append(
+            embedding_flag_and_ingest(
+                index, inc, app_id="oracle-emb-index", batch_id=i
+            )
+        )
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        F.col("bucket"),
+        F.col("cos"),
+    )
+
+
 def q_cdc_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation assembly (the north rule's stable-turn-ordering
     invariant as an oracle-checked query): events re-keyed as transcript
@@ -1516,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_search": q_ann_ivf_search,
         "ann_incremental_ivf": q_ann_incremental_ivf,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
+        "ann_incremental_signlsh": q_ann_incremental_signlsh,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -2405,6 +2443,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.35
         """,
         "ann_lsh_signbucket": f"""
+            WITH v AS (
+              SELECT vec_id, embedding,
+                     CAST({" + ".join(f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(8))}
+                          AS BIGINT) AS bucket
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+                   {_cos("a.embedding", "b.embedding")} AS cos
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE {_cos("a.embedding", "b.embedding")} >= 0.3
+        """,
+        # incremental sign-LSH index: union-of-increments == one-shot
+        # bucketed near-dup — same oracle by construction
+        "ann_incremental_signlsh": f"""
             WITH v AS (
               SELECT vec_id, embedding,
                      CAST({" + ".join(f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(8))}

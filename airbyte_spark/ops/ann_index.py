@@ -142,6 +142,107 @@ def ingest_vectors(
     return index.append(assigned, fence=(app_id, batch_id))
 
 
+EMB_DEDUP_STRUCT = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def bootstrap_embedding_dedup_index(
+    spark: SparkSession, path: str, n_buckets: int = 32
+) -> LakeTable:
+    """Embedding near-dup index (append-only): the third signature family
+    on the incremental-index machinery (MinHash bands / SimHash pigeonhole
+    slices / sign-hyperplane buckets) — semantic near-dups by cosine
+    instead of lexical overlap. Bucketed + compaction-sorted by the
+    sign-LSH bucket id (≤ 2^n_bits distinct values, so the batch's bucket
+    IN-filter always prunes)."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(EMB_DEDUP_STRUCT),
+        primary_key=[],
+        bucket_cols=["bucket"],
+        n_buckets=n_buckets,
+        sort_cols=["bucket"],
+    )
+
+
+def embedding_flag_and_ingest(
+    index: LakeTable,
+    emb: DataFrame,
+    *,
+    app_id: str = "emb-dedup-index",
+    batch_id: int = 0,
+    n_bits: int = 8,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """One increment against the embedding near-dup index: flag
+    (vec_a, vec_b, bucket, cos) pairs sharing a sign bucket with cosine ≥
+    threshold — intra-batch ∪ vs the accepted corpus — then fence-append
+    the batch's (vec_id, bucket, embedding) rows. Same contract as the
+    MinHash/SimHash indexes: union-of-increments == one-shot
+    ``sign_lsh_near_dup``, redelivery reflags identically (batch-id
+    anti-join), vec_id unique across the corpus."""
+    from .embeddings import sign_bucket
+
+    bt = (
+        emb.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("embedding"), n_bits))
+        .persist()
+    )
+    try:
+        batch_ids = bt.select("vec_id").distinct()
+        idx = index.read().join(F.broadcast(batch_ids), "vec_id", "left_anti")
+        # ≤ 2^n_bits distinct buckets: the IN-filter always fits and always
+        # reaches the index scan (numeric pushdown + sorted file stats)
+        keys = [r[0] for r in bt.select("bucket").distinct().collect()]
+        idx = idx.filter(F.col("bucket").isin(keys))
+
+        cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+        intra = (
+            bt.alias("a")
+            .join(
+                bt.alias("b"),
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col("a.bucket").alias("bucket"),
+                cos.alias("cos"),
+            )
+        )
+        cross = (
+            bt.alias("a")
+            .join(idx.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+            .select(
+                F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+                F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+                F.col("a.bucket").alias("bucket"),
+                cos.alias("cos"),
+            )
+        )
+        flags = (
+            intra.unionByName(cross).filter(F.col("cos") >= threshold)
+        )
+        out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
+        index.append(bt.select("vec_id", "bucket", "embedding"),
+                     fence=(app_id, batch_id))
+        return out
+    finally:
+        bt.unpersist()
+
+
 def ann_search(
     index: LakeTable,
     queries: DataFrame,

@@ -89,6 +89,47 @@ def test_ingest_redelivery_fenced(spark, tmp_path, emb):
     assert index.snapshot().version == v
 
 
+def test_embedding_dedup_incremental_equals_batch(spark, tmp_path, emb):
+    from airbyte_spark.ops.ann_index import (
+        bootstrap_embedding_dedup_index,
+        embedding_flag_and_ingest,
+    )
+
+    batch = {
+        (r.vec_a, r.vec_b): (r.bucket, r.cos)
+        for r in emb_ops.sign_lsh_near_dup(emb).collect()
+    }
+    assert batch, "fixture must produce sign-LSH near-dups"
+    index = bootstrap_embedding_dedup_index(
+        spark, str(tmp_path / "eidx"), n_buckets=4
+    )
+    got, last = {}, {}
+    for i in range(3):
+        inc = emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+        last = {
+            (r.vec_a, r.vec_b): (r.bucket, r.cos)
+            for r in embedding_flag_and_ingest(
+                index, inc, app_id="t-emb", batch_id=i
+            ).collect()
+        }
+        assert not set(last) & set(got)
+        got.update(last)
+    assert got == batch
+    # fenced redelivery: no index growth, identical flag set
+    rows = index.read().count()
+    replay = {
+        (r.vec_a, r.vec_b): (r.bucket, r.cos)
+        for r in embedding_flag_and_ingest(
+            index,
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 2),
+            app_id="t-emb",
+            batch_id=2,
+        ).collect()
+    }
+    assert index.read().count() == rows
+    assert replay == last
+
+
 def test_search_prunes_buckets(spark, tmp_path, emb):
     n_buckets = 8
     index = _build(spark, str(tmp_path / "idx"), emb, n_buckets=n_buckets)
