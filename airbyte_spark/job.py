@@ -205,13 +205,37 @@ def main(argv: list[str] | None = None) -> None:
         from .plans.replay import prepare_changes
 
         _enrich = redact_pii_enrich() if args.redact_pii else (lambda df: df)
+        _post = lambda df: _enrich(  # noqa: E731
+            prepare_changes(df, canonicalize=not args.no_canonicalize)
+        )
         merge_batch(
             table, raw, ORDER_COLS, app_id=args.app_id, batch_id=0,
-            epoch=args.epoch,
-            post_collapse=lambda df: _enrich(
-                prepare_changes(df, canonicalize=not args.no_canonicalize)
-            ),
+            epoch=args.epoch, post_collapse=_post,
         )
+        if args.dedup_index:
+            # same ingest-time flagging as the streaming path, over the
+            # one backfill batch — a user combining --backfill with
+            # --dedup-index would otherwise silently get no index/flags
+            from .ops.dedup_index import (
+                bootstrap_dedup_index,
+                bootstrap_flags_table,
+            )
+            from .streaming.runner import dedup_flag_batch
+
+            dedup_flag_batch(
+                raw,
+                (
+                    bootstrap_dedup_index(
+                        spark, args.dedup_index, n_buckets=8, mutable=True
+                    ),
+                    bootstrap_flags_table(
+                        spark, args.dedup_index.rstrip("/") + "_flags"
+                    ),
+                ),
+                args.app_id,
+                0,
+                post=_post,
+            )
     else:
         snapshot_plan_path = None
         if args.snapshot_source or args.snapshot_plan:

@@ -160,6 +160,7 @@ def flag_and_ingest(
     version: Optional[int] = None,
     version_col: Optional[str] = None,
     deletes: Optional[DataFrame] = None,
+    flags_table: Optional[LakeTable] = None,
 ) -> DataFrame:
     """One increment: flag near-dup candidates of ``docs`` (intra-batch ∪
     vs-the-accepted-corpus), then append the batch's band entries under a
@@ -237,6 +238,16 @@ def flag_and_ingest(
             .agg(F.sum("shared_bands").cast("long").alias("shared_bands"))
         )
         out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
+        if flags_table is not None:
+            # flags commit BEFORE the index merge: a crash in between
+            # replays the trigger against an UNCHANGED index, so the
+            # recomputed flags are identical and this fence skips. The
+            # reverse order has an unrecoverable window on mutable
+            # indexes — a replay after the merge recomputes flags against
+            # an index where this trigger's retractions already landed,
+            # silently dropping pairs between batch docs and
+            # same-trigger-retracted docs.
+            flags_table.append(out, fence=(app_id, batch_id))
         if index.snapshot().primary_key:
             # mutable index: versioned MOR upsert — O(batch) delta append,
             # a re-ingested doc's entries replace the old version's at scan.

@@ -231,12 +231,24 @@ class SnapshotStats:
     done: bool
 
 
-def pending_chunks(table: LakeTable, plan: SnapshotPlan) -> list[int]:
-    """Chunk ids not yet fenced into the table (resume point). Chunks
-    commit in index order, so the fence value IS the high-watermark."""
-    last = table.snapshot().fences.get(plan.app_id)
-    start = 0 if last is None else last + 1
-    return list(range(start, plan.n_chunks))
+def pending_chunks(
+    table: LakeTable,
+    plan: SnapshotPlan,
+    secondary: Sequence[LakeTable] = (),
+) -> list[int]:
+    """Chunk ids not yet fenced into EVERY table the drain writes (resume
+    point). Chunks commit in index order, so each table's fence value is
+    its high-watermark — the resume point is the MINIMUM across the main
+    table and every ``secondary`` table (SCD history, child tables, dedup
+    index/flags): the per-table commits of one chunk are not atomic as a
+    group, so a crash can leave the main fence ahead of a secondary's.
+    Re-running a chunk already applied to some tables is safe — every
+    sub-merge fence-skips idempotently before any compute."""
+    fences = [table.snapshot().fences.get(plan.app_id)]
+    for t in secondary:
+        fences.append(t.snapshot().fences.get(plan.app_id))
+    last = min(-1 if f is None else f for f in fences)
+    return list(range(last + 1, plan.n_chunks))
 
 
 def run_snapshot(

@@ -216,6 +216,83 @@ def bootstrap_mirror(spark: SparkSession, src: LakeTable, path: str) -> LakeTabl
     )
 
 
+def dedup_flag_batch(
+    batch_df: DataFrame,
+    dedup_ctx: tuple,
+    app_id: str,
+    batch_id: int,
+    *,
+    text_col: str = "text",
+    post: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> None:
+    """Ingest-time near-dup flagging for ONE change batch: collapse to the
+    per-key winners, mirror the index against them (upserts + retractions),
+    and append the candidate pairs to the flags table. Shared by the
+    streaming trigger (`_apply`) and the one-shot `--backfill` batch so
+    both paths keep the index in lockstep with the main table."""
+    from ..operators.dedup import latest_per_key
+    from ..ops.dedup_index import flag_and_ingest
+    from ..ops.hashing import h60
+
+    d_index, d_flags = dedup_ctx
+    top = latest_per_key(batch_df, PK, ORDER_COLS)
+    did = h60(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in PK]))
+    # the index must see the text the TABLE stores: same
+    # canonicalize+enrich as the merge's post-collapse
+    live = top.filter(F.col("_ab_cdc_deleted_at").isNull())
+    if post is not None:
+        live = post(live)
+    has_text = F.col(text_col).isNotNull()
+    docs = live.filter(has_text).select(
+        did.alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+    )
+    # deletes AND null-text winners both retract: a null text has
+    # no shingles — every such doc would otherwise collapse onto
+    # one degenerate band key and cross-flag all of them, and an
+    # update-to-null must stop the doc's OLD text from matching
+    retract = [
+        did.alias("doc_id"),
+        F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+    ]
+    dels = (
+        top.filter(F.col("_ab_cdc_deleted_at").isNotNull())
+        .select(*retract)
+        .unionByName(live.filter(~has_text).select(*retract))
+    )
+    # flag_and_ingest commits the fenced flags append BEFORE its
+    # index merge: a crash in any window replays the trigger with
+    # either an unchanged index (identical recompute, flags fence
+    # skips) or both commits fenced — stale flags can never land
+    flag_and_ingest(
+        d_index,
+        docs,
+        app_id=app_id,
+        batch_id=batch_id,
+        version_col="_version",
+        deletes=dels,
+        flags_table=d_flags,
+    )
+
+
+def _snapshot_secondaries(
+    scd_table: Optional[LakeTable],
+    children: Optional[tuple[dict, list]],
+    dedup_ctx: Optional[tuple],
+) -> list[LakeTable]:
+    """Every table (besides the main one) that ``_apply`` commits a chunk
+    into — the set whose fences bound the snapshot resume point."""
+    secs: list[LakeTable] = []
+    if scd_table is not None:
+        secs.append(scd_table)
+    if children is not None:
+        secs.extend(children[0].values())
+    if dedup_ctx is not None:
+        secs.extend(dedup_ctx)
+    return secs
+
+
 def _process_batch(
     table: LakeTable,
     cfg: ReplayConfig,
@@ -294,49 +371,10 @@ def _process_batch(
                 strategy=cfg.strategy,
             )
         if dedup_ctx is not None:
-            from ..operators.dedup import latest_per_key
-            from ..ops.dedup_index import flag_and_ingest
-            from ..ops.hashing import h60
-
-            d_index, d_flags = dedup_ctx
-            top = latest_per_key(batch_df, PK, ORDER_COLS)
-            did = h60(
-                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in PK])
+            dedup_flag_batch(
+                batch_df, dedup_ctx, app_id, batch_id,
+                text_col=cfg.dedup_text_col, post=_post,
             )
-            # the index must see the text the TABLE stores: same
-            # canonicalize+enrich as the merge's post-collapse
-            live = _post(top.filter(F.col("_ab_cdc_deleted_at").isNull()))
-            has_text = F.col(cfg.dedup_text_col).isNotNull()
-            docs = live.filter(has_text).select(
-                did.alias("doc_id"),
-                F.col(cfg.dedup_text_col).alias("text"),
-                F.col("_ab_cdc_lsn").cast("long").alias("_version"),
-            )
-            # deletes AND null-text winners both retract: a null text has
-            # no shingles — every such doc would otherwise collapse onto
-            # one degenerate band key and cross-flag all of them, and an
-            # update-to-null must stop the doc's OLD text from matching
-            retract = [
-                did.alias("doc_id"),
-                F.col("_ab_cdc_lsn").cast("long").alias("_version"),
-            ]
-            dels = (
-                top.filter(F.col("_ab_cdc_deleted_at").isNotNull())
-                .select(*retract)
-                .unionByName(live.filter(~has_text).select(*retract))
-            )
-            flags = flag_and_ingest(
-                d_index,
-                docs,
-                app_id=app_id,
-                batch_id=batch_id,
-                version_col="_version",
-                deletes=dels,
-            )
-            # crash between the index merge and this append replays the
-            # trigger: the index merge fence-skips, the anti-join makes
-            # the recomputed flags identical, this fence decides
-            d_flags.append(flags, fence=(app_id, batch_id))
         return stats
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -352,7 +390,14 @@ def _process_batch(
             from ..sources.snapshot import pending_chunks, read_chunk, stamp_chunk
 
             plan, snap_source = snapshot_ctx
-            pend = pending_chunks(table, plan)
+            # resume from the MIN fence across every table _apply writes:
+            # the per-table chunk commits are not atomic as a group, so a
+            # crash between the main merge and the SCD/children/dedup
+            # commits must re-run the chunk (each sub-merge fence-skips)
+            pend = pending_chunks(
+                table, plan,
+                secondary=_snapshot_secondaries(scd_table, children, dedup_ctx),
+            )
             for i in pend[: max(0, cfg.snapshot_chunks_per_trigger)]:
                 chunk = stamp_chunk(
                     read_chunk(batch_df.sparkSession, snap_source, plan, i),
@@ -568,7 +613,12 @@ def run_replay_stream(
                     table, cfg, scd_table, children, dedup_ctx=dedup_ctx
                 )
                 drained = 0
-                for i in pending_chunks(table, plan):
+                for i in pending_chunks(
+                    table, plan,
+                    secondary=_snapshot_secondaries(
+                        scd_table, children, dedup_ctx
+                    ),
+                ):
                     chunk = stamp_chunk(
                         read_chunk(spark, snap_source, plan, i),
                         plan,

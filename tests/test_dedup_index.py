@@ -226,3 +226,60 @@ def test_pushed_in_filter_reaches_scan(spark, tmp_path, corpus):
         .toString()
     )
     assert "PushedFilters" in plan and "band_key" in plan
+
+def test_flags_commit_before_index_merge(spark, tmp_path, monkeypatch):
+    """The fenced flags append lands BEFORE the index merge. With the
+    reverse order, a crash between the two replays the trigger against an
+    index where this trigger's retractions already landed — pairs between
+    batch docs and same-trigger-retracted docs silently vanish. Reproduced
+    by making the index merge raise: the (retracted, new) pair must
+    already be committed, and the replay fence-skips it."""
+    import airbyte_spark.lake.merge as lake_merge
+    from airbyte_spark.ops.dedup_index import bootstrap_flags_table
+
+    index = bootstrap_dedup_index(
+        spark, str(tmp_path / "idx"), n_buckets=4, mutable=True
+    )
+    flags_t = bootstrap_flags_table(spark, str(tmp_path / "flags"))
+    d0 = spark.createDataFrame(
+        [(1, BASES[0]), (2, BASES[3])], ["doc_id", "text"]
+    )
+    flag_and_ingest(index, d0, app_id="w", batch_id=0, flags_table=flags_t)
+    assert _flags_set(flags_t.read()) == {}
+
+    # trigger 1: retract doc 1, ingest doc 3 with doc 1's exact text — the
+    # (1, 3) pair is only computable against the PRE-merge index
+    dels = spark.createDataFrame([(1,)], ["doc_id"])
+    d1 = spark.createDataFrame([(3, BASES[0])], ["doc_id", "text"])
+    real_merge = lake_merge.merge_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash before the index merge")
+
+    monkeypatch.setattr(lake_merge, "merge_batch", boom)
+    with pytest.raises(RuntimeError):
+        flag_and_ingest(
+            index, d1, app_id="w", batch_id=1, deletes=dels,
+            flags_table=flags_t,
+        )
+    committed = _flags_set(flags_t.read())
+    assert (1, 3) in committed  # flags landed before the crash
+
+    # replay: the index merge applies, the flags append fence-skips —
+    # final state identical to a crash-free run
+    monkeypatch.setattr(lake_merge, "merge_batch", real_merge)
+    v = flags_t.snapshot().version
+    flag_and_ingest(
+        index, d1, app_id="w", batch_id=1, deletes=dels, flags_table=flags_t
+    )
+    assert _flags_set(flags_t.read()) == committed
+    assert flags_t.snapshot().version == v
+    # doc 1 really is retracted now: a fresh probe with the same text
+    # matches only the live doc 3
+    probe = spark.createDataFrame([(9, BASES[0])], ["doc_id", "text"])
+    got = _flags_set(
+        flag_and_ingest(
+            index, probe, app_id="w", batch_id=2, flags_table=flags_t
+        )
+    )
+    assert set(got) == {(3, 9)}

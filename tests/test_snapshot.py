@@ -266,3 +266,79 @@ def test_job_cli_staged_plan_only(spark, tmp_path, feed):
     # a plan path that doesn't exist and no source to plan from: refuse
     with pytest.raises(SystemExit):
         job.main(argv[:-1] + [str(tmp_path / "nope.json")])
+
+
+def test_snapshot_min_fence_resumes_secondary_tables(spark, tmp_path, feed):
+    """A crash between a chunk's main-table commit and its SCD-history
+    commit must NOT skip the chunk for the SCD table on restart: resume
+    consults the MINIMUM fence across every table the drain writes.
+    Reproduced by committing chunk 0 to the MAIN table only (as if the
+    crash hit right after that commit) and then running the stream — the
+    SCD table must still receive chunk 0's rows (the main merge
+    fence-skips the re-run)."""
+    from airbyte_spark.lake.scd import bootstrap_scd_table, read_scd
+    from airbyte_spark.schemas import CHANGE_STRUCT, PK
+
+    _, ev = feed
+    l0 = int(ev["_ab_cdc_lsn"].quantile(0.55))
+    state = _source_state(ev, l0)
+    wal = ev[ev["_ab_cdc_lsn"] > l0].drop(columns=["op", "version"])
+    wal_dir = tmp_path / "wal"
+    _write_segments(wal, str(wal_dir), 3)
+    src_dir = str(tmp_path / "src")
+    _source_df(spark, state).write.parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+
+    table = bootstrap_table(spark, str(tmp_path / "table"), n_buckets=4)
+    plan = plan_snapshot(
+        src, "conv_id", low_watermark=l0, rows_per_chunk=20, app_id="snap-t5"
+    )
+    assert plan.n_chunks >= 3
+    plan_path = str(tmp_path / "plan.json")
+    plan.save(plan_path)
+
+    # the crash window: chunk 0 fenced into the MAIN table only
+    run_snapshot(table, plan, src, max_chunks=1)
+    scd = bootstrap_scd_table(
+        spark, str(tmp_path / "scd"), CHANGE_STRUCT, PK,
+        bucket_cols=["conv_id"], n_buckets=table.snapshot().n_buckets,
+    )
+    # main alone says "resume at 1"; the min across tables says "resume
+    # at 0" because the SCD table never saw chunk 0
+    assert pending_chunks(table, plan) == list(range(1, plan.n_chunks))
+    assert pending_chunks(table, plan, secondary=[scd]) == list(
+        range(plan.n_chunks)
+    )
+
+    cfg = ReplayConfig(
+        feed_dir=str(wal_dir),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        scd_table_path=str(tmp_path / "scd"),
+        max_files_per_trigger=1,
+        snapshot_plan_path=plan_path,
+        snapshot_source_dir=src_dir,
+        snapshot_chunks_per_trigger=1,
+    )
+    run_replay_stream(spark, cfg)
+
+    # chunk 0 carries keys the WAL never touches — the old main-only
+    # resume rule loses exactly these from the SCD history
+    chunk0 = state[state["conv_id"] < plan.boundaries[0]]
+    wal_keys = set(zip(wal["conv_id"], wal["turn_idx"]))
+    snap_only = {
+        k for k in zip(chunk0["conv_id"], chunk0["turn_idx"])
+        if k not in wal_keys
+    }
+    assert snap_only, "fixture must leave chunk-0 keys snapshot-only"
+    scd_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in read_scd(scd).select("conv_id", "turn_idx").collect()
+    }
+    assert snap_only <= scd_keys
+    # and every main-table key has history
+    main_keys = {
+        (r.conv_id, r.turn_idx)
+        for r in table.read().select("conv_id", "turn_idx").collect()
+    }
+    assert main_keys <= scd_keys

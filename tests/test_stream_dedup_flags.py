@@ -195,3 +195,48 @@ def test_stream_flags_null_text_retracts(spark, tmp_path):
     assert {r.doc_id for r in idx.read().select("doc_id").distinct().collect()} == {
         ids["a"], ids["g"]
     }
+
+def test_backfill_with_dedup_index(spark, tmp_path):
+    """--backfill --dedup-index runs the same ingest-time flagging as the
+    streaming path over the one backfill batch (previously the flag was
+    silently ignored outside streaming). The whole feed collapses to one
+    batch, so the final per-key texts pair intra-batch; the deleted key
+    never enters the index."""
+    from airbyte_spark import job
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _feed(str(feed))
+    idx_path = str(tmp_path / "didx")
+    job.main([
+        "--feed-dir", str(feed),
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4",
+        "--backfill",
+        "--dedup-index", idx_path,
+    ])
+    ids = {c: _h60(c) for c in "abcdefg"}
+
+    def pair(x, y):
+        a, b = sorted((ids[x], ids[y]))
+        return (a, b)
+
+    flags = {
+        (r.doc_a, r.doc_b): r.shared_bands
+        for r in LakeTable(spark, idx_path + "_flags").read().collect()
+    }
+    n_bands = 6
+    # final texts: a=T2, b=d=g=T1, c deleted, e=T2, f unique
+    assert flags == {
+        pair("b", "d"): n_bands,
+        pair("b", "g"): n_bands,
+        pair("d", "g"): n_bands,
+        pair("a", "e"): n_bands,
+    }
+    per_doc = {
+        r.doc_id: r.n
+        for r in LakeTable(spark, idx_path).read()
+        .groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_doc == {ids[c]: n_bands for c in "abdefg"}
