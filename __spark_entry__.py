@@ -1300,8 +1300,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: 4×15-bit pigeonhole bands -> (band_idx, band_val)
-    equi-join; exact recall for hamming ≤ 3, no cartesian anywhere."""
+    """Scale path: block-permutation banding (C(6,3) = 20 tables keyed on
+    30-bit block concatenations, Manku WWW'07) -> (band_idx, band_val)
+    equi-join; exact recall for hamming ≤ 3, no cartesian anywhere, and
+    bucket occupancy bounded at ~n/2^30 random collisions per table."""
     return dedup_docs.simhash_banded_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=3
     )
@@ -1310,10 +1312,10 @@ def q_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash half of the incremental-index story
     (ops/dedup_index.py::simhash_flag_and_ingest): three fenced increments
-    against a persistent pigeonhole-band index; union of the per-increment
-    flags must equal the one-shot banded self-join exactly (pigeonhole
-    recall is exact for hamming ≤ 3 over 4 bands), so it shares
-    dedup_simhash_banded's oracle."""
+    against a persistent block-permutation index; union of the
+    per-increment flags must equal the one-shot banded self-join exactly
+    (block-permutation recall is exact for hamming ≤ 3 over 6 blocks), so
+    it shares dedup_simhash_banded's oracle."""
     import atexit
     import shutil
     import tempfile
@@ -2304,33 +2306,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
         """,
+        # oracle = ALL-PAIRS hamming ≤ 3: deliberately construction-
+        # independent, so it ASSERTS the block-permutation banding's
+        # exact-recall claim (banded candidates == every qualifying pair)
+        # rather than mirroring the banding
         "dedup_simhash_banded": f"""
-            WITH {_SIMHASH_SIG_CTE},
-            bands AS (SELECT doc_id, simhash, bb.b AS band_idx,
-                             (simhash >> (bb.b * 15)) & 32767 AS band_val
-                      FROM sig, (SELECT unnest(generate_series(0, 3)) b) bb),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-                                AS hamming
-                     FROM bands a JOIN bands b
-                       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                      AND a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # incremental simhash index: union-of-increments == one-shot
-        # banded pairs — same oracle by construction
+        # banded pairs == all qualifying pairs — same oracle
         "dedup_incremental_simhash": f"""
-            WITH {_SIMHASH_SIG_CTE},
-            bands AS (SELECT doc_id, simhash, bb.b AS band_idx,
-                             (simhash >> (bb.b * 15)) & 32767 AS band_val
-                      FROM sig, (SELECT unnest(generate_series(0, 3)) b) bb),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-                                AS hamming
-                     FROM bands a JOIN bands b
-                       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-                      AND a.doc_id < b.doc_id)
-            SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+            WITH {_SIMHASH_SIG_CTE}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "cdc_conversation_assembly": """
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -274,27 +274,68 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
 
 
-SIMHASH_BANDS = 4
+SIMHASH_BLOCKS = 6
+SIMHASH_MAX_HAMMING = 3
 
 
-def simhash_band_table(
-    docs: DataFrame, bits: int = SIMHASH_BITS, n_bands: int = SIMHASH_BANDS
+def simhash_bands_from_sigs(
+    sig: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int = SIMHASH_BLOCKS,
 ) -> DataFrame:
-    """(doc_id, simhash, band_idx, band_val) pigeonhole band entries —
-    shared by the batch candidate join (``simhash_banded_pairs``) and the
-    persistent incremental index (``dedup_index.py``). The full simhash
-    rides along because the hamming filter needs both pair members'
-    signatures at join time."""
-    sig = simhash_signatures(docs, bits)
-    bw = bits // n_bands
+    """Block-permutation band entries (Manku-Jain-Sarma, WWW'07 §3) from a
+    (doc_id, simhash) frame: the ``bits``-bit signature splits into
+    ``n_blocks`` equal blocks; band table t is one of the
+    C(n_blocks, n_blocks - max_hamming) ways to choose
+    ``n_blocks - max_hamming`` blocks, keyed on their CONCATENATION.
+
+    Recall is exact: a pair within hamming ≤ max_hamming differs in at
+    most max_hamming blocks, so some chosen block set matches bit-for-bit
+    (pigeonhole over blocks). The point versus a plain
+    one-block-per-band slicing is the KEY WIDTH: every join key here
+    carries (n_blocks - max_hamming) · bits/n_blocks signature bits —
+    30 with the defaults (C(6,3) = 20 tables of 3×10-bit keys) — so
+    random-collision bucket occupancy is ~n/2^30 per table instead of the
+    ~n/2^15 of 15-bit slices. At 10^8 docs that is the difference between
+    a bounded equi-join and ~3×10^12 spurious candidate pairs per band;
+    the key cardinality grows with the corpus up to 2^30 per table
+    instead of saturating at 32k distinct values.
+
+    Exposed separately from ``simhash_band_table`` so property tests can
+    feed adversarial synthetic signatures. All entries of ONE index must
+    use the same (bits, max_hamming, n_blocks) triple — band_idx
+    enumerates the block combinations, so the construction is part of the
+    key space.
+    """
+    if not 0 < max_hamming < n_blocks:
+        # a bare assert would vanish under python -O and silently break
+        # the documented exact-recall contract
+        raise ValueError(
+            f"pigeonhole recall needs 0 < max_hamming ({max_hamming}) < "
+            f"n_blocks ({n_blocks}): a pair may differ in every block "
+            "otherwise"
+        )
+    if bits % n_blocks:
+        raise ValueError(f"n_blocks ({n_blocks}) must divide bits ({bits})")
+    from itertools import combinations
+
+    bw = bits // n_blocks
     mask = (1 << bw) - 1
+    combos = list(combinations(range(n_blocks), n_blocks - max_hamming))
     bands = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band_idx"),
-                F.expr(f"(simhash >> {b * bw}) & {mask}").alias("band_val"),
+                F.lit(t).alias("band_idx"),
+                F.expr(
+                    " + ".join(
+                        f"shiftleft(shiftright(simhash, {b * bw}) & {mask},"
+                        f" {p * bw})"
+                        for p, b in enumerate(combo)
+                    )
+                ).cast("long").alias("band_val"),
             )
-            for b in range(n_bands)
+            for t, combo in enumerate(combos)
         ]
     )
     return sig.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
@@ -302,32 +343,40 @@ def simhash_band_table(
     )
 
 
+def simhash_band_table(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_blocks: int = SIMHASH_BLOCKS,
+) -> DataFrame:
+    """(doc_id, simhash, band_idx, band_val) block-permutation band
+    entries — shared by the batch candidate join (``simhash_banded_pairs``)
+    and the persistent incremental index (``dedup_index.py``). The full
+    simhash rides along because the hamming filter needs both pair
+    members' signatures at join time."""
+    return simhash_bands_from_sigs(
+        simhash_signatures(docs, bits), bits, max_hamming, n_blocks
+    )
+
+
 def simhash_banded_pairs(
     docs: DataFrame,
-    max_hamming: int = 3,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
     bits: int = SIMHASH_BITS,
-    n_bands: int = SIMHASH_BANDS,
+    n_blocks: int = SIMHASH_BLOCKS,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) ≤ max_hamming — the
     SCALE path (the all-pairs ``simhash_pairs`` below is the small-corpus
     verifier only).
 
-    Pigeonhole banding: the 60-bit signature splits into ``n_bands``
-    15-bit slices; a pair within hamming ≤ n_bands-1 differs in at most
-    n_bands-1 slices, so at least one slice matches EXACTLY — candidates
-    come from an equi-join on (band_idx, band_val), never an all-pairs
-    theta join. With the defaults (4 bands, hamming ≤ 3) recall is exact,
-    same shape as ``minhash_lsh_candidates``. Shuffles carry
-    (doc_id, simhash, band) longs only. Output (doc_a, doc_b, hamming).
-    """
-    if max_hamming >= n_bands:
-        # a bare assert would vanish under python -O and silently break
-        # the documented exact-recall contract
-        raise ValueError(
-            f"pigeonhole recall needs max_hamming ({max_hamming}) < n_bands "
-            f"({n_bands}): a pair may differ in every band otherwise"
-        )
-    bt = simhash_band_table(docs, bits, n_bands)
+    Block-permutation banding (``simhash_bands_from_sigs``): candidates
+    come from an equi-join on (band_idx, band_val) over C(n_blocks,
+    n_blocks - max_hamming) tables of wide concatenated-block keys —
+    exact recall by pigeonhole, random-collision fanout ~n²/2^30 per
+    table with the defaults, never an all-pairs theta join. Shuffles
+    carry (doc_id, simhash, band) longs only. Output
+    (doc_a, doc_b, hamming)."""
+    bt = simhash_band_table(docs, bits, max_hamming, n_blocks)
     ham = F.expr("bit_count(a.simhash ^ b.simhash)").cast("long")
     return (
         bt.alias("a")

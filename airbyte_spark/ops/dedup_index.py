@@ -386,11 +386,15 @@ SIMHASH_INDEX_STRUCT = T.StructType(
 def bootstrap_simhash_index(
     spark: SparkSession, path: str, n_buckets: int = 32
 ) -> LakeTable:
-    """SimHash pigeonhole-band index (append-only): same incremental
+    """SimHash block-permutation index (append-only): same incremental
     contract as the MinHash index, different signature family — hamming
-    radius on one 60-bit fingerprint instead of Jaccard bands. Bucketed +
-    compaction-sorted by band_val so the pushed numeric IN-filter prunes
-    files and row groups."""
+    radius on one 60-bit fingerprint instead of Jaccard bands. band_val
+    is a 30-bit concatenated-block key (C(6,3) = 20 tables — see
+    ``dedup_docs.simhash_bands_from_sigs``), so bucket occupancy is
+    bounded by ~corpus/2^30 random collisions per table, not the
+    saturating 2^15 of plain slices. Bucketed + compaction-sorted by
+    band_val so the pushed numeric IN-filter prunes files and row
+    groups."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
     return LakeTable.create(
@@ -417,17 +421,15 @@ def simhash_flag_and_ingest(
     hamming) pairs with hamming ≤ max_hamming — intra-batch ∪ vs the
     accepted corpus — then fence-append the batch's band entries. Same
     exactness contract as ``flag_and_ingest``: union-of-increments ==
-    one-shot ``simhash_banded_pairs`` (pigeonhole recall is exact for
-    max_hamming < n_bands), and redelivery after a committed append
+    one-shot ``simhash_banded_pairs`` (block-permutation recall is exact
+    for max_hamming < n_blocks), and redelivery after a committed append
     reflags the identical set (batch-id anti-join)."""
-    from .dedup_docs import SIMHASH_BANDS, simhash_band_table
+    from .dedup_docs import simhash_band_table
 
-    if max_hamming >= SIMHASH_BANDS:
-        raise ValueError(
-            f"pigeonhole recall needs max_hamming ({max_hamming}) < n_bands "
-            f"({SIMHASH_BANDS})"
-        )
-    bt = simhash_band_table(docs).persist()
+    # validation (0 < max_hamming < n_blocks) lives in the band
+    # construction; every increment must use the same max_hamming — the
+    # block combinations ARE the band_idx key space
+    bt = simhash_band_table(docs, max_hamming=max_hamming).persist()
     try:
         batch_ids = docs.select("doc_id").distinct()
         idx = index.read().join(F.broadcast(batch_ids), "doc_id", "left_anti")

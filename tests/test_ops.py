@@ -74,6 +74,58 @@ def test_simhash_hamming(docs):
     assert pairs == {(1, 2): 0}
 
 
+def test_simhash_block_permutation_bounds_occupancy(spark):
+    """Adversarial corpus for the banding's scale contract: every
+    signature shares the same low 15 bits (exactly the slice a plain
+    4×15-bit banding keys its first table on — that shape would put ALL
+    n docs in one bucket, an n²/2 join fanout). The block-permutation
+    keys each carry ≥15 bits of the remaining signature, so max bucket
+    occupancy stays ~n/2^15 — bounded, corpus-independent collisions —
+    while recall over an embedded near-dup pair is preserved."""
+    from pyspark.sql import functions as F
+
+    from airbyte_spark.ops.dedup_docs import simhash_bands_from_sigs
+
+    n = 4096
+    # 45 pseudo-random high bits, constant low 15 bits
+    sig = spark.range(n).select(
+        F.col("id").cast("long").alias("doc_id"),
+        (
+            F.shiftleft(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(1 << 45)), 15
+            )
+            + F.lit(0x5A5A)
+        ).cast("long").alias("simhash"),
+    )
+    bands = simhash_bands_from_sigs(sig)
+    # C(6,3) = 20 tables, one entry per (doc, table)
+    assert bands.count() == n * 20
+    occ = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert occ <= 16, f"bucket occupancy {occ} — banding degenerated"
+    # recall: force a hamming-3 pair and assert the banded join finds it
+    pair = spark.createDataFrame(
+        [(100000, 0x0123456789ABC), (100001, 0x0123456789ABC ^ 0b10101)],
+        "doc_id long, simhash long",
+    )
+    bt = simhash_bands_from_sigs(pair)
+    hits = (
+        bt.alias("a")
+        .join(
+            bt.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+    assert hits >= 1  # pigeonhole: some 3-block combination matches
+
+
 def test_simhash_banded_equals_exact_and_no_cartesian(spark, docs):
     """The banded pigeonhole join must return the identical pair set as the
     all-pairs verifier for hamming <= n_bands-1, and its physical plan must
@@ -326,7 +378,7 @@ def test_banding_guards_raise(spark):
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_candidates(docs, k=12, band_width=5)
     with pytest.raises(ValueError, match="pigeonhole"):
-        simhash_banded_pairs(docs, n_bands=4, max_hamming=4)
+        simhash_banded_pairs(docs, n_blocks=4, max_hamming=4)
 
 
 def test_ivf_assign_and_search(spark):
