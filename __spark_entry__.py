@@ -1359,6 +1359,8 @@ def q_ann_ivf_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default = occupancy cap ON (rank chunks of ≤48 within a bucket);
+    the oracle mirrors the same window, like ann_ivf_label_blocked's."""
     return emb_ops.sign_lsh_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
@@ -1367,8 +1369,9 @@ def q_ann_incremental_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops/ann_index.py::embedding_flag_and_ingest): three fenced increments
     against a persistent sign-bucket index — semantic near-dups by cosine,
     completing the MinHash / SimHash / sign-LSH trilogy. Union of the
-    per-increment flags == one-shot sign_lsh_near_dup, so it shares
-    ann_lsh_signbucket's oracle."""
+    per-increment flags == one-shot sign_lsh_near_dup(max_bucket_size=
+    None) — an incremental index can't reproduce a rank-based cap, so its
+    oracle is the UNCAPPED bucket join (n_sub=1 persisted default)."""
     import atexit
     import shutil
     import tempfile
@@ -2438,16 +2441,25 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.sub = b.sub AND a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.35
         """,
+        # mirrors the default occupancy cap: rank chunks of <=48 rows per
+        # bucket (row_number over vec_id), candidates must share the chunk
         "ann_lsh_signbucket": f"""
-            WITH v AS (
+            WITH raw AS (
               SELECT vec_id, embedding,
                      CAST({" + ".join(f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(8))}
                           AS BIGINT) AS bucket
               FROM embeddings
+            ),
+            v AS (
+              SELECT vec_id, embedding, bucket,
+                     CAST(floor((row_number() OVER (PARTITION BY bucket
+                          ORDER BY vec_id) - 1) / 48) AS BIGINT) AS sub
+              FROM raw
             )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
                    {_cos("a.embedding", "b.embedding")} AS cos
-            FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM v a JOIN v b ON a.bucket = b.bucket AND a.sub = b.sub
+                             AND a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.3
         """,
         # incremental sign-LSH index: union-of-increments == one-shot

@@ -151,17 +151,46 @@ EMB_DEDUP_STRUCT = T.StructType(
 )
 
 
+LSH_META_FILE = "lsh_meta.json"
+
+
 def bootstrap_embedding_dedup_index(
-    spark: SparkSession, path: str, n_buckets: int = 32
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = 32,
+    n_bits: int = 8,
+    n_sub: int = 1,
 ) -> LakeTable:
     """Embedding near-dup index (append-only): the third signature family
-    on the incremental-index machinery (MinHash bands / SimHash pigeonhole
-    slices / sign-hyperplane buckets) — semantic near-dups by cosine
+    on the incremental-index machinery (MinHash bands / SimHash block
+    permutations / sign-hyperplane buckets) — semantic near-dups by cosine
     instead of lexical overlap. Bucketed + compaction-sorted by the
-    sign-LSH bucket id (≤ 2^n_bits distinct values, so the batch's bucket
-    IN-filter always prunes)."""
+    sign-LSH bucket id; the batch's bucket IN-filter prunes whenever the
+    batch touches a subset of the key space.
+
+    ``n_bits`` and ``n_sub`` are PERSISTED beside the commit log (like the
+    IVF centroids) and immutable for the index's lifetime — every
+    increment must bucket identically or nothing matches. SIZE n_bits TO
+    THE CORPUS: bucket count is 2^n_bits, so per-increment cross-join cost
+    is O(batch × corpus / 2^n_bits) — pick n_bits ≈ log2(expected_corpus /
+    target_occupancy) at bootstrap (bounded by the embedding dimension for
+    this axis-aligned family; re-bucketing => rebuild, the standard LSH
+    index contract). ``n_sub`` > 1 is the skew guardrail on top: each
+    vector is deterministically hashed into one of n_sub sub-buckets and
+    candidates must share it, dividing worst-case occupancy by n_sub at a
+    documented recall cost (cross-sub pairs lost). n_sub=1 (default)
+    keeps the exact union-of-increments == one-shot equivalence."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
+    if n_sub < 1:
+        raise ValueError(f"n_sub must be >= 1, got {n_sub}")
+    # meta FIRST, table-create second — same crash-safe bootstrap order as
+    # the IVF centroids: the create commit is the "index exists" signal
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{LSH_META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_bits": n_bits, "n_sub": n_sub}, f)
+    os.replace(tmp, os.path.join(path, LSH_META_FILE))
     return LakeTable.create(
         spark,
         path,
@@ -173,23 +202,61 @@ def bootstrap_embedding_dedup_index(
     )
 
 
+def _load_lsh_meta(path: str) -> dict:
+    """Persisted bucketing parameters; defaults cover indexes created
+    before the meta file existed."""
+    p = os.path.join(path, LSH_META_FILE)
+    if not os.path.exists(p):
+        return {"n_bits": 8, "n_sub": 1}
+    with open(p) as f:
+        return json.load(f)
+
+
 def embedding_flag_and_ingest(
     index: LakeTable,
     emb: DataFrame,
     *,
     app_id: str = "emb-dedup-index",
     batch_id: int = 0,
-    n_bits: int = 8,
+    n_bits: Optional[int] = None,
     threshold: float = 0.3,
+    max_pushdown_keys: int = 8192,
+    flags_table: Optional[LakeTable] = None,
 ) -> DataFrame:
     """One increment against the embedding near-dup index: flag
-    (vec_a, vec_b, bucket, cos) pairs sharing a sign bucket with cosine ≥
-    threshold — intra-batch ∪ vs the accepted corpus — then fence-append
-    the batch's (vec_id, bucket, embedding) rows. Same contract as the
-    MinHash/SimHash indexes: union-of-increments == one-shot
-    ``sign_lsh_near_dup``, redelivery reflags identically (batch-id
-    anti-join), vec_id unique across the corpus."""
+    (vec_a, vec_b, bucket, cos) pairs sharing a sign bucket (and, when the
+    index was bootstrapped with n_sub > 1, the same hashed sub-bucket)
+    with cosine ≥ threshold — intra-batch ∪ vs the accepted corpus — then
+    fence-append the batch's (vec_id, bucket, embedding) rows. With the
+    default n_sub=1 the contract matches the MinHash/SimHash indexes:
+    union-of-increments == one-shot ``sign_lsh_near_dup(...,
+    max_bucket_size=None)``, redelivery reflags identically (batch-id
+    anti-join), vec_id unique across the corpus.
+
+    Bucketing parameters come from the PERSISTED index meta (see
+    ``bootstrap_embedding_dedup_index`` for the n_bits-vs-corpus-size
+    sizing rule); passing ``n_bits`` explicitly is only a guard — it must
+    equal the persisted value or the increment is rejected, because mixed
+    bucketings silently stop matching. ``flags_table`` commits the fenced
+    flags append BEFORE the index append (same crash-window ordering as
+    ``dedup_index.flag_and_ingest``)."""
     from .embeddings import sign_bucket
+
+    meta = _load_lsh_meta(index.path)
+    if n_bits is not None and n_bits != meta["n_bits"]:
+        raise ValueError(
+            f"n_bits={n_bits} conflicts with the index's persisted "
+            f"bucketing (n_bits={meta['n_bits']}); an index must bucket "
+            "every increment identically — rebuild to re-bucket"
+        )
+    n_bits = meta["n_bits"]
+    n_sub = meta.get("n_sub", 1)
+
+    def _sub(side: str):
+        # deterministic per-vector sub-bucket: stable across increments
+        # (unlike a rank split, which depends on what else is in the
+        # bucket), so both join sides always agree on a vector's sub
+        return F.pmod(F.xxhash64(F.col(f"{side}.vec_id")), F.lit(n_sub))
 
     bt = (
         emb.select(
@@ -202,19 +269,27 @@ def embedding_flag_and_ingest(
     try:
         batch_ids = bt.select("vec_id").distinct()
         idx = index.read().join(F.broadcast(batch_ids), "vec_id", "left_anti")
-        # ≤ 2^n_bits distinct buckets: the IN-filter always fits and always
-        # reaches the index scan (numeric pushdown + sorted file stats)
-        keys = [r[0] for r in bt.select("bucket").distinct().collect()]
-        idx = idx.filter(F.col("bucket").isin(keys))
+        # the batch's distinct buckets (≤ min(2^n_bits, |batch|)) become a
+        # pushed IN-filter on the index scan (numeric pushdown + sorted
+        # file stats); past the driver-side bound fall back to the plain
+        # equi-join — the right plan for corpus-sized increments
+        keys = [
+            r[0]
+            for r in bt.select("bucket")
+            .distinct()
+            .limit(max_pushdown_keys + 1)
+            .collect()
+        ]
+        if len(keys) <= max_pushdown_keys:
+            idx = idx.filter(F.col("bucket").isin(keys))
 
+        on = F.col("a.bucket") == F.col("b.bucket")
+        if n_sub > 1:
+            on = on & (_sub("a") == _sub("b"))
         cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
         intra = (
             bt.alias("a")
-            .join(
-                bt.alias("b"),
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
+            .join(bt.alias("b"), on & (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(
                 F.col("a.vec_id").alias("vec_a"),
                 F.col("b.vec_id").alias("vec_b"),
@@ -224,7 +299,7 @@ def embedding_flag_and_ingest(
         )
         cross = (
             bt.alias("a")
-            .join(idx.alias("b"), F.col("a.bucket") == F.col("b.bucket"))
+            .join(idx.alias("b"), on)
             .select(
                 F.least("a.vec_id", "b.vec_id").alias("vec_a"),
                 F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
@@ -236,6 +311,10 @@ def embedding_flag_and_ingest(
             intra.unionByName(cross).filter(F.col("cos") >= threshold)
         )
         out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
+        if flags_table is not None:
+            # flags land before the index append — see flag_and_ingest's
+            # crash-window argument
+            flags_table.append(out, fence=(app_id, batch_id))
         index.append(bt.select("vec_id", "bucket", "embedding"),
                      fence=(app_id, batch_id))
         return out

@@ -13,7 +13,9 @@ Three tiers, mirroring how a real 100 TB ANN pipeline is built:
   Σ_cell O(|cell|²).
 * ``sign_lsh_buckets`` / ``sign_lsh_near_dup`` — random-hyperplane-LSH
   family member using axis-aligned hyperplanes (sign of coordinate j): an
-  8-bit bucket id per vector, candidates meet only inside a bucket.
+  n_bits-wide bucket id per vector, candidates meet only inside a bucket;
+  occupancy stays bounded via the default rank-chunk cap plus the
+  documented n_bits-vs-corpus-size guidance.
 
 All arithmetic folds the array left-to-right in double precision via
 ``F.zip_with``/``F.aggregate`` (built-in higher-order functions, JVM-side),
@@ -259,21 +261,60 @@ def sign_lsh_buckets(emb: DataFrame, n_bits: int = 8) -> DataFrame:
     )
 
 
-def sign_lsh_near_dup(emb: DataFrame, n_bits: int = 8, threshold: float = 0.3) -> DataFrame:
+#: sign buckets above this size sub-split into rank chunks — same posture
+#: (and size) as the IVF cell cap; bounds every join group at O(cap²)
+DEFAULT_MAX_BUCKET_SIZE = 48
+
+
+def sign_lsh_near_dup(
+    emb: DataFrame,
+    n_bits: int = 8,
+    threshold: float = 0.3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """LSH-bucketed near-dup: candidates share a sign-bucket (equi-join on
-    bucket id — the scale path), verified by exact cosine."""
+    bucket id — the scale path), verified by exact cosine.
+
+    Scale posture: bucket count is 2^n_bits — a CONSTANT — so occupancy
+    (and the per-bucket O(|bucket|²) join) grows linearly with the corpus.
+    Two dials keep that bounded, mirroring ``label_blocked_near_dup``:
+
+    * ``n_bits`` should scale with the corpus — pick roughly
+      log2(n / target_occupancy) (each added bit halves expected
+      occupancy; n_bits is capped by the embedding dimension for this
+      axis-aligned family).
+    * ``max_bucket_size`` (ON by default) sub-splits buckets above the
+      cap into rank chunks of EXACTLY ≤ cap rows (row_number over
+      vec_id), so every join group is O(cap²) no matter how skewed the
+      sign distribution — a hash split would only bound the EXPECTED
+      size. Trades recall (cross-chunk pairs are lost), the standard
+      LSH posture; pass None to disable when recall matters more than
+      bounded cost."""
     v = emb.select("vec_id", "embedding").withColumn(
         "bucket", sign_bucket(F.col("embedding"), n_bits)
+    )
+    sub_cond = []
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket").orderBy("vec_id")
+        v = v.withColumn(
+            "_sub",
+            F.floor(
+                (F.row_number().over(w) - F.lit(1)) / F.lit(max_bucket_size)
+            ).cast("long"),
+        )
+        sub_cond = [F.col("a._sub") == F.col("b._sub")]
     # pin the join-key exchange so both self-join sides share one shuffle
     # stage (the bucket computation and scan run once, not per side; the
     # join shuffles on bucket anyway) — same reuse shape as the LSH band
     # join in dedup_docs.minhash_lsh_candidates
-    ).repartition("bucket")
+    v = v.repartition("bucket")
     a, b = v.alias("a"), v.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+        F.col("a.vec_id") < F.col("b.vec_id")
     )
+    for c in sub_cond:
+        cond = cond & c
+    pairs = a.join(b, cond)
     return (
         pairs.withColumn("cos", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6))
         .filter(F.col("cos") >= threshold)

@@ -95,9 +95,12 @@ def test_embedding_dedup_incremental_equals_batch(spark, tmp_path, emb):
         embedding_flag_and_ingest,
     )
 
+    # the incremental contract is vs the UNCAPPED one-shot: a growing
+    # index cannot reproduce a rank-based cap (ranks depend on the whole
+    # corpus); its occupancy guardrail is the persisted n_sub hash split
     batch = {
         (r.vec_a, r.vec_b): (r.bucket, r.cos)
-        for r in emb_ops.sign_lsh_near_dup(emb).collect()
+        for r in emb_ops.sign_lsh_near_dup(emb, max_bucket_size=None).collect()
     }
     assert batch, "fixture must produce sign-LSH near-dups"
     index = bootstrap_embedding_dedup_index(
@@ -165,3 +168,47 @@ def test_search_prunes_buckets(spark, tmp_path, emb):
         ).collect()
     )
     assert got == want
+
+def test_embedding_index_persisted_bucketing_and_nsub(spark, tmp_path, emb):
+    """n_bits/n_sub persist at bootstrap (like the IVF centroids): a
+    conflicting n_bits is rejected — mixed bucketings silently stop
+    matching — and n_sub > 1 is the deterministic skew guardrail: flags
+    become exactly the same-hashed-sub subset of the uncapped pair set,
+    stable across increments (a rank cap would not be)."""
+    from airbyte_spark.ops.ann_index import (
+        bootstrap_embedding_dedup_index,
+        embedding_flag_and_ingest,
+    )
+
+    idx = bootstrap_embedding_dedup_index(
+        spark, str(tmp_path / "i1"), n_buckets=4, n_bits=3
+    )
+    with pytest.raises(ValueError, match="persisted"):
+        embedding_flag_and_ingest(idx, emb, n_bits=8)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_flag_and_ingest(idx, emb, batch_id=0).collect()
+    }
+    want = {
+        (r.vec_a, r.vec_b)
+        for r in emb_ops.sign_lsh_near_dup(
+            emb, n_bits=3, max_bucket_size=None
+        ).collect()
+    }
+    assert got == want and want
+
+    idx2 = bootstrap_embedding_dedup_index(
+        spark, str(tmp_path / "i2"), n_buckets=4, n_bits=3, n_sub=2
+    )
+    got2 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_flag_and_ingest(idx2, emb, batch_id=0).collect()
+    }
+    sub = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id", F.pmod(F.xxhash64("vec_id"), F.lit(2)).alias("s")
+        ).collect()
+    }
+    assert got2 == {p for p in want if sub[p[0]] == sub[p[1]]}
+    assert got2 < want  # the guardrail actually dropped cross-sub pairs

@@ -423,3 +423,23 @@ def test_ivf_assign_and_search(spark):
 
     plan = emb_ops.ivf_search(emb, n_cells=4)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan and "CartesianProduct" not in plan
+
+
+def test_sign_lsh_bucket_cap(spark):
+    """200 identical-sign vectors land in ONE bucket — the constant-
+    cardinality hazard. The default cap sub-splits the bucket into rank
+    chunks of exactly <=48 rows, bounding every join group at O(cap²);
+    max_bucket_size=None opts out (full O(n²) pair set)."""
+    n = 200
+    rows = [(i, [1.0 + (i % 7) * 0.01, 1.0, 1.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    un = emb_ops.sign_lsh_near_dup(
+        df, n_bits=3, threshold=0.0, max_bucket_size=None
+    ).count()
+    assert un == n * (n - 1) // 2
+    cap = emb_ops.DEFAULT_MAX_BUCKET_SIZE
+    capped = emb_ops.sign_lsh_near_dup(df, n_bits=3, threshold=0.0).count()
+    want = (n // cap) * (cap * (cap - 1) // 2) + (
+        (n % cap) * (n % cap - 1) // 2
+    )
+    assert capped == want
