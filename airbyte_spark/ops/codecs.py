@@ -7,6 +7,11 @@ simple enough to en/decode exactly with numpy alone:
 * **BMP** (Windows bitmap, 24-bit uncompressed, bottom-up row order) —
   a 14-byte file header + 40-byte BITMAPINFOHEADER + 4-byte-aligned BGR
   rows. This is a real, widely-produced format (screenshots, sensors).
+* **PNG** (RFC 2083, 8-bit truecolor non-interlaced) — CRC-checked
+  chunk walk, stdlib-zlib inflate, and all five scanline unfilters
+  (None/Sub/Up/Average/Paeth) in numpy. The ubiquitous lossless web
+  format, decoded for real; only the lossy/DCT formats (JPEG/MP3/H.264)
+  remain behind the documented production hook.
 * **WAV** (RIFF/PCM, 16-bit little-endian) — the canonical uncompressed
   audio container.
 * **FRMS** — a minimal length-prefixed multi-frame container (the shape of
@@ -26,6 +31,7 @@ values without being able to decode the bytes itself.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -70,6 +76,153 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bottom_up:
         bgr = bgr[::-1]
     return bgr[:, :, ::-1].copy()
+
+
+# ----------------------------------------------------------------- PNG
+#
+# Real PNG (RFC 2083): 8-bit truecolor (color type 2), non-interlaced —
+# the ubiquitous variant — with ALL FIVE scanline filters implemented.
+# Needs only stdlib zlib + numpy: IHDR/IDAT/IEND chunk walk with CRC
+# verification, inflate, per-row unfiltering.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IHDR = struct.Struct(">IIBBBBB")
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6) over uint8 arrays: pick whichever
+    of left/up/upper-left is closest to a+b-c, ties in that order."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(rgb: np.ndarray, row_filters=None) -> bytes:
+    """8-bit truecolor PNG from an (h, w, 3) uint8 RGB array.
+
+    ``row_filters`` optionally cycles per-row filter types (0=None 1=Sub
+    2=Up 3=Average 4=Paeth) — the synthesizer uses all five so the
+    decoder's every unfilter path is exercised by real payloads; None
+    writes filter 0 throughout (always valid)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w, _ = rgb.shape
+    bpp = 3
+    zeros = np.zeros(bpp, dtype=np.uint8)
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    scanlines = []
+    for y in range(h):
+        row = rgb[y].reshape(-1)
+        ft = 0 if row_filters is None else int(row_filters[y % len(row_filters)])
+        left = np.concatenate([zeros, row[:-bpp]])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left  # uint8 arithmetic wraps mod 256 per spec
+        elif ft == 2:
+            filt = row - prev
+        elif ft == 3:
+            avg = ((left.astype(np.uint16) + prev.astype(np.uint16)) // 2)
+            filt = row - avg.astype(np.uint8)
+        elif ft == 4:
+            ul = np.concatenate([zeros, prev[:-bpp]])
+            filt = row - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        scanlines.append(bytes([ft]) + filt.tobytes())
+        prev = row
+    ihdr = _IHDR.pack(w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(scanlines))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode 8-bit truecolor non-interlaced PNG to (h, w, 3) uint8 RGB:
+    chunk walk (CRC-checked), zlib inflate, all five unfilters. Sub/Up
+    unfilter vectorize (cumsum / add); Average/Paeth are sequential in x
+    by definition, so those rows reconstruct pixel-at-a-time — the same
+    data dependency every real decoder has."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, dims, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = _IHDR.unpack(data)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (8-bit truecolor, "
+                    "non-interlaced only)"
+                )
+            dims = (h, w)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    h, w = dims
+    bpp, stride = 3, w * 3
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong length")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    z3 = np.zeros(bpp, np.uint8)
+    for y in range(h):
+        ft, row = int(arr[y, 0]), arr[y, 1:]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:
+            # Sub: recon[x] = raw[x] + recon[x-bpp] — a per-channel prefix
+            # sum mod 256 (sum in uint32, mask back)
+            px = row.reshape(w, bpp).astype(np.uint32)
+            rec = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:
+            rec = row + prev
+        elif ft in (3, 4):
+            rec = np.zeros(stride, np.uint8)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = rec[(x - 1) * bpp : x * bpp] if x else z3
+                up = prev[s]
+                if ft == 3:
+                    avg = (
+                        left.astype(np.uint16) + up.astype(np.uint16)
+                    ) // 2
+                    rec[s] = row[s] + avg.astype(np.uint8)
+                else:
+                    ul = prev[(x - 1) * bpp : x * bpp] if x else z3
+                    rec[s] = row[s] + _paeth(left, up, ul)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, 3).copy()
 
 
 def resize_nearest(rgb: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -170,10 +323,10 @@ def synth_image_dims(doc_id: int) -> tuple[int, int]:
     return 6 + doc_id % 7, 8 + doc_id % 9  # (height, width)
 
 
-def synth_image(doc_id: int) -> bytes:
+def _synth_rgb(doc_id: int) -> np.ndarray:
     h, w = synth_image_dims(doc_id)
     y, x = np.mgrid[0:h, 0:w]
-    rgb = np.stack(
+    return np.stack(
         [
             (x * 7 + doc_id) % 256,
             (y * 11 + doc_id * 3) % 256,
@@ -181,7 +334,18 @@ def synth_image(doc_id: int) -> bytes:
         ],
         axis=2,
     ).astype(np.uint8)
-    return encode_bmp(rgb)
+
+
+def synth_image(doc_id: int) -> bytes:
+    return encode_bmp(_synth_rgb(doc_id))
+
+
+def synth_image_png(doc_id: int) -> bytes:
+    """Same deterministic pixel grid as ``synth_image``, PNG-encoded with
+    the filter type cycling 0→4 per row — every unfilter path in
+    ``decode_png`` is exercised by real payloads, and the oracle's
+    closed-form width/height stay format-independent."""
+    return encode_png(_synth_rgb(doc_id), row_filters=[0, 1, 2, 3, 4])
 
 
 def synth_audio_params(doc_id: int) -> tuple[int, int, int]:

@@ -5,14 +5,15 @@ sidecar metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so each Python worker sees
 columnar batches, never single rows.
 
-The codec step is REAL for the formats simple enough to parse with
-numpy/stdlib alone — 24-bit BMP images, RIFF/PCM-16 WAV audio, and a
-length-prefixed multi-frame container for frame sampling (``codecs.py``).
-``decode_media_features`` walks actual bytes; ``resize_images`` is a real
-nearest-neighbor pixel transform; ``sample_frames`` walks a real container.
-Only the compressed formats (JPEG/PNG/MP3/H.264) stay behind the
-``decode_image`` hook, which raises ``NotImplementedError`` until a real
-imaging library is wired in production.
+The codec step is REAL for the formats parseable with numpy/stdlib alone —
+PNG (8-bit truecolor, zlib inflate + all five unfilters), 24-bit BMP
+images, RIFF/PCM-16 WAV audio, and a length-prefixed multi-frame container
+for frame sampling (``codecs.py``). ``decode_media_features`` walks actual
+bytes; ``resize_images`` is a real nearest-neighbor pixel transform;
+``sample_frames`` walks a real container. Only the lossy/DCT formats
+(JPEG/MP3/H.264) stay behind the ``decode_image`` hook's
+``NotImplementedError`` arm until a real imaging library is wired in
+production.
 
 Scale notes:
 * mapInPandas is the right vehicle: Arrow transfer amortizes
@@ -61,12 +62,18 @@ def attach_fake_payload(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Compressed-format decoder hook — JPEG/PNG need an imaging library
-    not present here. Uncompressed BMP decodes for real via
-    ``codecs.decode_bmp`` (see ``decode_media_features``)."""
+    """Image decode with signature dispatch: PNG (real — stdlib zlib +
+    numpy unfiltering, ``codecs.decode_png``) and uncompressed BMP
+    (``codecs.decode_bmp``) parse natively; only the DCT/lossy formats
+    (JPEG, WebP, …) still need an imaging library and stay behind this
+    NotImplementedError in the sandbox."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return codecs.decode_png(payload)
+    if payload[:2] == b"BM":
+        return codecs.decode_bmp(payload)
     raise NotImplementedError(
-        "JPEG/PNG decoding requires PIL/opencv; wire a real decoder in "
-        "production (BMP/WAV/FRMS decode natively via ops.codecs)"
+        "JPEG/WebP decoding requires PIL/opencv; wire a real decoder in "
+        "production (PNG/BMP/WAV/FRMS decode natively via ops.codecs)"
     )
 
 
@@ -85,13 +92,23 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def attach_synthetic_media(docs: DataFrame) -> DataFrame:
-    """Real encoded media payloads, deterministic in doc_id: BMP for
-    doc_id%3==0, WAV for ==1, FRMS multi-frame for ==2 (``codecs.synth_*``).
-    mapInPandas so encoding runs executor-side over Arrow batches."""
+    """Real encoded media payloads, deterministic in doc_id: image for
+    doc_id%3==0 (PNG when (doc_id//3)%2==1, else BMP — both formats flow
+    through the same decode path via signature dispatch), WAV for ==1,
+    FRMS multi-frame for ==2 (``codecs.synth_*``). mapInPandas so
+    encoding runs executor-side over Arrow batches."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ("image", "audio", "video")
-        synth = (codecs.synth_image, codecs.synth_audio, codecs.synth_video)
+
+        def s_img(d: int) -> bytes:
+            return (
+                codecs.synth_image_png(d)
+                if (d // 3) % 2
+                else codecs.synth_image(d)
+            )
+
+        synth = (s_img, codecs.synth_audio, codecs.synth_video)
         for pdf in it:
             ids = pdf["doc_id"].astype("int64")
             yield pd.DataFrame(
@@ -126,7 +143,8 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 payload = bytes(payload)
                 r = {"doc_id": doc_id, "media_kind": kind}
                 if kind == "image":
-                    rgb = codecs.decode_bmp(payload)
+                    # signature dispatch: PNG and BMP both decode for real
+                    rgb = decode_image(payload)
                     r["height"], r["width"] = rgb.shape[0], rgb.shape[1]
                 elif kind == "audio":
                     sr, ch, samples = codecs.decode_wav(payload)
@@ -146,8 +164,17 @@ def decode_media_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode, image rows only.
-    A real pixel transform (``codecs.resize_nearest``), not a stub."""
+    """Decode → nearest-neighbor resize → re-encode IN THE SAME FORMAT
+    (PNG stays PNG, BMP stays BMP), image rows only. A real pixel
+    transform (``codecs.resize_nearest``), not a stub."""
+
+    def _resize(b: bytes) -> bytes:
+        out = codecs.resize_nearest(decode_image(b), out_h, out_w)
+        return (
+            codecs.encode_png(out)
+            if b[:8] == b"\x89PNG\r\n\x1a\n"
+            else codecs.encode_bmp(out)
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -156,14 +183,7 @@ def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": sub["doc_id"].astype("int64"),
-                    "payload": [
-                        codecs.encode_bmp(
-                            codecs.resize_nearest(
-                                codecs.decode_bmp(bytes(b)), out_h, out_w
-                            )
-                        )
-                        for b in sub["payload"]
-                    ],
+                    "payload": [_resize(bytes(b)) for b in sub["payload"]],
                     "media_kind": sub["media_kind"],
                 }
             )

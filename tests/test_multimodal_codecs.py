@@ -80,14 +80,19 @@ def test_decode_media_features_matches_synthesis(media):
 
 
 def test_resize_images_stage(media):
+    from airbyte_spark.ops.multimodal import decode_image
+
     out = resize_images(media, 4, 5).collect()
     assert len(out) == 4  # image rows only (doc_id % 3 == 0)
     for r in out:
-        rgb = C.decode_bmp(bytes(r.payload))
+        payload = bytes(r.payload)
+        # format preserved: PNG rows stay PNG, BMP rows stay BMP
+        want_png = (r.doc_id // 3) % 2 == 1
+        assert payload.startswith(b"\x89PNG") == want_png
+        rgb = decode_image(payload)
         assert rgb.shape == (4, 5, 3)
         # nearest-neighbor of the known gradient: pixel (0,0) is preserved
-        src = C.decode_bmp(C.synth_image(r.doc_id))
-        assert (rgb[0, 0] == src[0, 0]).all()
+        assert (rgb[0, 0] == C._synth_rgb(r.doc_id)[0, 0]).all()
 
 
 def test_sample_frames_stage(media):
@@ -134,3 +139,91 @@ def test_wav_decodes_data_chunk_before_fmt():
 
     with pytest.raises(ValueError, match="fmt"):
         C.decode_wav(wav)
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (7, 4), (16, 16)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filters in (None, [0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            out = C.decode_png(C.encode_png(rgb, row_filters=filters))
+            assert (out == rgb).all(), (h, w, filters)
+
+
+def test_png_decode_matches_spec_transcription():
+    """decode_png against an INDEPENDENT scalar unfilter transcribed
+    straight from RFC 2083 §6 pseudocode — guards against a bug symmetric
+    in encoder and decoder surviving the round-trip test."""
+    import struct
+    import zlib
+
+    def ref_decode(payload):
+        pos, idat, dims = 8, [], None
+        while pos + 12 <= len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            if ctype == b"IHDR":
+                w, h = struct.unpack_from(">II", payload, pos + 8)
+                dims = (h, w)
+            elif ctype == b"IDAT":
+                idat.append(payload[pos + 8 : pos + 8 + ln])
+            pos += 12 + ln
+        h, w = dims
+        raw = zlib.decompress(b"".join(idat))
+        stride, bpp = w * 3, 3
+        prev = [0] * stride
+        out = []
+        p = 0
+        for _y in range(h):
+            ft = raw[p]
+            line = list(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            rec = [0] * stride
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0        # left
+                b = prev[x]                                # up
+                c = prev[x - bpp] if x >= bpp else 0       # upper-left
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth, RFC 2083 §6.6 verbatim
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+            out.append(rec)
+            prev = rec
+        return np.array(out, np.uint8).reshape(h, w, 3)
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    payload = C.encode_png(rgb, row_filters=[4, 3, 2, 1, 0])
+    got = C.decode_png(payload)
+    assert (got == ref_decode(payload)).all()
+    assert (got == rgb).all()
+
+
+def test_png_rejects_corruption_and_variants():
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    good = C.encode_png(rgb)
+    with pytest.raises(ValueError, match="not a PNG"):
+        C.decode_png(b"BM" + good)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        C.decode_png(bytes(bad))
+
+
+def test_decode_image_dispatch():
+    from airbyte_spark.ops.multimodal import decode_image
+
+    rgb = C._synth_rgb(3)
+    assert (decode_image(C.synth_image_png(3)) == rgb).all()
+    assert (decode_image(C.synth_image(3)) == rgb).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI

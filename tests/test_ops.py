@@ -270,7 +270,7 @@ def test_multimodal_plumbing(docs):
     assert meta[1].content_md5 == hashlib.md5(b"the cat sat on the mat").hexdigest()
     assert meta[1].media_kind == "image"
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG stays stubbed
 
 
 def test_connected_components_chain_and_isolates(spark):
