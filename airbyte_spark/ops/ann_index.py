@@ -23,7 +23,10 @@ materializes the inverted file as a LakeTable BUCKETED BY CELL so that:
 
 Centroids are fixed at bootstrap (persisted as JSON beside the table's
 commit log, like the snapshot plan) — the standard IVF contract: retrain
-centroids => rebuild the index. Cosine math and tiebreaks come from
+centroids => rebuild the index. Derive them with
+``embeddings.train_centroids`` (DataFrame-only Lloyd iterations over a
+sample or the bootstrap corpus); the seeded first-k init remains the
+zero-training fallback. Cosine math and tiebreaks come from
 ``embeddings.py`` so the two paths can never drift.
 """
 

@@ -186,6 +186,101 @@ def _assign(
     )
 
 
+def train_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    init: DataFrame | None = None,
+) -> DataFrame:
+    """Lloyd k-means refinement for the IVF coarse quantizer, pure
+    DataFrame ops — completes the IVF story (``ivf_assign``/``ann_index``
+    previously took centroids as given).
+
+    Per iteration: ASSIGN every vector to its nearest current centroid
+    (the ``_assign`` plan — broadcast centroids + map-side top-1, the
+    corpus side is one scan), then UPDATE each cell's centroid to the
+    elementwise mean of its members (posexplode → one partial-aggregated
+    groupBy over (cell, pos) longs/doubles — never an array shuffle of
+    the corpus). Cells that lose every member keep their previous
+    centroid. Means are not re-normalized: cosine assignment is
+    scale-invariant, so the mean DIRECTION is all that matters (spherical
+    k-means reduction).
+
+    The k centroids round-trip through the driver between iterations
+    (bounded: k rows — the same place every production k-means keeps
+    them), which keeps each iteration's plan flat instead of stacking
+    ``iters`` joins into one lineage. Returns (cell, c) ready for
+    ``ivf_assign``/``ivf_search``/``bootstrap_ann_index``.
+
+    ``init`` defaults to the first k vectors — the same seeded init as
+    ``_centroids``, so ``train_centroids(emb, k, iters=0)`` reproduces
+    the untrained behavior exactly."""
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    if init is not None:
+        cents = init.select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("c").cast("array<float>").alias("c"),
+        )
+    else:
+        cents = _centroids(emb, k)
+    cent_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("c", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _as_assign_input(c: DataFrame) -> DataFrame:
+        # _assign's custom-centroid contract is (vec_id, embedding)-shaped
+        return c.select(
+            F.col("cell").alias("vec_id"), F.col("c").alias("embedding")
+        )
+
+    for _ in range(iters):
+        assigned = _assign(emb, k, _as_assign_input(cents))
+        means = (
+            assigned.select("cell", F.posexplode("t").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("c_new")
+            )
+        )
+        rows = (
+            cents.join(means, "cell", "left")
+            .select(
+                F.col("cell").cast("long").alias("cell"),
+                F.coalesce("c_new", "c").cast("array<float>").alias("c"),
+            )
+            .collect()
+        )
+        cents = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["c"]]) for r in rows],
+            cent_schema,
+        )
+    return cents.select(F.col("cell").cast("long").alias("cell"), "c")
+
+
+def mean_assignment_cos(emb: DataFrame, centroids: DataFrame) -> float:
+    """Clustering objective: mean cosine of every vector to its assigned
+    centroid (higher = tighter cells) — one aggregate over the assign
+    plan; the train/eval loop's scoreboard. ``centroids`` is (cell, c),
+    as returned by ``train_centroids``."""
+    n_cells = centroids.count()
+    adapted = centroids.select(
+        F.col("cell").alias("vec_id"), F.col("c").alias("embedding")
+    )
+    return float(
+        _assign(emb, n_cells, adapted).agg(F.avg("cos")).first()[0]
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     n_cells: int = 8,
