@@ -163,6 +163,7 @@ def bootstrap_embedding_dedup_index(
     n_buckets: int = 32,
     n_bits: int = 8,
     n_sub: int = 1,
+    mutable: bool = False,
 ) -> LakeTable:
     """Embedding near-dup index (append-only): the third signature family
     on the incremental-index machinery (MinHash bands / SimHash block
@@ -182,7 +183,14 @@ def bootstrap_embedding_dedup_index(
     vector is deterministically hashed into one of n_sub sub-buckets and
     candidates must share it, dividing worst-case occupancy by n_sub at a
     documented recall cost (cross-sub pairs lost). n_sub=1 (default)
-    keeps the exact union-of-increments == one-shot equivalence."""
+    keeps the exact union-of-increments == one-shot equivalence.
+
+    ``mutable=True`` (re-crawled / CDC-fed corpora): primary key vec_id
+    with versioned MOR merges — a re-ingested vector's row replaces the
+    previous version's at scan, deletes tombstone it — same contract as
+    the mutable MinHash/SimHash indexes, bucketed by vec_id (the merge's
+    pruning key; the append-only layout buckets by sign bucket for scan
+    pruning instead)."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
     if n_sub < 1:
@@ -194,6 +202,24 @@ def bootstrap_embedding_dedup_index(
     with open(tmp, "w") as f:
         json.dump({"n_bits": n_bits, "n_sub": n_sub}, f)
     os.replace(tmp, os.path.join(path, LSH_META_FILE))
+    if mutable:
+        struct = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType(), False),
+                # nullable: tombstones carry only the key
+                T.StructField("bucket", T.LongType(), True),
+                T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+            ]
+        )
+        return LakeTable.create(
+            spark,
+            path,
+            TableSchema.from_struct(struct),
+            primary_key=["vec_id"],
+            bucket_cols=["vec_id"],
+            n_buckets=n_buckets,
+            sort_cols=["bucket"],
+        )
     return LakeTable.create(
         spark,
         path,
@@ -225,6 +251,9 @@ def embedding_flag_and_ingest(
     threshold: float = 0.3,
     max_pushdown_keys: int = 8192,
     flags_table: Optional[LakeTable] = None,
+    version: Optional[int] = None,
+    version_col: Optional[str] = None,
+    deletes: Optional[DataFrame] = None,
 ) -> DataFrame:
     """One increment against the embedding near-dup index: flag
     (vec_a, vec_b, bucket, cos) pairs sharing a sign bucket (and, when the
@@ -318,8 +347,28 @@ def embedding_flag_and_ingest(
             # flags land before the index append — see flag_and_ingest's
             # crash-window argument
             flags_table.append(out, fence=(app_id, batch_id))
-        index.append(bt.select("vec_id", "bucket", "embedding"),
-                     fence=(app_id, batch_id))
+        entries = bt.select("vec_id", "bucket", "embedding")
+        if index.snapshot().primary_key:
+            from .dedup_index import _mutable_merge
+
+            _mutable_merge(
+                index, entries, emb,
+                id_col="vec_id",
+                n_bands=None,  # keyed on vec_id alone — one row per vector
+                null_cols=(
+                    ("bucket", "long"),
+                    ("embedding", "array<float>"),
+                ),
+                app_id=app_id, batch_id=batch_id,
+                version=version, version_col=version_col, deletes=deletes,
+            )
+        else:
+            if version_col is not None or deletes is not None:
+                raise ValueError(
+                    "per-doc versions / deletes need a mutable index "
+                    "(bootstrap_embedding_dedup_index(..., mutable=True))"
+                )
+            index.append(entries, fence=(app_id, batch_id))
         return out
     finally:
         bt.unpersist()

@@ -278,6 +278,16 @@ SIMHASH_BLOCKS = 6
 SIMHASH_MAX_HAMMING = 3
 
 
+def simhash_n_bands(
+    max_hamming: int = SIMHASH_MAX_HAMMING, n_blocks: int = SIMHASH_BLOCKS
+) -> int:
+    """Number of block-permutation band tables — C(n_blocks, n_blocks -
+    max_hamming); also a mutable index's retraction fanout per doc."""
+    from math import comb
+
+    return comb(n_blocks, n_blocks - max_hamming)
+
+
 def simhash_bands_from_sigs(
     sig: DataFrame,
     bits: int = SIMHASH_BITS,

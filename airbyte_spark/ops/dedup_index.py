@@ -255,39 +255,13 @@ def flag_and_ingest(
             # a late stale re-ingest then LOSES the resolution, keeping the
             # index in lockstep with an LSN-merged main table; the scalar
             # version (default batch_id) suits ordered append-only feeds.
-            from ..lake.merge import merge_batch
-
-            if version_col is not None:
-                vmap = docs.select(
-                    F.col("doc_id").cast("long").alias("doc_id"),
-                    F.col(version_col).cast("long").alias("_v"),
-                )
-                rows = (
-                    bt.join(F.broadcast(vmap), "doc_id")
-                    .withColumn("_ab_cdc_lsn", F.col("_v"))
-                    .drop("_v")
-                    .withColumn(
-                        "_ab_cdc_deleted_at", F.lit(None).cast("timestamp")
-                    )
-                )
-            else:
-                rows = _versioned(bt, batch_id if version is None else version)
-            if deletes is not None:
-                rows = rows.unionByName(
-                    _tombstone_rows(
-                        deletes,
-                        k // band_width,
-                        version_col=version_col,
-                        version=batch_id if version is None else version,
-                    )
-                )
-            merge_batch(
-                index,
-                rows,
-                ["_ab_cdc_lsn"],
-                app_id=app_id,
-                batch_id=batch_id,
-                strategy="mor",
+            _mutable_merge(
+                index, bt, docs,
+                id_col="doc_id",
+                n_bands=k // band_width,
+                null_cols=(("band_key", "string"),),
+                app_id=app_id, batch_id=batch_id,
+                version=version, version_col=version_col, deletes=deletes,
             )
         else:
             if version_col is not None or deletes is not None:
@@ -307,30 +281,93 @@ def _versioned(df: DataFrame, version: int) -> DataFrame:
     ).withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
 
 
+def _mutable_merge(
+    index: LakeTable,
+    bt: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str,
+    n_bands: Optional[int],
+    null_cols: tuple,
+    app_id: str,
+    batch_id: int,
+    version: Optional[int],
+    version_col: Optional[str],
+    deletes: Optional[DataFrame],
+) -> None:
+    """The versioned MOR upsert shared by all three mutable index
+    families: stamp each entry with its doc's version (per-doc cursor via
+    ``version_col``, else the scalar), union the retraction tombstones,
+    one fenced merge for the whole increment."""
+    from ..lake.merge import merge_batch
+
+    if version_col is not None:
+        vmap = docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(version_col).cast("long").alias("_v"),
+        )
+        rows = (
+            bt.join(F.broadcast(vmap), id_col)
+            .withColumn("_ab_cdc_lsn", F.col("_v"))
+            .drop("_v")
+            .withColumn("_ab_cdc_deleted_at", F.lit(None).cast("timestamp"))
+        )
+    else:
+        rows = _versioned(bt, batch_id if version is None else version)
+    if deletes is not None:
+        rows = rows.unionByName(
+            _tombstone_rows(
+                deletes,
+                n_bands,
+                version_col=version_col,
+                version=batch_id if version is None else version,
+                id_col=id_col,
+                null_cols=null_cols,
+            )
+        )
+    merge_batch(
+        index,
+        rows,
+        ["_ab_cdc_lsn"],
+        app_id=app_id,
+        batch_id=batch_id,
+        strategy="mor",
+    )
+
+
 def _tombstone_rows(
     doc_ids: DataFrame,
-    n_bands: int,
+    n_bands: Optional[int],
     version_col: Optional[str] = None,
     version: int = 0,
+    id_col: str = "doc_id",
+    null_cols: tuple = (("band_key", "string"),),
 ) -> DataFrame:
     """One tombstone change row per (doc, band slot) — the fixed-fanout
-    retraction unit of a mutable index."""
+    retraction unit of a mutable index. Generic over the three signature
+    families: ``n_bands`` explodes a band_idx key part (None for indexes
+    keyed on the id alone), ``null_cols`` null-pads the family's payload
+    columns so tombstones union with live entry rows."""
     v = (
         F.col(version_col).cast("long")
         if version_col is not None and version_col in doc_ids.columns
         else F.lit(version).cast("long")
     )
-    return (
-        doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"), v.alias("_v"))
-        .select(
-            "doc_id",
+    out = doc_ids.select(
+        F.col(id_col).cast("long").alias(id_col), v.alias("_v")
+    )
+    if n_bands is not None:
+        out = out.select(
+            id_col,
             F.explode(
                 F.array(*[F.lit(i) for i in range(n_bands)])
             ).alias("band_idx"),
             "_v",
         )
-        .withColumn("band_key", F.lit(None).cast("string"))
-        .withColumn("_ab_cdc_lsn", F.col("_v"))
+    for c, t in null_cols:
+        out = out.withColumn(c, F.lit(None).cast(t))
+    return (
+        out.withColumn("_ab_cdc_lsn", F.col("_v"))
         .drop("_v")
         .withColumn(
             "_ab_cdc_deleted_at", F.lit("1970-01-01 00:00:00").cast("timestamp")
@@ -384,19 +421,44 @@ SIMHASH_INDEX_STRUCT = T.StructType(
 
 
 def bootstrap_simhash_index(
-    spark: SparkSession, path: str, n_buckets: int = 32
+    spark: SparkSession, path: str, n_buckets: int = 32, mutable: bool = False
 ) -> LakeTable:
-    """SimHash block-permutation index (append-only): same incremental
-    contract as the MinHash index, different signature family — hamming
-    radius on one 60-bit fingerprint instead of Jaccard bands. band_val
-    is a 30-bit concatenated-block key (C(6,3) = 20 tables — see
+    """SimHash block-permutation index: same incremental contract as the
+    MinHash index, different signature family — hamming radius on one
+    60-bit fingerprint instead of Jaccard bands. band_val is a 30-bit
+    concatenated-block key (C(6,3) = 20 tables — see
     ``dedup_docs.simhash_bands_from_sigs``), so bucket occupancy is
     bounded by ~corpus/2^30 random collisions per table, not the
-    saturating 2^15 of plain slices. Bucketed + compaction-sorted by
-    band_val so the pushed numeric IN-filter prunes files and row
-    groups."""
+    saturating 2^15 of plain slices.
+
+    ``mutable=False`` (append-only corpora): bucketed + compaction-sorted
+    by band_val so the pushed numeric IN-filter prunes files and row
+    groups. ``mutable=True`` (re-crawled / CDC-fed corpora): primary key
+    (doc_id, band_idx) with versioned MOR merges — a re-ingested doc's
+    band entries replace the previous version's at scan, deletes
+    tombstone every band slot — the exact contract of the mutable MinHash
+    index, bucketed by doc_id (the merge's pruning key)."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
+    if mutable:
+        # payload columns nullable: tombstones carry only the key
+        struct = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("simhash", T.LongType(), True),
+                T.StructField("band_idx", T.IntegerType(), False),
+                T.StructField("band_val", T.LongType(), True),
+            ]
+        )
+        return LakeTable.create(
+            spark,
+            path,
+            TableSchema.from_struct(struct),
+            primary_key=["doc_id", "band_idx"],
+            bucket_cols=["doc_id"],
+            n_buckets=n_buckets,
+            sort_cols=["band_val"],
+        )
     return LakeTable.create(
         spark,
         path,
@@ -416,6 +478,10 @@ def simhash_flag_and_ingest(
     batch_id: int = 0,
     max_hamming: int = 3,
     max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
+    version: Optional[int] = None,
+    version_col: Optional[str] = None,
+    deletes: Optional[DataFrame] = None,
+    flags_table: Optional[LakeTable] = None,
 ) -> DataFrame:
     """One increment against the SimHash index: flag (doc_a, doc_b,
     hamming) pairs with hamming ≤ max_hamming — intra-batch ∪ vs the
@@ -423,7 +489,11 @@ def simhash_flag_and_ingest(
     exactness contract as ``flag_and_ingest``: union-of-increments ==
     one-shot ``simhash_banded_pairs`` (block-permutation recall is exact
     for max_hamming < n_blocks), and redelivery after a committed append
-    reflags the identical set (batch-id anti-join)."""
+    reflags the identical set (batch-id anti-join). On a MUTABLE index
+    (``bootstrap_simhash_index(..., mutable=True)``) version/version_col/
+    deletes carry the same re-ingest/retract semantics as
+    ``flag_and_ingest``; ``flags_table`` commits its fenced append BEFORE
+    the index write (same crash-window ordering)."""
     from .dedup_docs import simhash_band_table
 
     # validation (0 < max_hamming < n_blocks) lives in the band
@@ -471,7 +541,28 @@ def simhash_flag_and_ingest(
             .filter(F.col("hamming") <= max_hamming)
         )
         out = flags.localCheckpoint(eager=True)  # resolve BEFORE the append
-        index.append(bt, fence=(app_id, batch_id))
+        if flags_table is not None:
+            # flags land before the index write — see flag_and_ingest's
+            # crash-window argument
+            flags_table.append(out, fence=(app_id, batch_id))
+        if index.snapshot().primary_key:
+            from .dedup_docs import simhash_n_bands
+
+            _mutable_merge(
+                index, bt, docs,
+                id_col="doc_id",
+                n_bands=simhash_n_bands(max_hamming),
+                null_cols=(("simhash", "long"), ("band_val", "long")),
+                app_id=app_id, batch_id=batch_id,
+                version=version, version_col=version_col, deletes=deletes,
+            )
+        else:
+            if version_col is not None or deletes is not None:
+                raise ValueError(
+                    "per-doc versions / deletes need a mutable index "
+                    "(bootstrap_simhash_index(..., mutable=True))"
+                )
+            index.append(bt, fence=(app_id, batch_id))
         return out
     finally:
         bt.unpersist()

@@ -283,3 +283,108 @@ def test_flags_commit_before_index_merge(spark, tmp_path, monkeypatch):
         )
     )
     assert set(got) == {(3, 9)}
+
+
+def test_mutable_simhash_update_and_retract(spark, tmp_path):
+    """Mutable SimHash index lifecycle (mirrors the MinHash mutable tests):
+    a re-ingested doc_id's band entries REPLACE the old version's — probes
+    match the new fingerprint, never the stale one — and a retraction
+    tombstones every band slot so the doc stops matching."""
+    from airbyte_spark.ops.dedup_index import (
+        bootstrap_simhash_index,
+        simhash_flag_and_ingest,
+    )
+
+    index = bootstrap_simhash_index(
+        spark, str(tmp_path / "sidx"), n_buckets=4, mutable=True
+    )
+    v1 = spark.createDataFrame(
+        [(1, BASES[0]), (2, BASES[1])], ["doc_id", "text"]
+    )
+    simhash_flag_and_ingest(index, v1, app_id="m", batch_id=0)
+    # doc 1's text changes entirely
+    v2 = spark.createDataFrame([(1, BASES[3])], ["doc_id", "text"])
+    simhash_flag_and_ingest(index, v2, app_id="m", batch_id=1)
+
+    cat_probe = spark.createDataFrame([(50, BASES[0])], ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_flag_and_ingest(
+            index, cat_probe, app_id="m", batch_id=2
+        ).collect()
+    }
+    assert (1, 50) not in got  # stale fingerprint never matches
+    new_probe = spark.createDataFrame([(51, BASES[3])], ["doc_id", "text"])
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_flag_and_ingest(
+            index, new_probe, app_id="m", batch_id=3
+        ).collect()
+    }
+    assert (1, 51) in got2  # the NEW fingerprint matches
+
+    # retract doc 2 (no new docs in the increment)
+    dels = spark.createDataFrame([(2,)], ["doc_id"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    simhash_flag_and_ingest(
+        index, empty, app_id="m", batch_id=4, deletes=dels, version=10
+    )
+    probe2 = spark.createDataFrame([(52, BASES[1])], ["doc_id", "text"])
+    got3 = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_flag_and_ingest(
+            index, probe2, app_id="m", batch_id=5
+        ).collect()
+    }
+    assert got3 == set()  # retracted doc is gone
+
+
+def test_mutable_embedding_update_and_retract(spark, tmp_path):
+    """Mutable embedding index lifecycle: re-ingest re-points the vector's
+    bucket row; retraction tombstones it."""
+    from airbyte_spark.ops.ann_index import (
+        bootstrap_embedding_dedup_index,
+        embedding_flag_and_ingest,
+    )
+
+    index = bootstrap_embedding_dedup_index(
+        spark, str(tmp_path / "eidx"), n_buckets=4, n_bits=3, mutable=True
+    )
+    A, B = [1.0, 1.0, 1.0], [-1.0, -1.0, 1.0]  # buckets 7 and 4
+    schema = "vec_id long, embedding array<float>"
+    embedding_flag_and_ingest(
+        index, spark.createDataFrame([(1, A), (2, B)], schema), batch_id=0
+    )
+    # vec 1 moves to B's bucket
+    embedding_flag_and_ingest(
+        index, spark.createDataFrame([(1, B)], schema), batch_id=1
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_flag_and_ingest(
+            index, spark.createDataFrame([(50, A)], schema), batch_id=2
+        ).collect()
+    }
+    assert got == set()  # nothing lives in A's bucket anymore
+    got2 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_flag_and_ingest(
+            index, spark.createDataFrame([(51, B)], schema), batch_id=3
+        ).collect()
+    }
+    assert got2 == {(1, 51), (2, 51)}
+    # retract vec 2
+    embedding_flag_and_ingest(
+        index,
+        spark.createDataFrame([], schema),
+        batch_id=4,
+        deletes=spark.createDataFrame([(2,)], ["vec_id"]),
+        version=10,
+    )
+    got3 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_flag_and_ingest(
+            index, spark.createDataFrame([(52, B)], schema), batch_id=5
+        ).collect()
+    }
+    assert got3 == {(1, 52), (51, 52)}  # 2 is gone; 1 and probe-51 remain
