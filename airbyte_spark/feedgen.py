@@ -204,6 +204,12 @@ def _write_segments(ev: pd.DataFrame, out_dir: str, n_segments: int) -> None:
     fields = list(_ARROW_FIELDS)
     if "tool_version" in ev.columns:
         fields = fields[:6] + [("tool_version", pa.string())] + fields[6:]
+    # carry any EXTRA payload columns (e.g. an embedding vector) with
+    # arrow-inferred types; "op"/"version" stay generator-internal
+    known = {name for name, _ in fields} | {"op", "version"}
+    for c in ev.columns:
+        if c not in known:
+            fields.append((c, pa.array(ev[c]).type))
     schema = pa.schema(fields)
     cols = [name for name, _ in fields]
     splits = np.array_split(np.arange(len(ev)), n_segments)

@@ -136,6 +136,12 @@ def main(argv: list[str] | None = None) -> None:
                    "the stream's text at this path (ingest-time flagging: "
                    "candidate pairs land in <path>_flags; updates re-point, "
                    "deletes retract — ops/dedup_index.py)")
+    p.add_argument("--embedding-index", default=None,
+                   help="maintain a mutable sign-LSH SEMANTIC near-dup "
+                   "index of the stream's embedding column at this path "
+                   "(requires an 'embedding' array<float> column in "
+                   "--feed-schema-ddl; candidate pairs land in "
+                   "<path>_flags — ops/ann_index.py)")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -236,6 +242,27 @@ def main(argv: list[str] | None = None) -> None:
                 0,
                 post=_post,
             )
+        if args.embedding_index:
+            from .ops.ann_index import (
+                bootstrap_embedding_dedup_index,
+                bootstrap_embedding_flags_table,
+            )
+            from .streaming.runner import embedding_flag_batch
+
+            embedding_flag_batch(
+                raw,
+                (
+                    bootstrap_embedding_dedup_index(
+                        spark, args.embedding_index, n_buckets=8, mutable=True
+                    ),
+                    bootstrap_embedding_flags_table(
+                        spark, args.embedding_index.rstrip("/") + "_flags"
+                    ),
+                ),
+                args.app_id,
+                0,
+                post=_post,
+            )
     else:
         snapshot_plan_path = None
         if args.snapshot_source or args.snapshot_plan:
@@ -292,6 +319,7 @@ def main(argv: list[str] | None = None) -> None:
             snapshot_source_dir=args.snapshot_source,
             snapshot_chunks_per_trigger=args.snapshot_chunks_per_trigger,
             dedup_index_path=args.dedup_index,
+            embedding_index_path=args.embedding_index,
         )
         # honor --n-buckets on the streaming path too: the runner's
         # bootstrap is open-if-exists, so creating here pins the layout

@@ -231,6 +231,34 @@ def bootstrap_embedding_dedup_index(
     )
 
 
+EMB_FLAGS_STRUCT = T.StructType(
+    [
+        T.StructField("vec_a", T.LongType(), False),
+        T.StructField("vec_b", T.LongType(), False),
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ]
+)
+
+
+def bootstrap_embedding_flags_table(
+    spark: SparkSession, path: str, n_buckets: int = 8
+) -> LakeTable:
+    """Append-only sink for the embedding index's candidate pairs — the
+    semantic sibling of ``dedup_index.bootstrap_flags_table`` (different
+    payload shape: cosine + bucket instead of shared band count)."""
+    if LakeTable.exists(path):
+        return LakeTable(spark, path)
+    return LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(EMB_FLAGS_STRUCT),
+        primary_key=[],
+        bucket_cols=["vec_a"],
+        n_buckets=n_buckets,
+    )
+
+
 def _load_lsh_meta(path: str) -> dict:
     """Persisted bucketing parameters; defaults cover indexes created
     before the meta file existed."""

@@ -154,6 +154,17 @@ class ReplayConfig:
     dedup_index_path: Optional[str] = None
     dedup_flags_path: Optional[str] = None
     dedup_text_col: str = "text"
+    #: ingest-time SEMANTIC near-dup flagging (ops/ann_index.py): the
+    #: sibling of dedup_index_path for an embedding column — maintain a
+    #: MUTABLE sign-LSH index of each key's winning vector (CDC LSN as
+    #: the version; updates re-point, deletes retract) and append
+    #: candidate pairs to a fenced ``<path>_flags`` table (override via
+    #: embedding_flags_path). The feed_struct must carry
+    #: ``embedding_col`` (array<float>) — e.g. vectors attached by an
+    #: upstream encoder or the ``enrich`` hook's sibling pipeline.
+    embedding_index_path: Optional[str] = None
+    embedding_flags_path: Optional[str] = None
+    embedding_col: str = "embedding"
     #: test hook: called as fault(batch_id) AFTER the merge commit — lets
     #: tests crash in the at-least-once window between sink commit and
     #: checkpoint commit
@@ -276,10 +287,61 @@ def dedup_flag_batch(
     )
 
 
+def embedding_flag_batch(
+    batch_df: DataFrame,
+    emb_ctx: tuple,
+    app_id: str,
+    batch_id: int,
+    *,
+    emb_col: str = "embedding",
+    post: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> None:
+    """Semantic sibling of ``dedup_flag_batch``: mirror the mutable
+    sign-LSH embedding index against one change batch's per-key winners
+    (upserts re-point the vector's bucket row, deletes and null-embedding
+    winners retract) and append candidate pairs to the flags table —
+    flags committed before the index merge, same crash-window ordering."""
+    from ..operators.dedup import latest_per_key
+    from ..ops.ann_index import embedding_flag_and_ingest
+    from ..ops.hashing import h60
+
+    e_index, e_flags = emb_ctx
+    top = latest_per_key(batch_df, PK, ORDER_COLS)
+    vid = h60(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in PK]))
+    live = top.filter(F.col("_ab_cdc_deleted_at").isNull())
+    if post is not None:
+        live = post(live)
+    has_emb = F.col(emb_col).isNotNull()
+    vecs = live.filter(has_emb).select(
+        vid.alias("vec_id"),
+        F.col(emb_col).cast("array<float>").alias("embedding"),
+        F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+    )
+    retract = [
+        vid.alias("vec_id"),
+        F.col("_ab_cdc_lsn").cast("long").alias("_version"),
+    ]
+    dels = (
+        top.filter(F.col("_ab_cdc_deleted_at").isNotNull())
+        .select(*retract)
+        .unionByName(live.filter(~has_emb).select(*retract))
+    )
+    embedding_flag_and_ingest(
+        e_index,
+        vecs,
+        app_id=app_id,
+        batch_id=batch_id,
+        version_col="_version",
+        deletes=dels,
+        flags_table=e_flags,
+    )
+
+
 def _snapshot_secondaries(
     scd_table: Optional[LakeTable],
     children: Optional[tuple[dict, list]],
     dedup_ctx: Optional[tuple],
+    emb_ctx: Optional[tuple] = None,
 ) -> list[LakeTable]:
     """Every table (besides the main one) that ``_apply`` commits a chunk
     into — the set whose fences bound the snapshot resume point."""
@@ -290,6 +352,8 @@ def _snapshot_secondaries(
         secs.extend(children[0].values())
     if dedup_ctx is not None:
         secs.extend(dedup_ctx)
+    if emb_ctx is not None:
+        secs.extend(emb_ctx)
     return secs
 
 
@@ -301,6 +365,7 @@ def _process_batch(
     tail_dst: Optional[LakeTable] = None,
     snapshot_ctx: Optional[tuple] = None,
     dedup_ctx: Optional[tuple] = None,
+    emb_ctx: Optional[tuple] = None,
 ):
     def _apply(
         batch_df: DataFrame, app_id: str, batch_id: int, commit_empty: bool
@@ -375,6 +440,11 @@ def _process_batch(
                 batch_df, dedup_ctx, app_id, batch_id,
                 text_col=cfg.dedup_text_col, post=_post,
             )
+        if emb_ctx is not None:
+            embedding_flag_batch(
+                batch_df, emb_ctx, app_id, batch_id,
+                emb_col=cfg.embedding_col, post=_post,
+            )
         return stats
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -396,7 +466,9 @@ def _process_batch(
             # commits must re-run the chunk (each sub-merge fence-skips)
             pend = pending_chunks(
                 table, plan,
-                secondary=_snapshot_secondaries(scd_table, children, dedup_ctx),
+                secondary=_snapshot_secondaries(
+                    scd_table, children, dedup_ctx, emb_ctx
+                ),
             )
             for i in pend[: max(0, cfg.snapshot_chunks_per_trigger)]:
                 chunk = stamp_chunk(
@@ -536,6 +608,30 @@ def run_replay_stream(
                 or cfg.dedup_index_path.rstrip("/") + "_flags",
             ),
         )
+    emb_ctx = None
+    if cfg.embedding_index_path:
+        from ..ops.ann_index import (
+            bootstrap_embedding_dedup_index,
+            bootstrap_embedding_flags_table,
+        )
+
+        feed_cols = {f.name for f in cfg.feed_struct.fields}
+        if cfg.embedding_col not in feed_cols:
+            raise ValueError(
+                f"embedding_index_path needs a {cfg.embedding_col!r} "
+                "column in feed_struct (set embedding_col to the vector "
+                "column)"
+            )
+        emb_ctx = (
+            bootstrap_embedding_dedup_index(
+                spark, cfg.embedding_index_path, n_buckets=8, mutable=True
+            ),
+            bootstrap_embedding_flags_table(
+                spark,
+                cfg.embedding_flags_path
+                or cfg.embedding_index_path.rstrip("/") + "_flags",
+            ),
+        )
     snapshot_ctx = None
     if cfg.snapshot_plan_path:
         from ..sources.snapshot import SnapshotPlan
@@ -587,7 +683,7 @@ def run_replay_stream(
         stream.writeStream.foreachBatch(
             _process_batch(
                 table, cfg, scd_table, children, tail_dst, snapshot_ctx,
-                dedup_ctx,
+                dedup_ctx, emb_ctx,
             )
         )
         .option("checkpointLocation", cfg.checkpoint_dir)
@@ -610,13 +706,14 @@ def run_replay_stream(
 
                 plan, snap_source = snapshot_ctx
                 proc = _process_batch(
-                    table, cfg, scd_table, children, dedup_ctx=dedup_ctx
+                    table, cfg, scd_table, children, dedup_ctx=dedup_ctx,
+                    emb_ctx=emb_ctx,
                 )
                 drained = 0
                 for i in pending_chunks(
                     table, plan,
                     secondary=_snapshot_secondaries(
-                        scd_table, children, dedup_ctx
+                        scd_table, children, dedup_ctx, emb_ctx
                     ),
                 ):
                     chunk = stamp_chunk(

@@ -240,3 +240,103 @@ def test_backfill_with_dedup_index(spark, tmp_path):
         .groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
     }
     assert per_doc == {ids[c]: n_bands for c in "abdefg"}
+
+
+def test_stream_embedding_flags_lifecycle(spark, tmp_path):
+    """Semantic sibling of the text lifecycle: a 3-trigger WAL with an
+    embedding column drives the MUTABLE sign-LSH index end-to-end —
+    intra-batch near-dup, cross-trigger match vs the accepted corpus, an
+    UPDATE that re-points the key's vector (old bucket stops matching),
+    and a DELETE that retracts it."""
+    from pyspark.sql import types as T
+
+    from airbyte_spark.schemas import CHANGE_STRUCT
+
+    A = np.array([1.0, 1.0, 1.0], dtype=np.float32)     # bucket 0b111
+    B = np.array([-1.0, -1.0, 1.0], dtype=np.float32)   # bucket 0b100
+    C = np.array([1.0, -1.0, -1.0], dtype=np.float32)   # bucket 0b001
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        # (conv, vec, lsn, deleted)
+        ("a", A, 1, False),
+        ("b", A, 2, False),   # trigger 1 intra-batch pair with a
+        ("c", C, 3, False),
+        ("d", A, 4, False),   # trigger 2: matches accepted b (a updates away)
+        ("a", B, 5, False),   # trigger 2: a's vector CHANGES
+        ("c", None, 6, True), # trigger 2: c deleted
+        ("e", B, 7, False),   # trigger 3: matches a's NEW vector only
+        ("f", C, 8, False),   # trigger 3: c is retracted — no match
+        ("g", A, 9, False),   # trigger 3: matches b, d — NOT a anymore
+    ]
+    ev = pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": np.zeros(len(rows), dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": ["t"] * len(rows),
+            "tool": [None] * len(rows),
+            "ts": [base] * len(rows),
+            "_ab_cdc_lsn": np.array([r[2] for r in rows], dtype="int64"),
+            "_ab_cdc_updated_at": [base + np.timedelta64(r[2], "s") for r in rows],
+            "_ab_cdc_deleted_at": [
+                base + np.timedelta64(r[2], "s") if r[3] else np.datetime64("NaT")
+                for r in rows
+            ],
+            "_airbyte_emitted_at": [base + np.timedelta64(r[2], "s") for r in rows],
+            "embedding": [r[1] for r in rows],
+        }
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    _write_segments(ev, str(feed), 3)
+
+    feed_struct = T.StructType(
+        list(CHANGE_STRUCT.fields)
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    cfg = ReplayConfig(
+        feed_dir=str(feed),
+        table_path=str(tmp_path / "tbl"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        max_files_per_trigger=1,
+        feed_struct=feed_struct,
+        embedding_index_path=str(tmp_path / "eidx"),
+    )
+    run_replay_stream(spark, cfg)
+
+    ids = {c: _h60(c) for c in "abcdefg"}
+
+    def pair(x, y):
+        a, b = sorted((ids[x], ids[y]))
+        return (a, b)
+
+    flags = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in LakeTable(spark, str(tmp_path / "eidx") + "_flags")
+        .read()
+        .collect()
+    }
+    # identical vectors: cosine exactly 1.0
+    assert flags == {
+        pair("a", "b"): 1.0,
+        pair("b", "d"): 1.0,
+        pair("a", "e"): 1.0,
+        pair("b", "g"): 1.0,
+        pair("d", "g"): 1.0,
+    }
+    # index state: one live row per undeleted key; c fully retracted
+    idx = LakeTable(spark, str(tmp_path / "eidx"))
+    live = {r.vec_id for r in idx.read().collect()}
+    assert live == {ids[c] for c in "abdefg"}
+
+    # resume with nothing new: no index/flags commits
+    v_idx = idx.snapshot().version
+    v_flags = LakeTable(
+        spark, str(tmp_path / "eidx") + "_flags"
+    ).snapshot().version
+    run_replay_stream(spark, cfg)
+    assert idx.snapshot().version == v_idx
+    assert (
+        LakeTable(spark, str(tmp_path / "eidx") + "_flags").snapshot().version
+        == v_flags
+    )
