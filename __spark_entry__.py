@@ -1427,6 +1427,21 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.ivf_search(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means refinement of the IVF quantizer (2 iterations from
+    the seeded first-k init), returning the final assignment. The oracle
+    unrolls both iterations in SQL — assignment via the same rounded-cos
+    rank, centroid update via per-(cell,pos) mean CAST TO FLOAT32 on both
+    engines (the float cast absorbs either engine's double-sum ordering),
+    empty cells keeping their previous centroid."""
+    emb = _t(spark, sf_dir, "embeddings")
+    trained = emb_ops.train_centroids(emb, k=8, iters=2)
+    cents = trained.select(
+        F.col("cell").alias("vec_id"), F.col("c").alias("embedding")
+    )
+    return emb_ops.ivf_assign(emb, 8, cents)
+
+
 def q_ann_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERSISTENT incremental IVF (ops/ann_index.py): the embeddings table
     is ingested in two fenced increments into a cell-bucketed LakeTable
@@ -1574,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recursive_unnest": q_cdc_recursive_unnest,  # nested_unnest tier
         "cdc_list_slice": q_cdc_list_slice,  # record_filter_slice family
         "cdc_substream_slice": q_cdc_substream_slice,  # record_filter_slice family
+        "ann_ivf_train": q_ann_ivf_train,  # ivf family (assign/search gate it)
     }
 
 
@@ -1593,6 +1609,28 @@ def _dot(a: str, b: str) -> str:
 
 def _cos(a: str, b: str) -> str:
     return f"round({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 6)"
+
+
+def _LLOYD_ITER(i: int) -> str:
+    """One unrolled Lloyd iteration as CTEs: assign under cents{i-1},
+    mean-update (float32-cast per element), carry empty cells forward."""
+    return f"""
+            a{i} AS (SELECT vec_id, cell, embedding FROM (
+                SELECT e.vec_id, c.cell, e.embedding,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("c.c", "e.embedding")} DESC,
+                                  c.cell ASC) rnk
+                FROM embeddings e, cents{i - 1} c) WHERE rnk = 1),
+            m{i} AS (SELECT cell, list(CAST(m AS REAL) ORDER BY pos) AS c
+                     FROM (SELECT cell, pos, avg(CAST(v AS DOUBLE)) AS m
+                           FROM (SELECT cell, unnest(embedding) AS v,
+                                        generate_subscripts(embedding, 1) AS pos
+                                 FROM a{i})
+                           GROUP BY cell, pos)
+                     GROUP BY cell),
+            cents{i} AS (SELECT c.cell, COALESCE(m{i}.c, c.c) AS c
+                         FROM cents{i - 1} c LEFT JOIN m{i} USING (cell)),
+    """.rstrip() + "\n"
 
 
 _SHINGLES_CTE = r"""
@@ -2395,6 +2433,25 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY cos DESC, neighbor_id ASC) rank FROM cand)
             SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos
             FROM r WHERE rank <= 5
+        """,
+        # 2 unrolled Lloyd iterations: assignment = the rounded-cos rank,
+        # update = per-(cell, pos) mean cast to FLOAT32 on both engines
+        # (the float cast absorbs double-sum ordering differences), empty
+        # cells keep their previous centroid
+        "ann_ivf_train": f"""
+            WITH cents0 AS (SELECT vec_id AS cell, embedding AS c
+                            FROM embeddings WHERE vec_id < 8),
+            {"".join(_LLOYD_ITER(i) for i in (1, 2))}
+            final AS (
+              SELECT e.vec_id, c.cell,
+                     {_cos("c.c", "e.embedding")} AS cos,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_cos("c.c", "e.embedding")} DESC,
+                                c.cell ASC) rnk
+              FROM embeddings e, cents2 c)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(cell AS BIGINT) AS cell, cos
+            FROM final WHERE rnk = 1
         """,
         # the persistent bucket-pruned IVF index must answer bit-equal
         # to the one-shot ivf_search plan — same oracle by construction
