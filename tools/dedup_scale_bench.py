@@ -54,6 +54,15 @@ from bench import (  # noqa: E402
 
 QUIET = 1.0
 N_DOCS = int(os.environ.get("DEDUP_SCALE_DOCS", "5000000"))
+#: comma-separated subset of sections to run (re-adopt a stormy one
+#: without repaying the whole suite); empty = all
+ONLY = {
+    s for s in os.environ.get("DEDUP_SCALE_SECTIONS", "").split(",") if s
+}
+
+
+def _want(name: str) -> bool:
+    return not ONLY or name in ONLY
 INCREMENT_DOCS = 1000
 TOKENS_PER_DOC = 16
 
@@ -157,42 +166,50 @@ def main():
     noop = lambda df: df.write.format("noop").mode("overwrite").save()  # noqa: E731
 
     # --- one-shot banded ops over the full corpus ---------------------------
-    timed("minhash_banded", lambda: noop(minhash_lsh_candidates(corpus)), N_DOCS)
-    timed("simhash_banded", lambda: noop(simhash_banded_pairs(corpus)), N_DOCS)
+    if _want("minhash_banded"):
+        timed("minhash_banded", lambda: noop(minhash_lsh_candidates(corpus)), N_DOCS)
+    if _want("simhash_banded"):
+        timed("simhash_banded", lambda: noop(simhash_banded_pairs(corpus)), N_DOCS)
 
     # --- incremental flag paths against the indexed corpus ------------------
     tmp = tempfile.mkdtemp(prefix="dedup_scale_bench_")
+    run_mh = _want("minhash_index_build") or _want("minhash_index_flag")
+    run_sh = _want("simhash_index_build") or _want("simhash_index_flag")
     mh_index = bootstrap_dedup_index(
         spark, os.path.join(tmp, "mh"), n_buckets=CPUS
     )
-    t0 = time.time()
-    mh_index.append(minhash_band_table(corpus), fence=("bench", 0))
-    record("minhash_index_build", round(time.time() - t0, 3),
-           bracket_calibration(), N_DOCS)
-    enumerate_it = iter(enumerate(incs[:2]))
+    if run_mh:
+        t0 = time.time()
+        mh_index.append(minhash_band_table(corpus), fence=("bench", 0))
+        record("minhash_index_build", round(time.time() - t0, 3),
+               bracket_calibration(), N_DOCS)
+        enumerate_it = iter(enumerate(incs[:2]))
 
-    def mh_flag():
-        i, inc = next(enumerate_it)
-        flag_and_ingest(mh_index, inc, app_id="bench", batch_id=i + 1)
+        def mh_flag():
+            i, inc = next(enumerate_it)
+            flag_and_ingest(mh_index, inc, app_id="bench", batch_id=i + 1)
 
-    mh_flag()  # warm
-    timed("minhash_index_flag", mh_flag, INCREMENT_DOCS)
+        mh_flag()  # warm
+        timed("minhash_index_flag", mh_flag, INCREMENT_DOCS)
 
-    sh_index = bootstrap_simhash_index(
-        spark, os.path.join(tmp, "sh"), n_buckets=CPUS
-    )
-    t0 = time.time()
-    sh_index.append(simhash_band_table(corpus), fence=("bench", 0))
-    record("simhash_index_build", round(time.time() - t0, 3),
-           bracket_calibration(), N_DOCS)
-    enumerate_it = iter(enumerate(incs[2:]))
+    if run_sh:
+        sh_index = bootstrap_simhash_index(
+            spark, os.path.join(tmp, "sh"), n_buckets=CPUS
+        )
+        t0 = time.time()
+        sh_index.append(simhash_band_table(corpus), fence=("bench", 0))
+        record("simhash_index_build", round(time.time() - t0, 3),
+               bracket_calibration(), N_DOCS)
+        enumerate_it = iter(enumerate(incs[2:]))
 
-    def sh_flag():
-        i, inc = next(enumerate_it)
-        simhash_flag_and_ingest(sh_index, inc, app_id="bench", batch_id=i + 1)
+        def sh_flag():
+            i, inc = next(enumerate_it)
+            simhash_flag_and_ingest(
+                sh_index, inc, app_id="bench", batch_id=i + 1
+            )
 
-    sh_flag()  # warm
-    timed("simhash_index_flag", sh_flag, INCREMENT_DOCS)
+        sh_flag()  # warm
+        timed("simhash_index_flag", sh_flag, INCREMENT_DOCS)
 
     with open(STATE_FILE, "w") as f:
         json.dump(st, f, indent=1, sort_keys=True)
