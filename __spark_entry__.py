@@ -1155,6 +1155,39 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-token fraction, top-bigram /
+    top-trigram fraction, composite flag) — map-only per-row array folds,
+    zero shuffle at any scale."""
+    return text_analysis.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at window granularity (Lee et al. 2022
+    reduction): per doc, the fraction of 10-token windows whose hash
+    occurs >= 2 times corpus-wide. Inverted-index shape — one hash agg on
+    the window hash, O(total tokens) shuffle, no joins that fan out."""
+    return dedup_docs.exact_substring_dups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cell clustering + within-cell cosine >= threshold
+    drops every vector with a smaller-id near-semantic twin. Candidates
+    only meet inside a (capped) cell — never an all-pairs join."""
+    return emb_ops.semantic_dedup(_t(spark, sf_dir, "embeddings"))
+
+
+def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-token-mixture downsampling (50/30/20 en/de/fr by tokens):
+    per-domain acceptance rates from one tiny totals aggregate, applied
+    as per-row hash sampling — corpus side is a single scan."""
+    from airbyte_spark.ops.curation import domain_mixture_sample
+
+    return domain_mixture_sample(
+        _t(spark, sf_dir, "documents"), {"en": 0.5, "de": 0.3, "fr": 0.2}
+    )
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with deterministic synthetic PII
     injected first (the corpus itself is PII-free word salad): every
@@ -1527,7 +1560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_per_key": q_cdc_latest_per_key,
         "cdc_replay_final_state": q_cdc_replay_final_state,
         "cdc_cursor_scan": q_cdc_cursor_scan,
-        "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
@@ -1545,7 +1577,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_surrogate_hash": q_cdc_surrogate_hash,
         "cdc_json_extract": q_cdc_json_extract,
         "cdc_schema_union_by_name": q_cdc_schema_union_by_name,
-        "cdc_event_projection": q_cdc_event_projection,
         "pipeline_curation": q_pipeline_curation,
         "cdc_nested_unnest": q_cdc_nested_unnest,
         "cdc_record_filter_slice": q_cdc_record_filter_slice,
@@ -1558,26 +1589,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_token_count": q_text_token_count,
-        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sample_stratified_split": q_sample_stratified_split,
         "sample_per_stratum": q_sample_per_stratum,
         "text_pack_sequences": q_text_pack_sequences,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash_banded": q_dedup_simhash_banded,
+        "dedup_semantic": q_dedup_semantic,
+        "sample_domain_mixture": q_sample_domain_mixture,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_label_blocked": q_ann_ivf_label_blocked,
         "ann_ivf_search": q_ann_ivf_search,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
         "multimodal_decode": q_multimodal_decode,
         # ---- gate-sample boundary (first 50 above) ----
-        # twins / verifier tiers, each equal to a gated sibling by
-        # construction and oracle-checked locally by selfcheck.py:
+        # twins / family-gated variants, each oracle-checked locally by
+        # selfcheck.py; the inline note names the sibling that gates it:
         "multimodal_meta": q_multimodal_meta,  # decode gates the family
+        "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,  # cursor_scan's limit(n+1) probe
+        "cdc_event_projection": q_cdc_event_projection,  # replay_final_state embeds the projection
+        "text_fingerprint": q_text_fingerprint,  # text-analysis family (lang_id/quality/tokens gate)
+        "ann_ivf_label_blocked": q_ann_ivf_label_blocked,  # cell-blocked near-dup; ivf_search + signbucket gate
         "ann_ivf_assign": q_ann_ivf_assign,  # ivf_search embeds _assign
         "ann_incremental_ivf": q_ann_incremental_ivf,  # == ann_ivf_search
         "ann_incremental_signlsh": q_ann_incremental_signlsh,  # == signbucket (uncapped)
@@ -2215,6 +2252,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS dup_cnt
             FROM documents GROUP BY md5(text)
         """,
+        # repetition flags compare on the UNROUNDED ratios, like the Spark
+        # side; top-n-gram multiplicity via unnest+group (the oracle need
+        # not mirror the map-side sorted-run fold, only its values)
+        "text_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+            base AS (
+              SELECT doc_id, t, len(t) n, len(list_distinct(t)) nd,
+                     greatest(len(t) - 1, 0) n2, greatest(len(t) - 2, 0) n3
+              FROM toks),
+            g2 AS (SELECT doc_id, max(c) top2 FROM (
+                     SELECT doc_id, g, count(*) c FROM (
+                       SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                       FROM base, UNNEST(range(1, greatest(n - 1, 0) + 1)) AS u(i))
+                     GROUP BY doc_id, g) GROUP BY doc_id),
+            g3 AS (SELECT doc_id, max(c) top3 FROM (
+                     SELECT doc_id, g, count(*) c FROM (
+                       SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+                       FROM base, UNNEST(range(1, greatest(n - 2, 0) + 1)) AS u(i))
+                     GROUP BY doc_id, g) GROUP BY doc_id)
+            SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+                   round((b.n - b.nd) / b.n, 6) AS dup_token_frac,
+                   round(coalesce(g2.top2 / nullif(b.n2, 0), 0), 6) AS top_bigram_frac,
+                   round(coalesce(g3.top3 / nullif(b.n3, 0), 0), 6) AS top_trigram_frac,
+                   CAST(((b.n - b.nd) / b.n > 0.6
+                         OR (b.n2 >= 16 AND coalesce(g2.top2 / nullif(b.n2, 0), 0) > 0.2)
+                         OR (b.n3 >= 16 AND coalesce(g3.top3 / nullif(b.n3, 0), 0) > 0.18))
+                        AS INT) AS repetitive
+            FROM base b LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        """,
+        # a window is duplicated when its 10-token hash occurs >= 2 times
+        # corpus-wide (other doc OR other position of the same doc)
+        "dedup_exact_substring": rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+            w AS (SELECT doc_id, {_H("array_to_string(t[i:i+9], ' ')")} AS wh
+                  FROM toks, UNNEST(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)),
+            c AS (SELECT wh, count(*) AS n FROM w GROUP BY wh),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                          CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_dup_windows
+                   FROM w JOIN c USING (wh) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(pd.n_windows, 0) AS n_windows,
+                   coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+                   round(coalesce(pd.n_dup_windows / nullif(pd.n_windows, 0), 0), 6)
+                       AS dup_window_frac,
+                   CAST(coalesce(pd.n_dup_windows, 0) > 0 AS INT) AS has_dup
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
         "text_pii_redact": rf"""
             WITH injected AS (
               SELECT doc_id,
@@ -2545,6 +2632,65 @@ def oracle_sql() -> dict[str, str]:
                    {_cos("a.embedding", "b.embedding")} AS cos
             FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE {_cos("a.embedding", "b.embedding")} >= 0.3
+        """,
+        # SemDeDup: same seeded-centroid assignment as ann_ivf_assign, the
+        # same <=48 rank-chunk occupancy cap as ann_ivf_label_blocked, then
+        # dup_of = smallest same-(cell,sub) id with cosine >= 0.4
+        "dedup_semantic": f"""
+            WITH cents AS (SELECT vec_id AS cell, embedding AS c FROM embeddings
+                           WHERE vec_id < 8),
+            assigned AS (
+              SELECT vec_id, cell, embedding FROM (
+                SELECT e.vec_id, cents.cell, e.embedding,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_cos("cents.c", "e.embedding")} DESC,
+                                  cents.cell ASC) rnk
+                FROM embeddings e, cents) WHERE rnk = 1),
+            v AS (SELECT vec_id, cell, embedding,
+                         CAST(floor((row_number() OVER (PARTITION BY cell
+                                                        ORDER BY vec_id) - 1)
+                              / {emb_ops.DEFAULT_MAX_CELL_SIZE}.0) AS BIGINT) AS sub
+                  FROM assigned),
+            d AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+                  FROM v a JOIN v b ON a.cell = b.cell AND a.sub = b.sub
+                                   AND b.vec_id < a.vec_id
+                  WHERE {_cos("a.embedding", "b.embedding")} >= 0.4
+                  GROUP BY a.vec_id)
+            SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+                   CAST(v.cell AS BIGINT) AS cell,
+                   CAST(d.dup_of AS BIGINT) AS dup_of,
+                   CAST(d.dup_of IS NULL AS INT) AS keep
+            FROM v LEFT JOIN d USING (vec_id)
+        """,
+        # acceptance rates in ppm from the per-domain token totals; the
+        # double arithmetic mirrors Spark's ((s*C)/T)*1e6 left-assoc order
+        # and every literal share is CAST to DOUBLE (DuckDB parses 0.5 as
+        # DECIMAL otherwise, which rounds differently)
+        "sample_domain_mixture": f"""
+            WITH base AS (
+              SELECT doc_id, lang AS domain,
+                     CAST(len(regexp_extract_all(text, '{text_analysis.BPE_REGEX}'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            tot AS (SELECT domain, sum(n_tokens) AS T,
+                           CASE domain WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                                       WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                                       WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+                           END AS s
+                    FROM base GROUP BY domain),
+            r AS (SELECT domain,
+                         CASE WHEN s IS NOT NULL AND T > 0
+                              THEN least(CAST(floor(s * (SELECT min(T / s) FROM tot
+                                                         WHERE s IS NOT NULL)
+                                               / T * 1000000) AS BIGINT),
+                                         1000000)
+                              ELSE 0 END AS rate_ppm
+                  FROM tot)
+            SELECT b.doc_id, b.domain, b.n_tokens,
+                   CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+                   CAST(({_H("b.doc_id || ':mix'")} % 1000000) < r.rate_ppm AS INT)
+                       AS sampled
+            FROM base b JOIN r USING (domain)
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -285,3 +285,89 @@ def sample_per_stratum(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+def domain_mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic downsampling to a target domain TOKEN mixture
+    (the "data mixing" step of a pretraining pipeline: e.g. 50% en,
+    30% de, 20% fr by tokens, from a corpus with whatever skew it has).
+
+    Never upsamples: the achievable corpus is scaled by the binding
+    domain — C = min_d(T_d / s_d) tokens total, where T_d is domain d's
+    token count and s_d its normalized target share; each domain then
+    keeps rate_d = s_d·C / T_d of its docs (≤ 1 by construction, = 1 for
+    the binding domain). Selection is per-row hash sampling
+    (md5(id:salt) in parts-per-million), so membership is uniform within
+    a domain, replayable across reruns/appends, and engine-portable —
+    the same properties ``split_bucket`` documents. Domains without a
+    target share are dropped (rate 0), the standard "not in the mixture"
+    posture.
+
+    Plan shape at 100 TB: one hash aggregate to the ≤|domains| totals
+    row set, the C reduction over those few rows (driverless: a
+    cross-joined 1-row agg), then ONE broadcast join back — the corpus
+    side is a single scan, zero corpus shuffles. Expected sampled token
+    mass per domain is s_d·C exactly (hash uniformity); exact-count
+    sampling would need a per-domain global sort — the wrong trade at
+    scale. Output: (doc_id, domain, n_tokens, rate_ppm, sampled).
+    """
+    from .text_analysis import BPE_REGEX
+
+    if not targets:
+        raise ValueError("domain_mixture_sample needs at least one target share")
+    bad = {d: s for d, s in targets.items() if s <= 0}
+    if bad:
+        raise ValueError(f"target shares must be > 0, got {bad}")
+    tot = float(sum(targets.values()))
+    share = F.create_map(
+        *[x for d, s in sorted(targets.items()) for x in (F.lit(d), F.lit(s / tot))]
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(domain_col).alias("domain"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).cast("long").alias("n_tokens"),
+    )
+    totals = (
+        base.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("_T"))
+        .withColumn("_s", F.element_at(share, F.col("domain")))
+    )
+    # C = min over TARGETED domains of T_d/s_d, via an unpartitioned
+    # window over the ≤|domains|-row totals frame (a handful of rows on
+    # one reducer — bounded by construction, never corpus-sized)
+    c_expr = F.min(
+        F.when(F.col("_s").isNotNull(), F.col("_T") / F.col("_s"))
+    ).over(Window.partitionBy())
+    # guarded by isNotNull, NOT coalesce-around-least: least() IGNORES
+    # nulls (returns the smallest non-null), so least(null, 1e6) would
+    # hand every untargeted domain rate 1.0 instead of dropping it
+    rates = totals.withColumn("_C", c_expr).select(
+        "domain",
+        F.when(
+            # _T > 0 also guards floor(s·C/0 = Inf), which overflows the
+            # long cast under ANSI mode; a 0-token targeted domain binds
+            # C to 0 anyway, so every rate is legitimately 0 then
+            F.col("_s").isNotNull() & (F.col("_T") > 0),
+            F.least(
+                F.floor(F.col("_s") * F.col("_C") / F.col("_T") * 1_000_000),
+                F.lit(1_000_000),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    h = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % 1_000_000
+    return base.join(F.broadcast(rates), "domain").select(
+        id_col,
+        "domain",
+        "n_tokens",
+        "rate_ppm",
+        (h < F.col("rate_ppm")).cast("int").alias("sampled"),
+    )

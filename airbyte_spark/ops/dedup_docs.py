@@ -425,3 +425,84 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BIT
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better") — Spark-first reduction: instead of a
+# distributed suffix array, hash every W-token window and find windows
+# that occur more than once anywhere in the corpus. Any duplicated
+# substring of ≥ W tokens contains at least one duplicated window, so
+# per-document duplicated-window fractions are a faithful detector at
+# window granularity.
+# ---------------------------------------------------------------------------
+
+EXACT_SUBSTRING_WINDOW = 10
+
+
+def window_hash_table(docs: DataFrame, window: int = EXACT_SUBSTRING_WINDOW) -> DataFrame:
+    """(doc_id, pos, wh): 60-bit hash of every overlapping `window`-token
+    span, WITH positions and multiplicity (unlike dedup shingling — a doc
+    repeating its own paragraph must self-report). Docs shorter than the
+    window contribute zero rows: no substring of length W exists in them."""
+    t = token_table(docs)
+    n = F.size("_toks") - (window - 1)
+    spans = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: h60(
+                F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + off) for off in range(window)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return t.select(
+        "doc_id", F.posexplode(spans).alias("pos", "wh")
+    )
+
+
+def exact_substring_dups(
+    docs: DataFrame, window: int = EXACT_SUBSTRING_WINDOW
+) -> DataFrame:
+    """Per-document exact-substring duplication report:
+    (doc_id, n_windows, n_dup_windows, dup_window_frac, has_dup).
+
+    A window is duplicated when its hash occurs ≥ 2 times corpus-wide
+    (another doc OR another position of the same doc). The plan is the
+    inverted-index shape that survives 100 TB:
+
+    * window extraction is map-only (one tokenize, per-row transform);
+    * the occurrence count is ONE hash aggregate on a 60-bit key —
+      map-side partial combine collapses within-partition repeats, and a
+      boilerplate window repeated 10^9× is one hot KEY in an agg (cheap),
+      never a join fanout;
+    * dup counts come back per doc via a second hash aggregate keyed on
+      doc_id after an equi-join position→count in which each position row
+      matches exactly one count row — total shuffle volume is O(total
+      tokens) long pairs, linear in corpus size.
+
+    Reference has no analog (training-data curation is outside its
+    scope); semantics follow the published exact-substring dedup, reduced
+    to window granularity.
+    """
+    wt = window_hash_table(docs, window)
+    counts = wt.groupBy("wh").agg(F.count("*").alias("_n"))
+    flagged = wt.join(counts, "wh").select(
+        "doc_id", (F.col("_n") >= 2).cast("long").alias("_dup")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("_dup").cast("long").alias("n_dup_windows"),
+    )
+    # left join back to the full doc list so short docs report 0, not
+    # vanish (a curation pipeline must score every document)
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    return ids.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.round(
+            F.coalesce(F.try_divide(F.col("n_dup_windows"), F.col("n_windows")), F.lit(0.0)),
+            6,
+        ).alias("dup_window_frac"),
+        (F.coalesce("n_dup_windows", F.lit(0)) > 0).cast("int").alias("has_dup"),
+    )

@@ -420,3 +420,73 @@ def sign_lsh_near_dup(
             "cos",
         )
     )
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the corpus with
+# the IVF quantizer, then within each cell drop every vector that has a
+# sufficiently-cosine-similar lower-id neighbor. The cluster step turns
+# the O(n²) semantic-similarity space into Σ_cell O(|cell|²), and the
+# occupancy cap bounds each join group like the rest of the ANN family.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DUP_THRESHOLD = 0.40
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    threshold: float = SEMANTIC_DUP_THRESHOLD,
+    centroids: DataFrame | None = None,
+    max_cell_size: int | None = DEFAULT_MAX_CELL_SIZE,
+) -> DataFrame:
+    """SemDeDup over the embedding column: (vec_id, cell, dup_of, keep).
+
+    A vector is a semantic duplicate (keep = 0) when a SMALLER-id vector
+    in its IVF cell has cosine ≥ threshold; ``dup_of`` is the smallest
+    such id (deterministic canonical representative, mirroring
+    exact_dedup's min-doc_id rule). Assignment is the shared ``_assign``
+    plan — broadcast centroids, map-side top-1 — so the corpus is scanned
+    once; candidates only meet inside a cell (and, with the default
+    occupancy cap, inside a ≤cap rank-chunk, so every join group is
+    O(cap²) regardless of how skewed the clustering is — same posture and
+    same recall trade as ``label_blocked_near_dup``, documented there).
+
+    Pass ``centroids=train_centroids(emb, k)`` for Lloyd-refined cells;
+    the default seeded init keeps the op fully deterministic with zero
+    extra passes. Reference has no analog (semantic curation is out of
+    its scope); semantics follow the published SemDeDup procedure with
+    min-id in place of "farthest from centroid" as the kept exemplar —
+    the keep-rule is a tie-break policy, not the algorithm's substance,
+    and min-id is reproducible across engines.
+    """
+    assigned = _assign(emb, n_cells, centroids).select("vec_id", "cell", "t")
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell").orderBy("vec_id")
+        assigned = assigned.withColumn(
+            "_sub",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_cell_size)).cast(
+                "long"
+            ),
+        )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cond = (F.col("a.cell") == F.col("b.cell")) & (
+        F.col("b.vec_id") < F.col("a.vec_id")
+    )
+    if max_cell_size is not None:
+        cond = cond & (F.col("a._sub") == F.col("b._sub"))
+    dup_of = (
+        a.join(b, cond)
+        .filter(F.round(cosine(F.col("a.t"), F.col("b.t")), 6) >= threshold)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).cast("long").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+        )
+    )

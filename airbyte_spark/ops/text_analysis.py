@@ -150,3 +150,112 @@ def fingerprint(docs: DataFrame, window: int = 8) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.array_min(sh).alias("fingerprint"),
     )
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams of a materialized token array (with repeats —
+    repetition scoring needs multiplicity, unlike dedup shingling which
+    distincts). <n tokens ⇒ empty list (no n-gram exists)."""
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest occurrence count of any single element, computed per row as
+    the longest equal-run of the SORTED array — O(m log m) map-side fold
+    (array_sort + aggregate), never an explode/groupBy shuffle. Empty
+    array ⇒ 0."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + F.lit(1).cast("long"))
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
+# a document is flagged repetitive when ANY ratio crosses its bar. The
+# top-n-gram criteria only apply once the doc has at least MIN_NGRAMS
+# n-grams — below that the max-multiplicity ratio is dominated by the
+# denominator (a clean 6-token doc has top-trigram 1/4 = 0.25), and short
+# docs are the length filter's job, not the repetition filter's.
+REP_DUP_TOKEN_MAX = 0.60
+REP_TOP_BIGRAM_MAX = 0.20
+REP_TOP_TRIGRAM_MAX = 0.18
+REP_MIN_NGRAMS = 16
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher/C4-style repetition quality filters, entirely map-only.
+
+    Per document: ``dup_token_frac`` (1 − distinct/total tokens — a
+    "the the the" page scores near 1), ``top_bigram_frac`` /
+    ``top_trigram_frac`` (fraction of all word n-grams claimed by the
+    single most frequent one — catches boilerplate loops that token-level
+    stats miss), and the composite ``repetitive`` flag.
+
+    At 100 TB this is a pure scan→project stage (zero shuffle, inside
+    whole-stage codegen): the n-gram multiplicity is a per-row
+    array_sort + fold, NOT an explode/groupBy, so cost is
+    O(len · log len) per document and scales linearly with input bytes.
+    Reference has no analog (quality filtering is out of its scope);
+    semantics follow the published Gopher repetition filters.
+    """
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        tokens(F.col("text")).alias("_t"),
+    )
+    base = toked.select(
+        "doc_id",
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_t")).cast("long").alias("_n_distinct"),
+        _max_multiplicity(_word_ngrams(F.col("_t"), 2)).alias("_top2"),
+        # clamped at 0: a 1-token doc has -1 here otherwise, and
+        # try_divide(0, -1) yields -0.0, which value-hashes ≠ 0.0
+        F.greatest(F.size("_t") - F.lit(1), F.lit(0)).cast("long").alias("_n2"),
+        _max_multiplicity(_word_ngrams(F.col("_t"), 3)).alias("_top3"),
+        F.greatest(F.size("_t") - F.lit(2), F.lit(0)).cast("long").alias("_n3"),
+    )
+    # try_divide: 0-gram documents (shorter than the n-gram) must SCORE 0,
+    # not crash with DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    dup_tok = F.coalesce(
+        F.try_divide(F.col("n_tokens") - F.col("_n_distinct"), F.col("n_tokens")),
+        F.lit(0.0),
+    )
+    top2 = F.coalesce(F.try_divide(F.col("_top2"), F.col("_n2")), F.lit(0.0))
+    top3 = F.coalesce(F.try_divide(F.col("_top3"), F.col("_n3")), F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(dup_tok, 6).alias("dup_token_frac"),
+        F.round(top2, 6).alias("top_bigram_frac"),
+        F.round(top3, 6).alias("top_trigram_frac"),
+        (
+            (dup_tok > REP_DUP_TOKEN_MAX)
+            | ((F.col("_n2") >= REP_MIN_NGRAMS) & (top2 > REP_TOP_BIGRAM_MAX))
+            | ((F.col("_n3") >= REP_MIN_NGRAMS) & (top3 > REP_TOP_TRIGRAM_MAX))
+        )
+        .cast("int")
+        .alias("repetitive"),
+    )
