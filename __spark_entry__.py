@@ -2672,12 +2672,16 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(regexp_extract_all(text, '{text_analysis.BPE_REGEX}'))
                           AS BIGINT) AS n_tokens
               FROM documents),
-            tot AS (SELECT domain, sum(n_tokens) AS T,
-                           CASE domain WHEN 'en' THEN CAST(0.5 AS DOUBLE)
-                                       WHEN 'de' THEN CAST(0.3 AS DOUBLE)
-                                       WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+            tg AS (SELECT * FROM (VALUES ('de'), ('en'), ('fr')) AS t(domain)),
+            ct AS (SELECT domain, sum(n_tokens) AS Ts FROM base GROUP BY domain),
+            tot AS (SELECT coalesce(ct.domain, tg.domain) AS domain,
+                           CAST(coalesce(ct.Ts, 0) AS BIGINT) AS T,
+                           CASE coalesce(ct.domain, tg.domain)
+                                WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+                                WHEN 'de' THEN CAST(0.3 AS DOUBLE)
+                                WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
                            END AS s
-                    FROM base GROUP BY domain),
+                    FROM ct FULL OUTER JOIN tg ON ct.domain = tg.domain),
             r AS (SELECT domain,
                          CASE WHEN s IS NOT NULL AND T > 0
                               THEN least(CAST(floor(s * (SELECT min(T / s) FROM tot
@@ -2687,10 +2691,10 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END AS rate_ppm
                   FROM tot)
             SELECT b.doc_id, b.domain, b.n_tokens,
-                   CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
-                   CAST(({_H("b.doc_id || ':mix'")} % 1000000) < r.rate_ppm AS INT)
-                       AS sampled
-            FROM base b JOIN r USING (domain)
+                   CAST(coalesce(r.rate_ppm, 0) AS BIGINT) AS rate_ppm,
+                   CAST(({_H("b.doc_id || ':mix'")} % 1000000)
+                        < coalesce(r.rate_ppm, 0) AS INT) AS sampled
+            FROM base b LEFT JOIN r USING (domain)
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -209,7 +209,13 @@ def _write_segments(ev: pd.DataFrame, out_dir: str, n_segments: int) -> None:
     known = {name for name, _ in fields} | {"op", "version"}
     for c in ev.columns:
         if c not in known:
-            fields.append((c, pa.array(ev[c]).type))
+            # infer from a small non-null prefix: pa.array over the FULL
+            # column materializes every row (e.g. the whole embedding
+            # list column) just to read .type; fall back to the full
+            # conversion only when the prefix is all-null
+            sample = ev[c].dropna().head(128)
+            inferred = pa.array(sample if len(sample) else ev[c]).type
+            fields.append((c, inferred))
     schema = pa.schema(fields)
     cols = [name for name, _ in fields]
     splits = np.array_split(np.arange(len(ev)), n_segments)

@@ -214,6 +214,20 @@ def main(argv: list[str] | None = None) -> None:
         _post = lambda df: _enrich(  # noqa: E731
             prepare_changes(df, canonicalize=not args.no_canonicalize)
         )
+        # same schema preconditions the streaming path enforces, checked
+        # BEFORE the main merge commits — an opaque AnalysisException from
+        # inside the flag batch would otherwise leave a half-finished
+        # backfill (table written, index/flags bootstrapped empty)
+        feed_cols = {f.name for f in feed_struct.fields}
+        if args.dedup_index and "text" not in feed_cols:
+            raise ValueError(
+                "dedup_index_path needs a 'text' column in the feed schema"
+            )
+        if args.embedding_index and "embedding" not in feed_cols:
+            raise ValueError(
+                "embedding_index_path needs an 'embedding' column in the "
+                "feed schema"
+            )
         merge_batch(
             table, raw, ORDER_COLS, app_id=args.app_id, batch_id=0,
             epoch=args.epoch, post_collapse=_post,

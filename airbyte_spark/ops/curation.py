@@ -333,10 +333,24 @@ def domain_mixture_sample(
         F.col(domain_col).alias("domain"),
         F.regexp_count(F.col(text_col), F.lit(BPE_REGEX)).cast("long").alias("n_tokens"),
     )
+    # the totals frame is the UNION of corpus domains and targeted
+    # domains: a targeted domain the corpus lacks entirely (or whose
+    # texts are all null) must contribute T_d = 0 and bind C to 0 — only
+    # the min over EVERY targeted domain honors the no-upsample formula
+    # (otherwise an all-en corpus under a 50/50 en/fr target would ship
+    # 100% en and report the mixture satisfied)
+    target_rows = docs.sparkSession.createDataFrame(
+        [(d,) for d in sorted(targets)], ["domain"]
+    )
     totals = (
         base.groupBy("domain")
-        .agg(F.sum("n_tokens").alias("_T"))
-        .withColumn("_s", F.element_at(share, F.col("domain")))
+        .agg(F.sum("n_tokens").alias("_Tsum"))
+        .join(target_rows, "domain", "full_outer")
+        .select(
+            "domain",
+            F.coalesce("_Tsum", F.lit(0)).cast("long").alias("_T"),
+            F.element_at(share, F.col("domain")).alias("_s"),
+        )
     )
     # C = min over TARGETED domains of T_d/s_d, via an unpartitioned
     # window over the ≤|domains|-row totals frame (a handful of rows on
@@ -364,10 +378,13 @@ def domain_mixture_sample(
         .alias("rate_ppm"),
     )
     h = h60(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % 1_000_000
-    return base.join(F.broadcast(rates), "domain").select(
+    # LEFT join + coalesce: a NULL-domain doc never equi-joins, but a
+    # curation pipeline must SCORE every document (sampled = 0), not
+    # silently drop it from the report
+    return base.join(F.broadcast(rates), "domain", "left").select(
         id_col,
         "domain",
         "n_tokens",
-        "rate_ppm",
-        (h < F.col("rate_ppm")).cast("int").alias("sampled"),
+        F.coalesce("rate_ppm", F.lit(0)).cast("long").alias("rate_ppm"),
+        (h < F.coalesce("rate_ppm", F.lit(0))).cast("int").alias("sampled"),
     )

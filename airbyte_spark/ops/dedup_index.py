@@ -39,6 +39,8 @@ Ullman ch.3), persisted the way a lakehouse would (fenced commits).
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -420,8 +422,34 @@ SIMHASH_INDEX_STRUCT = T.StructType(
 )
 
 
+#: persisted construction parameters — (band_idx, band_val) keys are only
+#: meaningful under ONE block-permutation layout, so it is pinned at
+#: bootstrap exactly like the embedding index's lsh_meta.json: an
+#: increment under a different construction would silently match nothing
+#: against the accepted corpus (recall -> ~0 with no error)
+SIMHASH_META_FILE = "simhash_meta.json"
+#: the construction id bumps whenever the band layout changes shape
+#: (v2 = C(n_blocks, max_hamming) block-permutation tables over 30-bit
+#: concatenated keys; v1 was the retired 4x15-bit plain slicing)
+SIMHASH_CONSTRUCTION = "block-permutation-v2"
+
+
+def _load_simhash_meta(path: str) -> dict:
+    """Pinned construction; the default covers indexes created before the
+    meta file existed (all of which are v2 — v1 never shipped an index)."""
+    p = os.path.join(path, SIMHASH_META_FILE)
+    if not os.path.exists(p):
+        return {"construction": SIMHASH_CONSTRUCTION, "max_hamming": 3}
+    with open(p) as f:
+        return json.load(f)
+
+
 def bootstrap_simhash_index(
-    spark: SparkSession, path: str, n_buckets: int = 32, mutable: bool = False
+    spark: SparkSession,
+    path: str,
+    n_buckets: int = 32,
+    mutable: bool = False,
+    max_hamming: int = 3,
 ) -> LakeTable:
     """SimHash block-permutation index: same incremental contract as the
     MinHash index, different signature family — hamming radius on one
@@ -440,6 +468,15 @@ def bootstrap_simhash_index(
     index, bucketed by doc_id (the merge's pruning key)."""
     if LakeTable.exists(path):
         return LakeTable(spark, path)
+    # meta FIRST, table-create second — the create commit is the "index
+    # exists" signal, so a crash between the two just re-bootstraps
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".{SIMHASH_META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"construction": SIMHASH_CONSTRUCTION, "max_hamming": max_hamming}, f
+        )
+    os.replace(tmp, os.path.join(path, SIMHASH_META_FILE))
     if mutable:
         # payload columns nullable: tombstones carry only the key
         struct = T.StructType(
@@ -476,7 +513,7 @@ def simhash_flag_and_ingest(
     *,
     app_id: str = "simhash-index",
     batch_id: int = 0,
-    max_hamming: int = 3,
+    max_hamming: Optional[int] = None,
     max_pushdown_keys: int = DEFAULT_MAX_PUSHDOWN_KEYS,
     version: Optional[int] = None,
     version_col: Optional[str] = None,
@@ -498,7 +535,24 @@ def simhash_flag_and_ingest(
 
     # validation (0 < max_hamming < n_blocks) lives in the band
     # construction; every increment must use the same max_hamming — the
-    # block combinations ARE the band_idx key space
+    # block combinations ARE the band_idx key space, so the pinned value
+    # comes from the index's own meta and a conflicting override is an
+    # error, not a silent recall collapse
+    meta = _load_simhash_meta(index.path)
+    if meta.get("construction", SIMHASH_CONSTRUCTION) != SIMHASH_CONSTRUCTION:
+        raise ValueError(
+            f"index at {index.path} was built with construction "
+            f"{meta.get('construction')!r}; this code generates "
+            f"{SIMHASH_CONSTRUCTION!r} keys — rebuild the index to re-band"
+        )
+    pinned = int(meta.get("max_hamming", 3))
+    if max_hamming is None:
+        max_hamming = pinned
+    elif max_hamming != pinned:
+        raise ValueError(
+            f"max_hamming={max_hamming} conflicts with the index's pinned "
+            f"value {pinned} (set at bootstrap; rebuild to change it)"
+        )
     bt = simhash_band_table(docs, max_hamming=max_hamming).persist()
     try:
         batch_ids = docs.select("doc_id").distinct()

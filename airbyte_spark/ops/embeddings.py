@@ -272,12 +272,14 @@ def mean_assignment_cos(emb: DataFrame, centroids: DataFrame) -> float:
     centroid (higher = tighter cells) — one aggregate over the assign
     plan; the train/eval loop's scoreboard. ``centroids`` is (cell, c),
     as returned by ``train_centroids``."""
-    n_cells = centroids.count()
     adapted = centroids.select(
         F.col("cell").alias("vec_id"), F.col("c").alias("embedding")
     )
+    # n_cells=0 is a dead argument here: _assign only consults it when
+    # centroids is None — counting the centroid frame first would run a
+    # whole extra Spark job just to produce an ignored integer
     return float(
-        _assign(emb, n_cells, adapted).agg(F.avg("cos")).first()[0]
+        _assign(emb, 0, adapted).agg(F.avg("cos")).first()[0]
     )
 
 

@@ -219,6 +219,27 @@ def test_domain_mixture_deterministic_and_total(spark, mix_docs):
     assert len(a) == mix_docs.count()
 
 
+def test_domain_mixture_missing_target_binds_C_to_zero(spark, mix_docs):
+    # a targeted domain the corpus lacks makes the mixture unachievable
+    # at ANY size: the no-upsample formula gives C = min(..., 0/s) = 0,
+    # so EVERY rate must be 0 — not "ship 100% of what exists"
+    out = domain_mixture_sample(mix_docs, {"en": 0.5, "ja": 0.5})
+    assert out.filter("sampled = 1").count() == 0
+    assert out.count() == mix_docs.count()
+
+
+def test_domain_mixture_null_domain_reported_not_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "tok " * 10, "en"), (2, "tok " * 10, None)],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["doc_id"]: r for r in
+            domain_mixture_sample(docs, {"en": 1.0}).collect()}
+    # the NULL-domain doc is scored (rate 0, sampled 0), never dropped
+    assert rows[2]["rate_ppm"] == 0 and rows[2]["sampled"] == 0
+    assert rows[1]["sampled"] == 1
+
+
 def test_domain_mixture_rejects_bad_targets(spark, mix_docs):
     with pytest.raises(ValueError):
         domain_mixture_sample(mix_docs, {})

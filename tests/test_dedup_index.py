@@ -205,6 +205,38 @@ def test_simhash_incremental_equals_batch(spark, tmp_path, corpus):
     assert replay == last
 
 
+def test_simhash_index_pins_construction(spark, tmp_path, corpus):
+    """The (band_idx, band_val) key space is only meaningful under ONE
+    construction: the meta file pins it at bootstrap and conflicting
+    increments must fail loudly instead of silently matching nothing."""
+    import json
+    import os
+
+    from airbyte_spark.ops.dedup_index import (
+        SIMHASH_META_FILE,
+        bootstrap_simhash_index,
+        simhash_flag_and_ingest,
+    )
+
+    path = str(tmp_path / "sidx_meta")
+    index = bootstrap_simhash_index(spark, path, n_buckets=4, max_hamming=3)
+    meta = json.load(open(os.path.join(path, SIMHASH_META_FILE)))
+    assert meta["max_hamming"] == 3 and "construction" in meta
+    # omitted max_hamming inherits the pinned value
+    simhash_flag_and_ingest(index, corpus.limit(3), app_id="t-pin", batch_id=0)
+    # a conflicting radius is rejected (different C(n, h) band tables)
+    with pytest.raises(ValueError, match="pinned"):
+        simhash_flag_and_ingest(
+            index, corpus.limit(3), app_id="t-pin", batch_id=1, max_hamming=2
+        )
+    # a foreign construction id is rejected outright
+    meta["construction"] = "plain-slices-v1"
+    with open(os.path.join(path, SIMHASH_META_FILE), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="rebuild"):
+        simhash_flag_and_ingest(index, corpus.limit(3), app_id="t-pin", batch_id=2)
+
+
 def test_pushed_in_filter_reaches_scan(spark, tmp_path, corpus):
     index = bootstrap_dedup_index(spark, str(tmp_path / "idx"), n_buckets=4)
     flag_and_ingest(
