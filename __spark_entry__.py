@@ -1452,6 +1452,32 @@ def q_cdc_conversation_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(turns)
 
 
+def q_cdc_dialog_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog-format validation over the same events→turns mapping as
+    conversation assembly: per conversation, adjacent role repeats,
+    timestamp regressions, empty turns — ONE hash aggregate (no window,
+    no join), the structural quality gate for transcript training data."""
+    from airbyte_spark.operators.transcripts import validate_dialog_format
+
+    e = _t(spark, sf_dir, "events")
+    turns = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.floor("value").cast("long").cast("string").alias("text"),
+        F.col("ts"),
+    )
+    return validate_dialog_format(turns)
+
+
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability under the corpus's own unigram LM
+    (CCNet-style LM quality filtering, unigram reduction) — per-token
+    terms quantized to bigint micro-units so the per-doc sum is exact and
+    order-free on any engine."""
+    return text_analysis.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb_ops.ivf_assign(_t(spark, sf_dir, "embeddings"))
 
@@ -1593,11 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": q_text_pii_redact,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sample_stratified_split": q_sample_stratified_split,
-        "sample_per_stratum": q_sample_per_stratum,
         "text_pack_sequences": q_text_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_substring": q_dedup_exact_substring,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_clusters": q_dedup_minhash_clusters,
         "dedup_simhash_banded": q_dedup_simhash_banded,
@@ -1607,10 +1631,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_search": q_ann_ivf_search,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
         "multimodal_decode": q_multimodal_decode,
+        "cdc_dialog_format": q_cdc_dialog_format,
+        "text_unigram_logprob": q_text_unigram_logprob,
         # ---- gate-sample boundary (first 50 above) ----
         # twins / family-gated variants, each oracle-checked locally by
         # selfcheck.py; the inline note names the sibling that gates it:
         "multimodal_meta": q_multimodal_meta,  # decode gates the family
+        "sample_per_stratum": q_sample_per_stratum,  # sampling family (stratified_split + domain_mixture gate)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # lexical near-dup family; minhash_lsh gates, jaccard is its exact-verifier tier
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,  # cursor_scan's limit(n+1) probe
         "cdc_event_projection": q_cdc_event_projection,  # replay_final_state embeds the projection
         "text_fingerprint": q_text_fingerprint,  # text-analysis family (lang_id/quality/tokens gate)
@@ -2695,6 +2723,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(({_H("b.doc_id || ':mix'")} % 1000000)
                         < coalesce(r.rate_ppm, 0) AS INT) AS sampled
             FROM base b LEFT JOIN r USING (domain)
+        """,
+        # same events→turns mapping as cdc_conversation_assembly; the
+        # adjacency counters come from lag() windows (the oracle need not
+        # mirror the one-aggregate array-fold plan, only its values)
+        "cdc_dialog_format": """
+            WITH turns AS (
+              SELECT user_id AS conv_id, event_id AS turn_idx,
+                     event_type AS role,
+                     CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS txt,
+                     ts
+              FROM events),
+            a AS (SELECT conv_id, turn_idx, role, txt, ts,
+                         lag(role) OVER w AS prev_role,
+                         lag(ts) OVER w AS prev_ts
+                  FROM turns
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                   CAST(sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+                   CAST(sum(CASE WHEN prev_ts IS NOT NULL AND ts IS NOT NULL
+                                  AND ts < prev_ts
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_regressions,
+                   CAST(sum(CASE WHEN txt IS NULL OR trim(txt) = ''
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_turns,
+                   CAST((sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                                  THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN prev_ts IS NOT NULL AND ts IS NOT NULL
+                                     AND ts < prev_ts THEN 1 ELSE 0 END)
+                         + sum(CASE WHEN txt IS NULL OR trim(txt) = ''
+                                    THEN 1 ELSE 0 END)) = 0 AS INT)
+                       AS well_formed
+            FROM a GROUP BY conv_id
+        """,
+        # per-token ln(count) quantized to bigint micro-units BEFORE the
+        # per-doc sum, so the sum is exact-integer and order-free; the
+        # final expression is one double division of exact ints
+        "text_unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            nt AS (SELECT CAST(round(ln(sum(c)) * 1e6) AS BIGINT) AS lnN
+                   FROM vocab),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                          CAST(sum(CAST(round(ln(v.c) * 1e6) AS BIGINT))
+                               AS BIGINT) AS sum_logc_micro
+                   FROM toks t JOIN vocab v USING (tok) GROUP BY doc_id)
+            SELECT doc_id, n_tokens, sum_logc_micro,
+                   round((sum_logc_micro / n_tokens - nt.lnN) / 1e6, 6)
+                       AS logprob
+            FROM pd, nt
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

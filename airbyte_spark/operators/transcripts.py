@@ -39,3 +39,92 @@ def assemble_conversations(df: DataFrame, sep: str = "\n") -> DataFrame:
         F.size("_turns").cast("long").alias("n_turns"),
         F.concat_ws(sep, F.transform("_turns", line)).alias("transcript"),
     )
+
+
+def validate_dialog_format(df: DataFrame) -> DataFrame:
+    """Dialog-format quality report per conversation — the transcript
+    payload's analog of the document-level quality filters: before a
+    conversation enters a training mix, the pipeline checks its STRUCTURE
+    (SFT/RLHF loaders reject malformed dialogs; better to score and drop
+    here than to crash a trainer).
+
+    Output (conv_id, n_turns, n_roles, n_role_repeats, n_ts_regressions,
+    n_empty_turns, well_formed):
+
+    * ``n_role_repeats`` — adjacent turns (by turn_idx order) with the
+      same role: a broken alternation ("user, user") usually means a lost
+      turn or a split message.
+    * ``n_ts_regressions`` — adjacent turns whose timestamp goes BACK in
+      time: ingest reordering the transcript contract says cannot happen
+      (stable turn ordering is the north rule's core invariant).
+    * ``n_empty_turns`` — null/blank text turns.
+    * ``well_formed`` — 1 iff all three counters are 0.
+
+    Scale shape: the SAME one-hash-aggregate plan as
+    ``assemble_conversations`` (collect_list partial-aggregates map-side,
+    sort_array orders each bounded per-conversation array locally, the
+    adjacency scans are per-row array folds) — no window function, no
+    second shuffle, no per-turn join. At 10^9 conversations the shuffle
+    carries one row per (conv_id, mapper)."""
+    turn = F.struct(
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    agg = df.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(turn)).alias("_turns")
+    )
+
+    def _adjacent(cmp) -> Column:
+        # count of adjacent pairs (i-1, i) where cmp holds; i over 2..n
+        n = F.size("_turns")
+        idx = F.sequence(F.lit(2), n)
+        hits = F.filter(
+            idx,
+            lambda i: cmp(
+                F.element_at("_turns", i - 1), F.element_at("_turns", i)
+            ),
+        )
+        return F.when(n >= 2, F.size(hits)).otherwise(F.lit(0)).cast("long")
+
+    role_rep = _adjacent(
+        lambda a, b: a["role"].isNotNull() & (a["role"] == b["role"])
+    )
+    ts_reg = _adjacent(
+        lambda a, b: a["ts"].isNotNull() & b["ts"].isNotNull() & (b["ts"] < a["ts"])
+    )
+    empty = F.size(
+        F.filter(
+            "_turns",
+            lambda t: t["text"].isNull() | (F.trim(t["text"]) == ""),
+        )
+    ).cast("long")
+    out = agg.select(
+        "conv_id",
+        F.size("_turns").cast("long").alias("n_turns"),
+        # distinct NON-NULL roles (array_distinct keeps one null but SQL
+        # engines' list_distinct/count(DISTINCT) drop it — count the same
+        # thing everywhere)
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform("_turns", lambda t: t["role"]),
+                    lambda r: r.isNotNull(),
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_roles"),
+        role_rep.alias("n_role_repeats"),
+        ts_reg.alias("n_ts_regressions"),
+        empty.alias("n_empty_turns"),
+    )
+    return out.withColumn(
+        "well_formed",
+        (
+            (F.col("n_role_repeats") == 0)
+            & (F.col("n_ts_regressions") == 0)
+            & (F.col("n_empty_turns") == 0)
+        ).cast("int"),
+    )

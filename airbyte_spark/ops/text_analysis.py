@@ -259,3 +259,60 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         .cast("int")
         .alias("repetitive"),
     )
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's OWN
+    unigram LM — the classic "how typical is this text" quality signal
+    (CCNet-style LM filtering, reduced to the unigram case so the model
+    is one aggregate instead of an external artifact).
+
+    score(d) = (1/|d|) Σ_t ln P(t),  P(t) = count(t) / N
+
+    Determinism contract: floating-point SUMS are order-dependent, so the
+    per-token term is quantized FIRST — ``round(ln(count)*1e6)`` as a
+    bigint micro-unit (Spark's Math.log and DuckDB's libm ln agree bit-
+    for-bit on this quantization over the whole count domain; verified
+    1..2×10^6) — and the per-doc total is an EXACT integer sum, orderless
+    by construction. The one double division at the end is deterministic.
+
+    Plan shape at 100 TB: pass 1 builds the LM — explode tokens, ONE hash
+    aggregate to (token, count) with map-side combine; N folds off the
+    same aggregate. Pass 2 scores — explode again, equi-join token→count
+    (the vocab side is Zipf-bounded: ~10^7 rows per language, broadcast
+    range; here Spark picks the strategy), one per-doc hash aggregate.
+    Two shuffles of (token) keys + one of (doc_id) keys, all linear in
+    corpus tokens. Output: (doc_id, n_tokens, sum_logc_micro, logprob).
+    """
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    vocab = toked.groupBy("tok").agg(F.count("*").alias("_c"))
+    n_total = vocab.agg(
+        F.sum("_c").alias("_N"),
+        # ln(N) quantized on the same micro-unit grid as the tokens
+        F.round(F.log(F.sum("_c")) * 1e6).cast("long").alias("_lnN_micro"),
+    )
+    scored = toked.join(
+        vocab.withColumn(
+            "_logc_micro", F.round(F.log("_c") * 1e6).cast("long")
+        ),
+        "tok",
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("_logc_micro").cast("long").alias("sum_logc_micro"),
+    )
+    # 1-row LM normalizer joined on a literal key (broadcast: zero shuffle)
+    return per_doc.withColumn("_k", F.lit(1)).join(
+        F.broadcast(n_total.drop("_N").withColumn("_k", F.lit(1))), "_k"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "sum_logc_micro",
+        F.round(
+            (F.col("sum_logc_micro") / F.col("n_tokens") - F.col("_lnN_micro"))
+            / 1e6,
+            6,
+        ).alias("logprob"),
+    )

@@ -247,3 +247,92 @@ def test_domain_mixture_rejects_bad_targets(spark, mix_docs):
         domain_mixture_sample(mix_docs, {"en": 0.0})
     with pytest.raises(ValueError):
         domain_mixture_sample(mix_docs, {"en": -1.0, "de": 2.0})
+
+
+# ---------------------------------------------------------------------------
+# validate_dialog_format
+# ---------------------------------------------------------------------------
+
+
+def test_validate_dialog_format(spark):
+    from datetime import datetime
+
+    from airbyte_spark.operators.transcripts import validate_dialog_format
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 1, 0)
+    t2 = datetime(2024, 1, 1, 0, 2, 0)
+    rows = [
+        # conv 1: clean user/assistant alternation
+        (1, 1, "user", "hi", t0),
+        (1, 2, "assistant", "hello", t1),
+        (1, 3, "user", "bye", t2),
+        # conv 2: role repeat (user, user) + a timestamp regression + empty
+        (2, 1, "user", "a", t1),
+        (2, 2, "user", "b", t0),       # repeat AND ts goes backwards
+        (2, 3, "assistant", "  ", t2),  # blank text
+        # conv 3: single turn — no adjacent pairs, trivially well formed
+        (3, 1, "user", "solo", t0),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text", "ts"])
+    out = {r["conv_id"]: r for r in validate_dialog_format(df).collect()}
+    assert out[1]["well_formed"] == 1 and out[1]["n_roles"] == 2
+    assert out[2]["n_role_repeats"] == 1
+    assert out[2]["n_ts_regressions"] == 1
+    assert out[2]["n_empty_turns"] == 1
+    assert out[2]["well_formed"] == 0
+    assert out[3]["well_formed"] == 1 and out[3]["n_turns"] == 1
+
+
+def test_validate_dialog_format_single_aggregate_plan(spark):
+    from datetime import datetime
+
+    from airbyte_spark.operators.transcripts import validate_dialog_format
+
+    df = spark.createDataFrame(
+        [(1, 1, "user", "x", datetime(2024, 1, 1))],
+        ["conv_id", "turn_idx", "role", "text", "ts"],
+    )
+    plan = validate_dialog_format(df)._jdf.queryExecution().executedPlan().toString()
+    # one hash-aggregate pair, no window, no join
+    assert "Window" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# unigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_values(spark):
+    import math
+
+    from airbyte_spark.ops.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # corpus counts: a=3, b=2, c=1; N=6
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+
+    def micro(x):
+        return round(math.log(x) * 1e6)
+
+    exp1 = round((((micro(3) * 2 + micro(2)) / 3) - micro(6)) / 1e6, 6)
+    exp2 = round((((micro(3) + micro(2) + micro(1)) / 3) - micro(6)) / 1e6, 6)
+    assert out[1]["logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert out[2]["logprob"] == pytest.approx(exp2, abs=1e-9)
+    # doc 1 uses more common tokens, so it must score higher
+    assert out[1]["logprob"] > out[2]["logprob"]
+
+
+def test_unigram_logprob_deterministic_across_partitionings(spark):
+    from airbyte_spark.ops.text_analysis import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3} common common") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    a = unigram_logprob(docs.repartition(1)).orderBy("doc_id").collect()
+    b = unigram_logprob(docs.repartition(13)).orderBy("doc_id").collect()
+    # the micro-unit integer sums make the score partitioning-independent
+    assert a == b
