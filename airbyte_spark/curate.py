@@ -5,7 +5,9 @@ documents parquet directory (columns: doc_id, text, lang, ...):
 
     exact dedup (keep min doc_id per content hash)
       -> quality filter (C4/Gopher-style column-expression score)
+         [+ Gopher repetition bars with --drop-repetitive]
       -> benchmark decontamination (optional --benchmark-dir)
+      -> target-domain token-mixture downsampling (optional --mixture)
       -> deterministic stratified train/val/test split
       -> token-budget sequence packing (train split)
       -> parquet out, partitioned by split, + ONE JSON stats line
@@ -51,6 +53,8 @@ def curate(
     val_upto: int = 900,
     budget: int = 2048,
     n_shards: int = 64,
+    drop_repetitive: bool = False,
+    mixture: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation ladder; returns (curated frame, stage stats).
 
@@ -76,12 +80,19 @@ def curate(
     stats["rows_after_exact_dedup"] = deduped.count()
     docs.unpersist()
 
-    # 2. quality filter (map-only score)
+    # 2. quality filter (map-only score); --drop-repetitive stacks the
+    # Gopher repetition bars (also map-only) onto the same pass — two
+    # projections over one cached scan, one semi-join back
     q = quality_score(deduped).select("doc_id", "quality")
-    passed = deduped.join(
-        q.filter(F.col("quality") >= min_quality).select("doc_id", "quality"),
-        "doc_id",
-    ).cache()
+    keep_q = q.filter(F.col("quality") >= min_quality).select("doc_id", "quality")
+    if drop_repetitive:
+        from .ops.text_analysis import repetition_scores
+
+        non_rep = repetition_scores(deduped).filter(
+            F.col("repetitive") == 0
+        ).select("doc_id")
+        keep_q = keep_q.join(non_rep, "doc_id", "left_semi")
+    passed = deduped.join(keep_q, "doc_id").cache()
     stats["rows_after_quality"] = passed.count()
     deduped.unpersist()
 
@@ -96,6 +107,22 @@ def curate(
     else:
         clean = passed
         stats["rows_after_decontaminate"] = stats["rows_after_quality"]
+
+    # 3b. target-domain-mixture downsampling (optional): never-upsample
+    # token-mixture rates from one tiny totals aggregate; corpus side is
+    # one scan + the split's map-only hash
+    if mixture:
+        from .ops.curation import domain_mixture_sample
+
+        sampled_ids = domain_mixture_sample(
+            clean, mixture, domain_col=stratum_col
+        ).filter(F.col("sampled") == 1).select("doc_id")
+        mixed = clean.join(sampled_ids, "doc_id", "left_semi").cache()
+        stats["rows_after_mixture"] = mixed.count()  # materializes the cache
+        clean.unpersist()  # parent cache (passed or decontaminated) now idle
+        clean = mixed
+    else:
+        stats["rows_after_mixture"] = stats["rows_after_decontaminate"]
 
     # 4. deterministic stratified split (map-only)
     split = stratified_split(
@@ -140,7 +167,17 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--budget", type=int, default=2048,
                    help="token budget per training pack")
     p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--drop-repetitive", action="store_true",
+                   help="also drop docs failing the Gopher repetition "
+                   "bars (dup-token / top-n-gram fractions)")
+    p.add_argument("--mixture", default=None,
+                   help='target token mixture as JSON, e.g. '
+                   '\'{"en":0.5,"de":0.3,"fr":0.2}\' over --stratum-col; '
+                   "downsamples only (never upsamples)")
     args = p.parse_args(argv)
+    mixture = json.loads(args.mixture) if args.mixture else None
+    if mixture is not None and not isinstance(mixture, dict):
+        raise SystemExit("--mixture must be a JSON object of domain->share")
 
     spark = build_session()
     docs = spark.read.parquet(args.docs_dir)
@@ -156,6 +193,8 @@ def main(argv: list[str] | None = None) -> dict:
         val_upto=args.val_upto,
         budget=args.budget,
         n_shards=args.n_shards,
+        drop_repetitive=args.drop_repetitive,
+        mixture=mixture,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.out)
     # the pipeline's one remaining stage cache backed that write; don't

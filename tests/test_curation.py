@@ -193,6 +193,40 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert sum(stats["split_counts"].values()) == 3
 
 
+def test_curate_cli_repetition_and_mixture(spark, tmp_path):
+    """--drop-repetitive removes the Gopher-flagged doc; --mixture
+    downsamples to the target token shares (binding domain keeps rate 1,
+    untargeted domains drop) and the stats line accounts the stage."""
+    from airbyte_spark import curate
+
+    rows = [
+        (1, "spam " * 30, "en"),  # repetitive: one token repeated 30x
+        (2, "a perfectly ordinary english document with the usual words in it", "en"),
+        (3, "another clean and quite ordinary english text of the corpus here", "en"),
+        (4, "ein ganz gewoehnliches deutsches dokument mit vielen worten drin", "de"),
+        (5, "zh only words that are not targeted by the mixture at all", "zh"),
+    ]
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "curated")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(docs_dir)
+
+    stats = curate.main([
+        "--docs-dir", docs_dir,
+        "--out", out_dir,
+        "--drop-repetitive",
+        "--mixture", '{"de": 1.0}',
+        "--budget", "16",
+        "--n-shards", "2",
+    ])
+    assert stats["rows_in"] == 5
+    # doc 1 dies at the quality+repetition stage
+    assert stats["rows_after_quality"] == 4
+    # de is the only targeted domain: everything else drops at mixture
+    assert stats["rows_after_mixture"] == 1
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {4}
+
+
 def test_sample_per_stratum_carry_cols(spark, corpus):
     got = sample_per_stratum(corpus, k=1, carry_cols=("text",)).collect()
     assert {"doc_id", "stratum", "text", "rank"} == set(got[0].asDict())

@@ -12,6 +12,8 @@ output, dominate. Sections:
     simhash_banded      one-shot simhash_banded_pairs (block-permutation —
                         the round-5 construction whose whole point is
                         surviving this scale)
+    exact_substring     one-shot exact_substring_dups (window-hash exact
+                        tier; O(total tokens) shuffle, linear constant)
     minhash_index_flag  flag_and_ingest of a 1k-doc increment against the
                         N-doc MinHash index (pushdown regime)
     simhash_index_flag  simhash_flag_and_ingest of the same increment
@@ -170,6 +172,17 @@ def main():
         timed("minhash_banded", lambda: noop(minhash_lsh_candidates(corpus)), N_DOCS)
     if _want("simhash_banded"):
         timed("simhash_banded", lambda: noop(simhash_banded_pairs(corpus)), N_DOCS)
+    if _want("exact_substring"):
+        from airbyte_spark.ops.dedup_docs import exact_substring_dups
+
+        # the exact tier: O(total tokens) window-hash shuffle + two hash
+        # aggregates — evidences the linear-in-corpus constant at the
+        # same scale point as the banded families
+        timed(
+            "exact_substring",
+            lambda: noop(exact_substring_dups(corpus)),
+            N_DOCS,
+        )
 
     # --- incremental flag paths against the indexed corpus ------------------
     tmp = tempfile.mkdtemp(prefix="dedup_scale_bench_")
