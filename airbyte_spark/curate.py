@@ -13,9 +13,12 @@ documents parquet directory (columns: doc_id, text, lang, ...):
       -> parquet out, partitioned by split, + ONE JSON stats line
 
 Scale shape: every stage is the documented scale form of its operator —
-the only shuffles are exact-dedup's hash agg, decontaminate's per-doc hit
-count, and packing's shard exchange; quality/split are map-only; the
-benchmark gram set broadcasts. Stage row counts are measured with ONE
+the corpus-sized shuffles are exact-dedup's hash agg, decontaminate's
+per-doc hit count, packing's shard exchange, and the per-stage doc_id
+semi-joins that apply each filter's verdict to the carried frame;
+quality scoring (with or without the repetition bars — one combined
+projection) and the split are map-only; the benchmark gram set and the
+mixture-rate table broadcast. Stage row counts are measured with ONE
 aggregate over a cached frame per stage boundary (the cache is reused by
 the next stage, so counting adds no extra scan of the input).
 
@@ -81,18 +84,20 @@ def curate(
     docs.unpersist()
 
     # 2. quality filter (map-only score); --drop-repetitive stacks the
-    # Gopher repetition bars (also map-only) onto the same pass — two
-    # projections over one cached scan, one semi-join back
-    q = quality_score(deduped).select("doc_id", "quality")
-    keep_q = q.filter(F.col("quality") >= min_quality).select("doc_id", "quality")
+    # Gopher repetition bars onto the SAME projection
+    # (quality_and_repetition: one scan of the cached frame — joining two
+    # separately-materialized score frames would shuffle the corpus on
+    # doc_id for columns that derive from the same token array), then ONE
+    # join back carries the quality score onto the survivors
     if drop_repetitive:
-        from .ops.text_analysis import repetition_scores
+        from .ops.text_analysis import quality_and_repetition
 
-        non_rep = repetition_scores(deduped).filter(
-            F.col("repetitive") == 0
-        ).select("doc_id")
-        keep_q = keep_q.join(non_rep, "doc_id", "left_semi")
-    passed = deduped.join(keep_q, "doc_id").cache()
+        q = quality_and_repetition(deduped).filter(
+            (F.col("quality") >= min_quality) & (F.col("repetitive") == 0)
+        )
+    else:
+        q = quality_score(deduped).filter(F.col("quality") >= min_quality)
+    passed = deduped.join(q.select("doc_id", "quality"), "doc_id").cache()
     stats["rows_after_quality"] = passed.count()
     deduped.unpersist()
 
@@ -176,8 +181,23 @@ def main(argv: list[str] | None = None) -> dict:
                    "downsamples only (never upsamples)")
     args = p.parse_args(argv)
     mixture = json.loads(args.mixture) if args.mixture else None
-    if mixture is not None and not isinstance(mixture, dict):
-        raise SystemExit("--mixture must be a JSON object of domain->share")
+    if mixture is not None:
+        # fail the fat-fingered forms loudly HERE: '{}' would silently
+        # skip the stage (curate()'s `if mixture:` is False), and a
+        # string share would only die deep inside the op as a raw
+        # TypeError after the earlier stages already ran
+        if (
+            not isinstance(mixture, dict)
+            or not mixture
+            or not all(
+                isinstance(s, (int, float)) and not isinstance(s, bool)
+                for s in mixture.values()
+            )
+        ):
+            raise SystemExit(
+                "--mixture must be a non-empty JSON object of "
+                'domain -> numeric share, e.g. \'{"en":0.5,"de":0.5}\''
+            )
 
     spark = build_session()
     docs = spark.read.parquet(args.docs_dir)

@@ -77,16 +77,19 @@ def validate_dialog_format(df: DataFrame) -> DataFrame:
     )
 
     def _adjacent(cmp) -> Column:
-        # count of adjacent pairs (i-1, i) where cmp holds; i over 2..n
+        # count of adjacent pairs where cmp holds: zip the array against
+        # its own 1-shifted slice. slice lengths clamp at 0, so a 1-turn
+        # conversation yields two empty slices (no guard needed — unlike
+        # a sequence(2, n) index walk, which descends for n = 1 and
+        # element_at's out of bounds under ANSI)
         n = F.size("_turns")
-        idx = F.sequence(F.lit(2), n)
-        hits = F.filter(
-            idx,
-            lambda i: cmp(
-                F.element_at("_turns", i - 1), F.element_at("_turns", i)
-            ),
+        win = F.greatest(n - F.lit(1), F.lit(0))
+        pairs = F.zip_with(
+            F.slice("_turns", 1, win),
+            F.slice("_turns", 2, win),
+            lambda a, b: cmp(a, b),
         )
-        return F.when(n >= 2, F.size(hits)).otherwise(F.lit(0)).cast("long")
+        return F.size(F.filter(pairs, lambda x: x)).cast("long")
 
     role_rep = _adjacent(
         lambda a, b: a["role"].isNotNull() & (a["role"] == b["role"])

@@ -81,6 +81,44 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def _quality_raw_cols(text: Column, toks: Column) -> list[Column]:
+    """Raw per-row counters the quality ratios derive from; `toks` must be
+    a MATERIALIZED token array (see language_id's note)."""
+    stop = None
+    for w in EN_STOPWORDS:
+        c = count_token(toks, w)
+        stop = c if stop is None else stop + c
+    return [
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(text).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long").alias("_alpha"),
+        stop.alias("_stop"),
+    ]
+
+
+def _quality_out_cols() -> list[Column]:
+    """Quality ratios + composite over the raw counters."""
+    # try_divide + coalesce: empty documents (n_chars/n_tokens = 0) are
+    # exactly what a quality filter must SCORE (as 0), not crash on with
+    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
+    alpha_ratio = F.coalesce(
+        F.try_divide(F.col("_alpha"), F.col("n_chars")), F.lit(0.0)
+    )
+    stop_ratio = F.coalesce(
+        F.try_divide(F.col("_stop"), F.col("n_tokens")), F.lit(0.0)
+    )
+    return [
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(
+            alpha_ratio * 0.5
+            + stop_ratio * 0.3
+            + F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality"),
+    ]
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length / alpha-ratio / stopword-ratio quality features + composite.
 
@@ -93,39 +131,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.col("text"),
         tokens(F.col("text")).alias("_toks"),
     )
-    stop = None
-    for w in EN_STOPWORDS:
-        c = count_token(F.col("_toks"), w)
-        stop = c if stop is None else stop + c
     base = toked.select(
-        "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).cast("long").alias("_alpha"),
-        stop.alias("_stop"),
+        "doc_id", *_quality_raw_cols(F.col("text"), F.col("_toks"))
     )
-    # try_divide + coalesce: empty documents (n_chars/n_tokens = 0) are
-    # exactly what a quality filter must SCORE (as 0), not crash on with
-    # DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
-    alpha_ratio = F.coalesce(
-        F.try_divide(F.col("_alpha"), F.col("n_chars")), F.lit(0.0)
-    )
-    stop_ratio = F.coalesce(
-        F.try_divide(F.col("_stop"), F.col("n_tokens")), F.lit(0.0)
-    )
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        "n_chars",
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(
-            alpha_ratio * 0.5
-            + stop_ratio * 0.3
-            + F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.2,
-            6,
-        ).alias("quality"),
-    )
+    return base.select("doc_id", "n_tokens", "n_chars", *_quality_out_cols())
 
 
 def token_count(docs: DataFrame) -> DataFrame:
@@ -229,14 +238,27 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     base = toked.select(
         "doc_id",
         F.size("_t").cast("long").alias("n_tokens"),
-        F.size(F.array_distinct("_t")).cast("long").alias("_n_distinct"),
-        _max_multiplicity(_word_ngrams(F.col("_t"), 2)).alias("_top2"),
+        *_repetition_raw_cols(F.col("_t")),
+    )
+    return base.select("doc_id", "n_tokens", *_repetition_out_cols())
+
+
+def _repetition_raw_cols(t: Column) -> list[Column]:
+    """Raw per-row repetition counters from a MATERIALIZED token array
+    (n_tokens is shared with the quality counters, so it is not here)."""
+    return [
+        F.size(F.array_distinct(t)).cast("long").alias("_n_distinct"),
+        _max_multiplicity(_word_ngrams(t, 2)).alias("_top2"),
         # clamped at 0: a 1-token doc has -1 here otherwise, and
         # try_divide(0, -1) yields -0.0, which value-hashes ≠ 0.0
-        F.greatest(F.size("_t") - F.lit(1), F.lit(0)).cast("long").alias("_n2"),
-        _max_multiplicity(_word_ngrams(F.col("_t"), 3)).alias("_top3"),
-        F.greatest(F.size("_t") - F.lit(2), F.lit(0)).cast("long").alias("_n3"),
-    )
+        F.greatest(F.size(t) - F.lit(1), F.lit(0)).cast("long").alias("_n2"),
+        _max_multiplicity(_word_ngrams(t, 3)).alias("_top3"),
+        F.greatest(F.size(t) - F.lit(2), F.lit(0)).cast("long").alias("_n3"),
+    ]
+
+
+def _repetition_out_cols() -> list[Column]:
+    """Repetition fractions + composite flag over the raw counters."""
     # try_divide: 0-gram documents (shorter than the n-gram) must SCORE 0,
     # not crash with DIVIDE_BY_ZERO under ANSI mode (Spark 4 default)
     dup_tok = F.coalesce(
@@ -245,9 +267,7 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
     )
     top2 = F.coalesce(F.try_divide(F.col("_top2"), F.col("_n2")), F.lit(0.0))
     top3 = F.coalesce(F.try_divide(F.col("_top3"), F.col("_n3")), F.lit(0.0))
-    return base.select(
-        "doc_id",
-        "n_tokens",
+    return [
         F.round(dup_tok, 6).alias("dup_token_frac"),
         F.round(top2, 6).alias("top_bigram_frac"),
         F.round(top3, 6).alias("top_trigram_frac"),
@@ -258,6 +278,31 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         )
         .cast("int")
         .alias("repetitive"),
+    ]
+
+
+def quality_and_repetition(docs: DataFrame) -> DataFrame:
+    """Quality AND repetition scores in ONE scan→project→project chain —
+    the pipeline-stage form (curate.py): two map-only frames joined on
+    doc_id would cost a full-corpus shuffle for columns that derive from
+    the same token array. Output = quality_score's columns followed by
+    repetition_scores' (n_tokens shared)."""
+    toked = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        tokens(F.col("text")).alias("_t"),
+    )
+    base = toked.select(
+        "doc_id",
+        *_quality_raw_cols(F.col("text"), F.col("_t")),
+        *_repetition_raw_cols(F.col("_t")),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        *_quality_out_cols(),
+        *_repetition_out_cols(),
     )
 
 def unigram_logprob(docs: DataFrame) -> DataFrame:
@@ -288,9 +333,8 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
     vocab = toked.groupBy("tok").agg(F.count("*").alias("_c"))
+    # 1-row frame holding ln(N) quantized on the same micro-unit grid
     n_total = vocab.agg(
-        F.sum("_c").alias("_N"),
-        # ln(N) quantized on the same micro-unit grid as the tokens
         F.round(F.log(F.sum("_c")) * 1e6).cast("long").alias("_lnN_micro"),
     )
     scored = toked.join(
@@ -305,7 +349,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     )
     # 1-row LM normalizer joined on a literal key (broadcast: zero shuffle)
     return per_doc.withColumn("_k", F.lit(1)).join(
-        F.broadcast(n_total.drop("_N").withColumn("_k", F.lit(1))), "_k"
+        F.broadcast(n_total.withColumn("_k", F.lit(1))), "_k"
     ).select(
         "doc_id",
         "n_tokens",

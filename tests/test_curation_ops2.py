@@ -336,3 +336,45 @@ def test_unigram_logprob_deterministic_across_partitionings(spark):
     b = unigram_logprob(docs.repartition(13)).orderBy("doc_id").collect()
     # the micro-unit integer sums make the score partitioning-independent
     assert a == b
+
+
+def test_quality_and_repetition_matches_separate_ops(spark, rep_docs):
+    """The combined one-projection frame must equal the two standalone
+    frames column-for-column (it exists so curate.py avoids a doc_id
+    shuffle join between them — not to redefine either score)."""
+    from airbyte_spark.ops.text_analysis import (
+        quality_and_repetition,
+        quality_score,
+    )
+
+    both = {r["doc_id"]: r for r in quality_and_repetition(rep_docs).collect()}
+    q = {r["doc_id"]: r for r in quality_score(rep_docs).collect()}
+    rep = {r["doc_id"]: r for r in repetition_scores(rep_docs).collect()}
+    for i in both:
+        for c in ("n_tokens", "n_chars", "alpha_ratio", "stop_ratio", "quality"):
+            assert both[i][c] == q[i][c]
+        for c in ("dup_token_frac", "top_bigram_frac", "top_trigram_frac",
+                  "repetitive"):
+            assert both[i][c] == rep[i][c]
+    # and it stays map-only like its parents
+    plan = (
+        quality_and_repetition(rep_docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_curate_cli_rejects_degenerate_mixture(spark, tmp_path):
+    from airbyte_spark import curate
+
+    docs_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "some text", "en")], ["doc_id", "text", "lang"]
+    ).write.parquet(docs_dir)
+    base = ["--docs-dir", docs_dir, "--out", str(tmp_path / "o")]
+    # '{}' must fail loudly, not silently skip the stage
+    with pytest.raises(SystemExit, match="non-empty"):
+        curate.main(base + ["--mixture", "{}"])
+    # string shares must fail at the CLI, not as a deep TypeError
+    with pytest.raises(SystemExit, match="numeric"):
+        curate.main(base + ["--mixture", '{"en": "0.5"}'])
