@@ -378,3 +378,66 @@ def test_curate_cli_rejects_degenerate_mixture(spark, tmp_path):
     # string shares must fail at the CLI, not as a deep TypeError
     with pytest.raises(SystemExit, match="numeric"):
         curate.main(base + ["--mixture", '{"en": "0.5"}'])
+
+
+# ---------------------------------------------------------------------------
+# property tests vs brute-force python models
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd"])
+_TEXTS = st.lists(_WORDS, min_size=1, max_size=14).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_TEXTS, min_size=1, max_size=10))
+def test_repetition_scores_match_counter_model(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n = len(toks)
+        assert got[i]["n_tokens"] == n
+        assert got[i]["dup_token_frac"] == pytest.approx(
+            (n - len(set(toks))) / n, abs=1e-6
+        )
+        for k, col in ((2, "top_bigram_frac"), (3, "top_trigram_frac")):
+            grams = [" ".join(toks[j:j + k]) for j in range(n - k + 1)]
+            exp = (max(Counter(grams).values()) / len(grams)) if grams else 0.0
+            assert got[i][col] == pytest.approx(exp, abs=1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(["u", "v", "w"]), min_size=1, max_size=9)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.sampled_from([2, 3]),
+)
+def test_exact_substring_matches_window_model(spark, texts, window):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in
+           exact_substring_dups(docs, window=window).collect()}
+    wins: Counter = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        ws = [" ".join(toks[j:j + window])
+              for j in range(len(toks) - window + 1)]
+        per_doc[i] = ws
+        wins.update(ws)
+    for i in per_doc:
+        dup = sum(1 for w in per_doc[i] if wins[w] >= 2)
+        assert got[i]["n_windows"] == len(per_doc[i])
+        assert got[i]["n_dup_windows"] == dup
+        assert got[i]["has_dup"] == int(dup > 0)
