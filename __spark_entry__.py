@@ -39,8 +39,9 @@ from airbyte_spark.sources.declarative import (
 from airbyte_spark.functions.text import canonicalize_udf
 from airbyte_spark.functions.names import canonicalize_identifier_udf, resolve_collisions
 from airbyte_spark.ops import dedup_docs, embeddings as emb_ops, text_analysis
+from airbyte_spark.ops import lines as line_ops
 from airbyte_spark.ops.curation import EMAIL_RE as EMAIL_RE_SQL, PHONE_RE as PHONE_RE_SQL
-from airbyte_spark.ops.hashing import h60_sql
+from airbyte_spark.ops.hashing import h60, h60_sql
 from airbyte_spark.ops.multimodal import (
     attach_fake_payload,
     attach_synthetic_media,
@@ -1170,6 +1171,92 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_docs.exact_substring_dups(_t(spark, sf_dir, "documents"))
 
 
+#: boilerplate lines injected for the line-level curation queries (the
+#: corpus is newline-free word salad, so lines are synthesized
+#: deterministically — SAME synthesis in the oracle, like text_pii_redact)
+_BOILER_NAV = "subscribe to our newsletter for daily updates"
+_BOILER_FOOTER = "all rights reserved by the publisher"
+_BOILER_JS = "please enable javascript to continue viewing this page."
+_BOILER_SHORT = "short line here."
+_LINE_WORDS = 5
+
+
+def _synth_lines(punct: bool) -> "F.Column":
+    """array<string> of 5-token lines from the whitespace tokens of
+    ``text``; with ``punct`` each line gains a terminal '.' when
+    h60(doc_id:idx) % 4 != 0 (so ~75% pass C4's punctuation rule)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_LINE_WORDS)).cast("int"), F.lit(1)
+    )
+
+    def mk(i):
+        base = F.array_join(
+            F.slice(toks, i * F.lit(_LINE_WORDS) + F.lit(1), F.lit(_LINE_WORDS)),
+            " ",
+        )
+        if punct:
+            mark = (
+                h60(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )
+                )
+                % 4
+                != 0
+            )
+            base = F.concat(base, F.when(mark, F.lit(".")).otherwise(F.lit("")))
+        return base
+
+    return F.transform(F.sequence(F.lit(0), n_lines - F.lit(1)), mk)
+
+
+def q_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-line quality filtering (Raffel et al. 2020 §2.2):
+    min-words + terminal-punctuation + boilerplate-marker rules as pure
+    array-lambda predicates — scan -> project, zero shuffle, zero explode.
+    Rule-exercising lines are injected deterministically: doc_id % 5 == 0
+    gains a 'javascript' marker line (punctuated but marked), doc_id % 7
+    == 0 a 3-word line (fails min-words)."""
+    d = _t(spark, sf_dir, "documents")
+    arr = _synth_lines(punct=True)
+    arr = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.array(F.lit(_BOILER_JS)), arr)
+    ).otherwise(arr)
+    arr = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(arr, F.array(F.lit(_BOILER_SHORT)))
+    ).otherwise(arr)
+    lined = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(arr, "\n").alias("text"),
+    )
+    return line_ops.c4_line_filter(lined)
+
+
+def q_dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-level line dedup (Penedo et al. 2023 §3.3):
+    lines whose normalized form occurs >= 10 times corpus-wide are
+    boilerplate and are removed from every doc. Nav/footer boilerplate is
+    injected on doc_id % 3 / % 4 so the threshold path is exercised; the
+    plan is ONE hash agg on the line hash + an occurrences x 1 count join
+    — hot boilerplate keys collapse map-side, never a fanout join."""
+    d = _t(spark, sf_dir, "documents")
+    arr = _synth_lines(punct=False)
+    arr = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.array(F.lit(_BOILER_NAV)), arr)
+    ).otherwise(arr)
+    arr = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(arr, F.array(F.lit(_BOILER_FOOTER)))
+    ).otherwise(arr)
+    lined = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_join(arr, "\n").alias("text"),
+    )
+    return line_ops.line_corpus_dedup(lined)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cell clustering + within-cell cosine >= threshold
     drops every vector with a smaller-id near-semantic twin. Candidates
@@ -1588,7 +1675,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cursor_scan": q_cdc_cursor_scan,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
-        "cdc_scd2_asof_join": q_cdc_scd2_asof_join,
         "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
@@ -1614,8 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
-        "text_token_count": q_text_token_count,
         "text_repetition": q_text_repetition,
+        "text_line_filter": q_text_line_filter,
+        "dedup_line_corpus": q_dedup_line_corpus,
         "text_pii_redact": q_text_pii_redact,
         "dedup_decontaminate": q_dedup_decontaminate,
         "sample_stratified_split": q_sample_stratified_split,
@@ -1637,6 +1724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins / family-gated variants, each oracle-checked locally by
         # selfcheck.py; the inline note names the sibling that gates it:
         "multimodal_meta": q_multimodal_meta,  # decode gates the family
+        "text_token_count": q_text_token_count,  # text_quality materializes n_tokens/n_chars via the same tokenizer
+        "cdc_scd2_asof_join": q_cdc_scd2_asof_join,  # SCD2 family read variant; history + mor_replay gate the writes, asof_state is its sibling below
         "sample_per_stratum": q_sample_per_stratum,  # sampling family (stratified_split + domain_mixture gate)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # lexical near-dup family; minhash_lsh gates, jaccard is its exact-verifier tier
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,  # cursor_scan's limit(n+1) probe
@@ -2329,6 +2418,81 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_window_frac,
                    CAST(coalesce(pd.n_dup_windows, 0) > 0 AS INT) AS has_dup
             FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        # line-level curation: lines synthesized from the word salad (5
+        # tokens each) exactly as in the Spark wrappers; the C4 rule chain
+        # runs as list_filter lambdas, dedup as hash-agg + count join
+        "text_line_filter": rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lined AS (
+              SELECT doc_id, list_transform(
+                       range(0, greatest(CAST(ceil(len(t) / 5.0) AS INT), 1)),
+                       i -> array_to_string(t[i*5+1:i*5+5], ' ')
+                            || CASE WHEN {_H("doc_id || ':' || i")} % 4 <> 0
+                                    THEN '.' ELSE '' END) AS ls
+              FROM toks),
+            inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN ['{_BOILER_JS}']
+                          ELSE CAST([] AS VARCHAR[]) END
+                     || ls ||
+                     CASE WHEN doc_id % 7 = 0 THEN ['{_BOILER_SHORT}']
+                          ELSE CAST([] AS VARCHAR[]) END AS ls
+              FROM lined),
+            per AS (
+              SELECT doc_id, ls,
+                     list_filter(ls, x ->
+                       len(string_split_regex(trim(x), '\s+')) >= 5
+                       AND regexp_matches(x, '[.!?"]$')
+                       AND NOT contains(lower(x), 'javascript')
+                       AND NOT contains(lower(x), 'lorem ipsum')
+                       AND NOT contains(lower(x), 'cookie')
+                       AND NOT contains(lower(x), '{{')) AS kept
+              FROM inj)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   round(coalesce(len(kept) / nullif(len(ls), 0), 0), 6)
+                       AS kept_frac,
+                   CAST(len(kept) >= 3 AS INT) AS doc_kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM per
+        """,
+        "dedup_line_corpus": rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lined AS (
+              SELECT doc_id, list_transform(
+                       range(0, greatest(CAST(ceil(len(t) / 5.0) AS INT), 1)),
+                       i -> array_to_string(t[i*5+1:i*5+5], ' ')) AS ls
+              FROM toks),
+            inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN ['{_BOILER_NAV}']
+                          ELSE CAST([] AS VARCHAR[]) END
+                     || ls ||
+                     CASE WHEN doc_id % 4 = 0 THEN ['{_BOILER_FOOTER}']
+                          ELSE CAST([] AS VARCHAR[]) END AS ls
+              FROM lined),
+            occ AS (
+              SELECT doc_id, i - 1 AS idx, ls[i] AS line
+              FROM inj, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+            keyed AS (
+              SELECT doc_id, idx, line, {_H("lower(trim(line))")} AS lh
+              FROM occ),
+            c AS (SELECT lh, count(*) AS cnt FROM keyed GROUP BY lh),
+            j AS (SELECT k.doc_id, k.idx, k.line, (c.cnt >= 10) AS dup
+                  FROM keyed k JOIN c USING (lh))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   coalesce(array_to_string(
+                     list(line ORDER BY idx) FILTER (WHERE NOT dup), chr(10)),
+                     '') AS clean_text
+            FROM j GROUP BY doc_id
         """,
         "text_pii_redact": rf"""
             WITH injected AS (
