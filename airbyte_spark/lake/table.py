@@ -85,6 +85,15 @@ class Snapshot:
     #: base files give parquet row-group pruning tight bounds on top of
     #: the file-level stats skipping.
     sort_cols: list[str] = field(default_factory=list)
+    #: per-bucket-per-commit bloom filter over the PRIMARY KEY (Iceberg
+    #: puffin / Delta bloom-index analog) recorded in every add-entry for
+    #: point-lookup file skipping; 0 disables. Min/max stats answer range
+    #: queries but say nothing about WHICH of a bucket's many commit-era
+    #: files holds a given key — the bloom does, so ``point_lookup`` scans
+    #: O(files containing the key) instead of O(files in the bucket).
+    bloom_bits: int = 0
+    #: hash-probe count per key (classic double hashing)
+    bloom_k: int = 6
 
     @property
     def schema(self) -> TableSchema:
@@ -139,11 +148,15 @@ class LakeTable:
         n_buckets: int = 32,
         stats_cols: Optional[Sequence[str]] = None,
         sort_cols: Optional[Sequence[str]] = None,
+        bloom_bits: int = 0,
+        bloom_k: int = 6,
     ) -> "LakeTable":
         names = {f.name for f in schema.fields}
         for c in (*(stats_cols or []), *(sort_cols or [])):
             if c not in names:
                 raise ValueError(f"stats/sort column {c!r} not in schema")
+        if bloom_bits and (bloom_bits % 64 or bloom_bits < 64 or bloom_k < 1):
+            raise ValueError("bloom_bits must be a positive multiple of 64")
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         t = LakeTable(spark, path)
@@ -157,6 +170,8 @@ class LakeTable:
                 "primary_key": list(primary_key),
                 "stats_cols": list(stats_cols or []),
                 "sort_cols": list(sort_cols or []),
+                "bloom_bits": int(bloom_bits),
+                "bloom_k": int(bloom_k),
             },
         )
         return t
@@ -270,6 +285,8 @@ class LakeTable:
                 "kind": ad.get("kind", "base"),
                 "min_lsn": ad.get("min_lsn"),
                 "max_lsn": ad.get("max_lsn"),
+                "stats": ad.get("stats") or {},
+                "bloom": ad.get("bloom"),
                 "v": ad.get("v", v_next),
             }
         fences = dict(snap.fences)
@@ -385,6 +402,7 @@ class LakeTable:
         n_buckets, bucket_cols, pk, cur_sid = 32, [], [], 0
         stats_cols: list[str] = []
         sort_cols: list[str] = []
+        bloom_bits, bloom_k = 0, 6
         base_v = max((c for c in ckpt_vs if c <= latest), default=None)
         if base_v is not None:
             with open(self._ckpt_path(base_v)) as f:
@@ -404,6 +422,8 @@ class LakeTable:
             pk = ck["primary_key"]
             stats_cols = ck.get("stats_cols", [])
             sort_cols = ck.get("sort_cols", [])
+            bloom_bits = ck.get("bloom_bits", 0)
+            bloom_k = ck.get("bloom_k", 6)
 
         for v in commit_vs:
             if base_v is not None and v <= base_v:
@@ -421,6 +441,8 @@ class LakeTable:
                 pk = e["primary_key"]
                 stats_cols = e.get("stats_cols", [])
                 sort_cols = e.get("sort_cols", [])
+                bloom_bits = e.get("bloom_bits", 0)
+                bloom_k = e.get("bloom_k", 6)
             elif "n_buckets" in e:  # rebucket: layout evolution
                 n_buckets = e["n_buckets"]
             for rm in e.get("removes", []):
@@ -441,6 +463,9 @@ class LakeTable:
                     # per-file (min, max) of the table's stats_cols —
                     # generic range skipping (event-time etc.)
                     "stats": ad.get("stats") or {},
+                    # per-bucket-per-commit pk bloom ({"m","k","words"});
+                    # absent ⇒ the file is conservatively point-scanned
+                    "bloom": ad.get("bloom"),
                     # commit that added the file — the MOR tiebreaker;
                     # rollback re-adds preserve their ORIGINAL commit so
                     # tie resolution is stable across restore
@@ -468,6 +493,8 @@ class LakeTable:
             lineage_totals=totals,
             stats_cols=stats_cols,
             sort_cols=sort_cols,
+            bloom_bits=bloom_bits,
+            bloom_k=bloom_k,
         )
         if at_version is None:
             self._snap_cache = snap
@@ -502,6 +529,7 @@ class LakeTable:
              "rows": m.get("rows"), "kind": m.get("kind", "base"),
              "min_lsn": m.get("min_lsn"), "max_lsn": m.get("max_lsn"),
              "bytes": m.get("bytes"), "stats": m.get("stats") or {},
+             "bloom": m.get("bloom"),
              "v": m.get("v", to_version)}
             for p, m in old.files.items()
             if p not in cur.files
@@ -626,6 +654,8 @@ class LakeTable:
             "lineage_totals": totals,
             "stats_cols": snap.stats_cols,
             "sort_cols": snap.sort_cols,
+            "bloom_bits": snap.bloom_bits,
+            "bloom_k": snap.bloom_k,
         }
         tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -755,6 +785,15 @@ class LakeTable:
                     )
         known = rows_per_bucket or {}
         n_files = sum(len(v) for v in per_bucket_files.values())
+        # per-bucket pk blooms for point-lookup skipping (opt-in): ONE
+        # distributed columnar re-read of this commit's fresh files (pk
+        # cols only — never a driver-side row scan, never a recompute of
+        # the merge plan), aggregated to |buckets| x |words| tiny rows.
+        # Deltas/tombstones are included: a point lookup must scan every
+        # file that can affect its key's MOR resolution.
+        blooms: dict[int, dict] = {}
+        if snap.bloom_bits and per_bucket_files:
+            blooms = self._bucket_blooms(out, snap)
         adds = []
         for bucket, paths in per_bucket_files.items():
             for p, nbytes in paths:
@@ -770,22 +809,51 @@ class LakeTable:
                 # listing above; row counts still come from the write job)
                 st = _footer_col_stats(p, [META_LSN, *snap.stats_cols])
                 lsn_b = st.get(META_LSN)
-                adds.append(
-                    {
-                        "path": os.path.relpath(p, self.path),
-                        "bucket": bucket,
-                        "schema_id": snap.current_schema_id,
-                        "rows": rows,
-                        "bytes": nbytes,
-                        "kind": kind,
-                        "min_lsn": int(lsn_b[0]) if lsn_b else None,
-                        "max_lsn": int(lsn_b[1]) if lsn_b else None,
-                        "stats": {
-                            c: list(b) for c, b in st.items() if c != META_LSN
-                        },
-                    }
-                )
+                ad = {
+                    "path": os.path.relpath(p, self.path),
+                    "bucket": bucket,
+                    "schema_id": snap.current_schema_id,
+                    "rows": rows,
+                    "bytes": nbytes,
+                    "kind": kind,
+                    "min_lsn": int(lsn_b[0]) if lsn_b else None,
+                    "max_lsn": int(lsn_b[1]) if lsn_b else None,
+                    "stats": {
+                        c: list(b) for c, b in st.items() if c != META_LSN
+                    },
+                }
+                if bucket in blooms:
+                    # bucket-granular: a multi-file bucket-commit shares
+                    # one blob (pruning stays exact — no false negatives,
+                    # only sibling-key bits)
+                    ad["bloom"] = blooms[bucket]
+                adds.append(ad)
         return adds, total
+
+    def _bucket_blooms(self, out_dir: str, snap: Snapshot) -> dict[int, dict]:
+        """{bucket: {"m", "k", "words": {word_idx: int64}}} over the fresh
+        commit subdir — the write-time half of the point-lookup index."""
+        m, k = snap.bloom_bits, snap.bloom_k
+        pk = [F.col(c) for c in snap.primary_key]
+        rows = (
+            self.spark.read.parquet(out_dir)
+            .select(
+                F.col("_b").cast("int").alias("_b"),
+                F.explode(_bloom_positions(pk, m, k)).alias("pos"),
+            )
+            .select(
+                "_b",
+                F.expr("pos DIV 64").cast("int").alias("w"),
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+            )
+            .groupBy("_b", "w")
+            .agg(F.expr("bit_or(bit)").alias("bits"))
+            .collect()
+        )
+        words: dict[int, dict[str, int]] = {}
+        for r in rows:
+            words.setdefault(r["_b"], {})[str(r["w"])] = r["bits"]
+        return {b: {"m": m, "k": k, "words": w} for b, w in words.items()}
 
     def append(
         self,
@@ -1061,6 +1129,118 @@ class LakeTable:
         if not include_meta:
             df = df.drop(META_LSN, META_DELETED)
         return df
+
+    def plan_point_lookup(
+        self, keys: Sequence, snap: Optional[Snapshot] = None
+    ) -> dict:
+        """File-pruning plan for an exact-pk lookup: bucket pruning (when
+        ``bucket_cols`` ⊆ pk) then per-file pk-bloom probing. Returns
+        {"files", "total_files", "bucket_skipped", "bloom_skipped",
+        "probes"} — the diagnostic the skipping tests assert on. Files
+        without a bloom blob (pre-bloom commits, bloom disabled) are
+        conservatively kept; pruning never produces false negatives."""
+        snap = snap or self.snapshot()
+        probes = self._probe_point_keys(keys, snap)
+        by_bucket: dict[Optional[int], list] = {}
+        for p in probes:
+            by_bucket.setdefault(p["__bucket"], []).append(p)
+        bucket_prunable = None not in by_bucket
+        selected: dict[str, dict] = {}
+        bucket_skipped = bloom_skipped = 0
+        for path, meta in snap.files.items():
+            if bucket_prunable and meta["bucket"] not in by_bucket:
+                bucket_skipped += 1
+                continue
+            cand = (
+                by_bucket[meta["bucket"]] if bucket_prunable else probes
+            )
+            blob = meta.get("bloom")
+            if blob and blob.get("m") == snap.bloom_bits:
+                if not any(
+                    _bloom_may_contain(blob, p["__pos"]) for p in cand
+                ):
+                    bloom_skipped += 1
+                    continue
+            selected[path] = meta
+        return {
+            "files": selected,
+            "total_files": len(snap.files),
+            "bucket_skipped": bucket_skipped,
+            "bloom_skipped": bloom_skipped,
+            "probes": probes,
+        }
+
+    def point_lookup(
+        self,
+        keys: Sequence,
+        include_meta: bool = False,
+        snap: Optional[Snapshot] = None,
+    ) -> DataFrame:
+        """Exact-key read: resolved current rows for the given pk values
+        (tuples for composite keys, scalars otherwise). The scan covers
+        only files that can contain a requested key — bucket pruning plus
+        per-bucket-per-commit pk blooms (``create(bloom_bits=...)``), so
+        a key written once costs O(files containing it), not O(files in
+        its bucket). MOR resolution stays exact: the bloom has no false
+        negatives, so every file carrying a requested key's versions or
+        tombstones survives pruning."""
+        snap = snap or self.snapshot()
+        plan = self.plan_point_lookup(keys, snap)
+        df = self.read(
+            snap=replace(snap, files=plan["files"]),
+            include_meta=include_meta,
+        )
+        pk = snap.primary_key
+        probes = plan["probes"]
+        if len(probes) <= 64:
+            # small key sets: an OR-of-ANDs residual lands in the parquet
+            # scan's PushedFilters, pruning row groups inside survivors
+            cond = F.lit(False)
+            for p in probes:
+                c = F.lit(True)
+                for col in pk:
+                    c = c & F.col(col).eqNullSafe(F.lit(p[col]))
+                cond = cond | c
+            return df.filter(cond)
+        from pyspark.sql.types import StructType
+
+        full = snap.schema.to_struct()
+        kdf = self.spark.createDataFrame(
+            [tuple(p[c] for c in pk) for p in probes],
+            StructType([full[c] for c in pk]),
+        )
+        return df.join(F.broadcast(kdf.dropDuplicates()), on=pk, how="left_semi")
+
+    def _probe_point_keys(self, keys: Sequence, snap: Snapshot) -> list:
+        """One tiny Spark job over the key literals computing, with the
+        SAME Catalyst expressions the write path used, each key's bucket
+        (None when bucket_cols ⊄ pk) and bloom bit positions."""
+        if not keys:
+            raise ValueError("point_lookup needs at least one key")
+        from pyspark.sql.types import StructType
+
+        pk = snap.primary_key
+        full = snap.schema.to_struct()
+        struct = StructType([full[c] for c in pk])
+        rows = [
+            tuple(k) if isinstance(k, (tuple, list)) else (k,) for k in keys
+        ]
+        kdf = self.spark.createDataFrame(rows, struct)
+        cols = [F.col(c) for c in pk]
+        sel = list(cols)
+        if set(snap.bucket_cols) <= set(pk):
+            sel.append(self.bucket_expr(snap).cast("int").alias("__bucket"))
+        else:
+            sel.append(F.lit(None).cast("int").alias("__bucket"))
+        if snap.bloom_bits:
+            sel.append(
+                _bloom_positions(cols, snap.bloom_bits, snap.bloom_k).alias(
+                    "__pos"
+                )
+            )
+        else:
+            sel.append(F.lit(None).cast("array<bigint>").alias("__pos"))
+        return kdf.select(*sel).collect()
 
     def read_incremental(
         self,
@@ -1673,6 +1853,32 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
             p["deletes"] += v.get("deletes") or 0
             p["max_lsn"] = _mx(p["max_lsn"], v.get("max_lsn"))
     return t
+
+
+def _bloom_positions(pk_cols: list, m: int, k: int):
+    """array<long> of ``k`` bloom bit positions for a pk tuple — classic
+    double hashing over two xxhash64 views, with both hashes reduced mod
+    ``m`` BEFORE combining so the arithmetic can never overflow (ANSI
+    mode would raise, non-ANSI would silently diverge between the write
+    job and the probe job)."""
+    h1 = F.pmod(F.xxhash64(*pk_cols), F.lit(m))
+    h2 = F.pmod(F.xxhash64(*pk_cols, F.lit("__bloom2__")), F.lit(m))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)])
+
+
+def _bloom_may_contain(blob: dict, positions) -> bool:
+    """Python-side probe of a JSON bloom blob; True unless some probed
+    bit is provably absent. ``positions`` None ⇒ conservative True."""
+    if positions is None:
+        return True
+    words = blob.get("words") or {}
+    for q in positions:
+        w = words.get(str(q // 64))
+        if w is None:
+            return False
+        if not ((w & 0xFFFFFFFFFFFFFFFF) >> (q % 64)) & 1:
+            return False
+    return True
 
 
 def _ranges_disjoint(stats: dict, qranges: dict) -> bool:
