@@ -1275,6 +1275,20 @@ def q_sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance sampling (Xie et al. 2023): hashed-bigram unigram
+    models of a target set (doc_id % 11 == 0, the decontaminate
+    convention) and the remaining corpus; per-doc importance log-weight
+    as an exact micro-unit integer sum (order-free — see
+    curation._q6ln), 256-row distributions broadcast everywhere."""
+    from airbyte_spark.ops.curation import dsir_scores
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 11 == 0)
+    corpus = d.filter(F.col("doc_id") % 11 != 0)
+    return dsir_scores(corpus, target)
+
+
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents with deterministic synthetic PII
     injected first (the corpus itself is PII-free word salad): every
@@ -1696,7 +1710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_validation_accounting": q_cdc_validation_accounting,
         "cdc_sessionize": q_cdc_sessionize,
         "cdc_conversation_assembly": q_cdc_conversation_assembly,
-        "text_vocab_topk": q_text_vocab_topk,
         "text_canonicalize": q_text_canonicalize,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
@@ -1714,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_banded": q_dedup_simhash_banded,
         "dedup_semantic": q_dedup_semantic,
         "sample_domain_mixture": q_sample_domain_mixture,
+        "sample_dsir": q_sample_dsir,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_search": q_ann_ivf_search,
         "ann_lsh_signbucket": q_ann_lsh_signbucket,
@@ -1725,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selfcheck.py; the inline note names the sibling that gates it:
         "multimodal_meta": q_multimodal_meta,  # decode gates the family
         "text_token_count": q_text_token_count,  # text_quality materializes n_tokens/n_chars via the same tokenizer
+        "text_vocab_topk": q_text_vocab_topk,  # unigram_logprob gates the corpus token-count aggregate; topk is its order-by-limit view
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,  # SCD2 family read variant; history + mor_replay gate the writes, asof_state is its sibling below
         "sample_per_stratum": q_sample_per_stratum,  # sampling family (stratified_split + domain_mixture gate)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # lexical near-dup family; minhash_lsh gates, jaccard is its exact-verifier tier
@@ -2511,6 +2526,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(t1, '{PHONE_RE_SQL}')) AS BIGINT) AS n_phones,
                    regexp_replace(t1, '{PHONE_RE_SQL}', '<PHONE>', 'g') AS redacted
             FROM emailed
+        """,
+        # DSIR: every ln lands on the shared micro-unit grid (q6ln) before
+        # any per-doc sum, so corpus-order never matters; the totals' ln
+        # enters once per doc via exact integer multiply
+        "sample_dsir": rf"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CAST({_H("array_to_string(t[i:i+1], ' ')")} % 256 AS INT) AS b
+              FROM toks, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+            t_occ AS (SELECT b FROM grams WHERE doc_id % 11 = 0),
+            c_occ AS (SELECT doc_id, b FROM grams WHERE doc_id % 11 <> 0),
+            buckets AS (SELECT unnest(range(0, 256)) AS b),
+            dist AS (
+              SELECT buckets.b,
+                     coalesce(tc, 0) + 1 AS tca,
+                     coalesce(cc, 0) + 1 AS cca
+              FROM buckets
+              LEFT JOIN (SELECT b, count(*) AS tc FROM t_occ GROUP BY b)
+                USING (b)
+              LEFT JOIN (SELECT b, count(*) AS cc FROM c_occ GROUP BY b)
+                USING (b)),
+            w AS (SELECT b,
+                         CAST(round(ln(tca) * 1e6) AS BIGINT)
+                         - CAST(round(ln(cca) * 1e6) AS BIGINT) AS w_rel
+                  FROM dist),
+            tots AS (SELECT CAST(round(ln(sum(tca)) * 1e6) AS BIGINT) AS lnT,
+                            CAST(round(ln(sum(cca)) * 1e6) AS BIGINT) AS lnC
+                     FROM dist),
+            pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                          CAST(sum(w_rel) AS BIGINT) AS sum_w
+                   FROM c_occ JOIN w USING (b) GROUP BY doc_id),
+            scored AS (
+              SELECT doc_id, n_bigrams,
+                     CAST(sum_w - n_bigrams * (lnT - lnC) AS BIGINT)
+                         AS logw_micro
+              FROM pd, tots)
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   coalesce(s.logw_micro, 0) AS logw_micro,
+                   round(coalesce(s.logw_micro / nullif(s.n_bigrams, 0), 0)
+                         / 1e6, 6) AS avg_logw,
+                   CAST(coalesce(s.logw_micro, 0) > 0 AS INT) AS selected
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+            LEFT JOIN scored s USING (doc_id)
         """,
         "dedup_decontaminate": rf"""
             WITH toks AS (

@@ -388,3 +388,138 @@ def domain_mixture_sample(
         F.coalesce("rate_ppm", F.lit(0)).cast("long").alias("rate_ppm"),
         (h < F.coalesce("rate_ppm", F.lit(0))).cast("int").alias("sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance sampling (Xie et al. 2023, "Data Selection via
+# Importance Resampling")
+# ---------------------------------------------------------------------------
+
+#: hashed-bigram feature space — small by design: the two distributions
+#: are |buckets|-row aggregates that broadcast everywhere
+DSIR_BUCKETS = 256
+
+
+def _bigram_buckets(toks: Column, n_buckets: int) -> Column:
+    """Hashed-bigram bucket ids WITH multiplicity (DSIR's bag-of-ngrams
+    feature map), as an array<int> over a MATERIALIZED token array (same
+    O(tokens²)-lambda hazard as ``ngram_hashes``)."""
+    count = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.pmod(
+            h60(F.array_join(F.slice(toks, i, 2), " ")), F.lit(n_buckets)
+        ).cast("int"),
+    )
+    # sequence(1, 0) yields [1, 0] descending — guard 1-token docs
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<int>"))
+
+
+def _q6ln(c: Column) -> Column:
+    """ln quantized to bigint micro-units — the order-free-summation
+    contract shared with ``text_analysis.unigram_logprob`` (Spark's
+    Math.log and DuckDB's libm ln agree bit-for-bit on this grid over
+    the verified integer domain 1..2×10^6)."""
+    return F.round(F.log(c) * 1e6).cast("long")
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document importance log-weights for selecting corpus docs that
+    look like the (small) target set, under hashed-bigram unigram models
+    of both (the DSIR reduction):
+
+        logw(d) = Σ_{g ∈ bigrams(d)} [ ln p̂_target(b(g)) − ln p̂_corpus(b(g)) ]
+
+    with add-one smoothing on both |buckets|-dim distributions.
+
+    Determinism: every ln is quantized to bigint micro-units BEFORE any
+    per-doc sum (see ``_q6ln``), so the score is an exact integer sum —
+    independent of partitioning and row order, reproducible by the DuckDB
+    oracle. The totals' ln lands once per doc via integer multiply:
+    logw_micro = Σ w_rel(b) − n_bigrams·(q6ln T − q6ln C).
+
+    Plan shape at 100 TB: two explode→256-key hash aggregates (map-side
+    combine collapses everything before the shuffle), the 256-row weight
+    table broadcast onto the corpus occurrences, one per-doc aggregate —
+    all linear in corpus tokens, no joins that can fan out. The target
+    side is small by DSIR's construction (it is the quality/benchmark
+    sample) but nothing here requires it.
+
+    Returns (doc_id, n_bigrams, logw_micro, avg_logw, selected) where
+    ``selected`` = avg bigram log-ratio > 0 (more target-like than not);
+    resampling at a chosen rate orders by ``logw_micro`` or thresholds
+    ``avg_logw``. Corpus docs with < 2 tokens score 0 with n_bigrams=0
+    (scored, never dropped — same contract as ``domain_mixture_sample``).
+    """
+
+    def occ(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            tokens(F.col("text")).alias("_toks"),
+        )
+        return toked.select(
+            "doc_id",
+            F.explode(_bigram_buckets(F.col("_toks"), n_buckets)).alias("b"),
+        )
+
+    c_occ, t_occ = occ(corpus), occ(target)
+    spark = corpus.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").cast("int").alias("b"))
+    t_cnt = t_occ.groupBy("b").agg(F.count(F.lit(1)).alias("_tc"))
+    c_cnt = c_occ.groupBy("b").agg(F.count(F.lit(1)).alias("_cc"))
+    dist = (
+        buckets.join(t_cnt, "b", "left")
+        .join(c_cnt, "b", "left")
+        .select(
+            "b",
+            (F.coalesce("_tc", F.lit(0)) + 1).alias("_tca"),
+            (F.coalesce("_cc", F.lit(0)) + 1).alias("_cca"),
+        )
+    )
+    w = dist.select("b", (_q6ln(F.col("_tca")) - _q6ln(F.col("_cca"))).alias("_w_rel"))
+    tots = dist.agg(
+        _q6ln(F.sum("_tca")).alias("_lnT"), _q6ln(F.sum("_cca")).alias("_lnC")
+    )
+    per_doc = (
+        c_occ.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_w_rel").cast("long").alias("_sum_w"),
+        )
+    )
+    scored = (
+        per_doc.withColumn("_k", F.lit(1))
+        .join(F.broadcast(tots.withColumn("_k", F.lit(1))), "_k")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("_sum_w")
+                - F.col("n_bigrams") * (F.col("_lnT") - F.col("_lnC"))
+            ).alias("logw_micro"),
+        )
+    )
+    # LEFT join back: bigram-less docs are scored 0, not dropped
+    return (
+        corpus.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("logw_micro", F.lit(0)).cast("long").alias("logw_micro"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("logw_micro"), F.col("n_bigrams")),
+                    F.lit(0.0),
+                )
+                / 1e6,
+                6,
+            ).alias("avg_logw"),
+            (F.coalesce("logw_micro", F.lit(0)) > 0).cast("int").alias("selected"),
+        )
+    )
