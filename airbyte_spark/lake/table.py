@@ -85,6 +85,16 @@ class Snapshot:
     #: base files give parquet row-group pruning tight bounds on top of
     #: the file-level stats skipping.
     sort_cols: list[str] = field(default_factory=list)
+    #: multi-dimensional clustering (Delta OPTIMIZE ZORDER BY / Iceberg
+    #: z-ordered sort-order analog) applied when buckets are REWRITTEN:
+    #: rows sort by the bit-interleave of the columns' range-scaled
+    #: 16-bit ranks, so per-row-group min/max bounds stay tight on EVERY
+    #: listed column at once — range predicates on any single dimension
+    #: prune, where a linear sort_cols order only serves its leading
+    #: column. 2-3 numeric/timestamp columns; mutually exclusive with
+    #: sort_cols; implies membership in stats_cols (rank bounds fold from
+    #: recorded file stats — no extra pass at rewrite time).
+    zorder_cols: list[str] = field(default_factory=list)
     #: per-bucket-per-commit bloom filter over the PRIMARY KEY (Iceberg
     #: puffin / Delta bloom-index analog) recorded in every add-entry for
     #: point-lookup file skipping; 0 disables. Min/max stats answer range
@@ -150,13 +160,27 @@ class LakeTable:
         sort_cols: Optional[Sequence[str]] = None,
         bloom_bits: int = 0,
         bloom_k: int = 6,
+        zorder_cols: Optional[Sequence[str]] = None,
     ) -> "LakeTable":
         names = {f.name for f in schema.fields}
-        for c in (*(stats_cols or []), *(sort_cols or [])):
+        for c in (*(stats_cols or []), *(sort_cols or []), *(zorder_cols or [])):
             if c not in names:
-                raise ValueError(f"stats/sort column {c!r} not in schema")
+                raise ValueError(f"stats/sort/zorder column {c!r} not in schema")
         if bloom_bits and (bloom_bits % 64 or bloom_bits < 64 or bloom_k < 1):
             raise ValueError("bloom_bits must be a positive multiple of 64")
+        if zorder_cols:
+            if sort_cols:
+                raise ValueError(
+                    "zorder_cols and sort_cols are mutually exclusive "
+                    "(both define the rewrite-time ordering)"
+                )
+            if not 2 <= len(zorder_cols) <= 3:
+                raise ValueError("zorder_cols takes 2-3 columns")
+            # rank bounds fold from per-file stats, so z-ordered columns
+            # must be stat'd — include them implicitly
+            stats_cols = list(
+                dict.fromkeys([*(stats_cols or []), *zorder_cols])
+            )
         os.makedirs(os.path.join(path, _LOG_DIR), exist_ok=False)
         os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
         t = LakeTable(spark, path)
@@ -172,6 +196,7 @@ class LakeTable:
                 "sort_cols": list(sort_cols or []),
                 "bloom_bits": int(bloom_bits),
                 "bloom_k": int(bloom_k),
+                "zorder_cols": list(zorder_cols or []),
             },
         )
         return t
@@ -403,6 +428,7 @@ class LakeTable:
         stats_cols: list[str] = []
         sort_cols: list[str] = []
         bloom_bits, bloom_k = 0, 6
+        zorder_cols: list[str] = []
         base_v = max((c for c in ckpt_vs if c <= latest), default=None)
         if base_v is not None:
             with open(self._ckpt_path(base_v)) as f:
@@ -424,6 +450,7 @@ class LakeTable:
             sort_cols = ck.get("sort_cols", [])
             bloom_bits = ck.get("bloom_bits", 0)
             bloom_k = ck.get("bloom_k", 6)
+            zorder_cols = ck.get("zorder_cols", [])
 
         for v in commit_vs:
             if base_v is not None and v <= base_v:
@@ -443,6 +470,7 @@ class LakeTable:
                 sort_cols = e.get("sort_cols", [])
                 bloom_bits = e.get("bloom_bits", 0)
                 bloom_k = e.get("bloom_k", 6)
+                zorder_cols = e.get("zorder_cols", [])
             elif "n_buckets" in e:  # rebucket: layout evolution
                 n_buckets = e["n_buckets"]
             for rm in e.get("removes", []):
@@ -495,6 +523,7 @@ class LakeTable:
             sort_cols=sort_cols,
             bloom_bits=bloom_bits,
             bloom_k=bloom_k,
+            zorder_cols=zorder_cols,
         )
         if at_version is None:
             self._snap_cache = snap
@@ -656,6 +685,7 @@ class LakeTable:
             "sort_cols": snap.sort_cols,
             "bloom_bits": snap.bloom_bits,
             "bloom_k": snap.bloom_k,
+            "zorder_cols": snap.zorder_cols,
         }
         tmp = os.path.join(self.path, _LOG_DIR, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
@@ -1586,10 +1616,44 @@ class LakeTable:
         ).withColumn("_b", self.bucket_expr(snap))
         adds, _ = self.write_data_files(
             snap, df, n_out_partitions=len(targets),
-            sort_within=snap.sort_cols or None,
+            sort_within=self._rewrite_sort(snap),
         )
         removes = [p for b in targets for p in per_bucket[b]]
         return self.commit(snap, adds, removes, op="compact")
+
+    def _rewrite_sort(self, snap: Snapshot):
+        """Rewrite-time ordering: the z-curve key when zorder_cols is set
+        (bounds folded from recorded file stats — zero extra passes),
+        else the linear sort_cols. Falls back to a plain lexicographic
+        sort on the zorder columns when no file carries bounds yet (the
+        clustering improves as stats accumulate; correctness never
+        depends on it)."""
+        if not snap.zorder_cols:
+            return snap.sort_cols or None
+        struct = snap.schema.to_struct()
+        from pyspark.sql import types as _T
+
+        ranked = []
+        have_bounds = False
+        for c in snap.zorder_cols:
+            los, his = [], []
+            for meta in snap.files.values():
+                b = (meta.get("stats") or {}).get(c)
+                if b and b[0] is not None and b[1] is not None:
+                    los.append(_stat_value(b[0]))
+                    his.append(_stat_value(b[1]))
+            col = F.col(c)
+            if isinstance(struct[c].dataType, _T.TimestampType):
+                # align with _stat_value's epoch-micro encoding
+                col = F.unix_micros(col)
+            if los:
+                have_bounds = True
+                ranked.append((col, min(los), max(his)))
+            else:
+                ranked.append((col, None, None))
+        if not have_bounds:
+            return list(snap.zorder_cols)
+        return [zorder_key(ranked)]
 
     def rebucket(self, new_n_buckets: int) -> int:
         """Bucket-layout evolution (Iceberg partition-spec evolution
@@ -1616,7 +1680,7 @@ class LakeTable:
             Snapshot(**{**snap.__dict__, "n_buckets": new_n_buckets}),
             rows,
             n_out_partitions=new_n_buckets,
-            sort_within=snap.sort_cols or None,
+            sort_within=self._rewrite_sort(snap),
         )
         entry: dict = {
             "op": "rebucket",
@@ -1853,6 +1917,40 @@ def _fold_lineage(totals: dict, entries: list[dict]) -> dict:
             p["deletes"] += v.get("deletes") or 0
             p["max_lsn"] = _mx(p["max_lsn"], v.get("max_lsn"))
     return t
+
+
+def zorder_key(ranked: list[tuple]) -> F.Column:
+    """Bit-interleave of range-scaled 16-bit ranks — the Morton/Z-curve
+    key Delta's OPTIMIZE ZORDER BY sorts by. ``ranked`` is
+    [(numeric_col, lo, hi), ...] (2-3 dims); each value maps to
+    rank = clamp(floor((v - lo) · 65535 / (hi - lo))), nulls and
+    degenerate bounds to rank 0, and the key takes bit j of dim i at
+    position j·ndims + i. Pure integer Catalyst expressions — the sort
+    stays inside whole-stage codegen at rewrite time."""
+    ranks = []
+    for col, lo, hi in ranked:
+        if hi is None or lo is None or not hi > lo:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        scaled = F.floor(
+            (col.cast("double") - F.lit(float(lo)))
+            * F.lit(65535.0 / (float(hi) - float(lo)))
+        )
+        # coalesce BEFORE the clamp: Spark's least/greatest IGNORE nulls
+        # (least(65535, null) = 65535), so a null value would otherwise
+        # rank top instead of 0
+        ranks.append(
+            F.greatest(
+                F.lit(0), F.least(F.lit(65535), F.coalesce(scaled, F.lit(0)))
+            ).cast("long")
+        )
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for j in range(16):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * n + i))
+    return z
 
 
 def _bloom_positions(pk_cols: list, m: int, k: int):
