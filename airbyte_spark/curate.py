@@ -58,6 +58,8 @@ def curate(
     n_shards: int = 64,
     drop_repetitive: bool = False,
     mixture: dict[str, float] | None = None,
+    line_dedup_min_count: int | None = None,
+    line_filter: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run the curation ladder; returns (curated frame, stage stats).
 
@@ -74,6 +76,30 @@ def curate(
     # counting never pays its own full input scan
     docs = docs.cache()
     stats: dict = {"rows_in": docs.count()}
+
+    # 0. line-level cleaning (C4/RefinedWeb order: corpus boilerplate
+    # lines out first, then the per-line rule chain) — each stage
+    # REWRITES text, so it must precede every content-hash/ngram stage
+    if line_dedup_min_count is not None:
+        from .ops.lines import line_corpus_dedup
+
+        ld = line_corpus_dedup(docs, min_count=line_dedup_min_count)
+        nxt = docs.drop("text").join(
+            ld.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        ).cache()
+        stats["rows_after_line_dedup"] = nxt.count()
+        docs.unpersist()
+        docs = nxt
+    if line_filter:
+        from .ops.lines import c4_line_filter
+
+        lf = c4_line_filter(docs).filter(F.col("doc_kept") == 1)
+        nxt = docs.drop("text").join(
+            lf.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        ).cache()
+        stats["rows_after_line_filter"] = nxt.count()
+        docs.unpersist()
+        docs = nxt
 
     # 1. exact dedup — keep the canonical (min doc_id) copy per content
     keep = exact_dedup(docs).select(
@@ -175,6 +201,14 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--drop-repetitive", action="store_true",
                    help="also drop docs failing the Gopher repetition "
                    "bars (dup-token / top-n-gram fractions)")
+    p.add_argument("--line-dedup", type=int, default=None, metavar="MIN_COUNT",
+                   help="first remove lines whose normalized form occurs "
+                   ">= MIN_COUNT times corpus-wide (RefinedWeb boilerplate "
+                   "removal)")
+    p.add_argument("--line-filter", action="store_true",
+                   help="apply the C4 per-line rule chain (min words, "
+                   "terminal punctuation, boilerplate markers); docs with "
+                   "< 3 surviving lines are dropped")
     p.add_argument("--mixture", default=None,
                    help='target token mixture as JSON, e.g. '
                    '\'{"en":0.5,"de":0.3,"fr":0.2}\' over --stratum-col; '
@@ -215,6 +249,8 @@ def main(argv: list[str] | None = None) -> dict:
         n_shards=args.n_shards,
         drop_repetitive=args.drop_repetitive,
         mixture=mixture,
+        line_dedup_min_count=args.line_dedup,
+        line_filter=args.line_filter,
     )
     out.write.mode("overwrite").partitionBy("split").parquet(args.out)
     # the pipeline's one remaining stage cache backed that write; don't

@@ -358,3 +358,47 @@ def test_pack_sequences_deterministic(spark):
     assert len(shards) > 1
     for (_, shard, pack_id, _n) in a:
         assert pack_id % 4 == shard
+
+
+def test_curate_cli_line_stages(spark, tmp_path):
+    """--line-dedup strips corpus-wide boilerplate lines first,
+    --line-filter then applies the C4 rule chain; docs left with < 3
+    lines drop, survivors carry the cleaned text downstream."""
+    from airbyte_spark import curate
+
+    boiler = "subscribe now to our newsletter"
+    good = [
+        "the quick brown fox runs fast today number {i} one.",
+        "a second perfectly ordinary sentence for document {i} two.",
+        "and a third clean closing line for document {i} three.",
+    ]
+    rows = []
+    for i in range(12):  # boilerplate occurs 13x >= min_count 10
+        rows.append((i, "\n".join([boiler] + [g.format(i=i) for g in good]), "en"))
+    # boiler + only 2 good lines -> line-filter drops it (< 3 kept)
+    rows.append((50, "\n".join([boiler] + [g.format(i=50) for g in good[:2]]), "en"))
+    # 3 good lines + a marker line the filter strips (doc survives)
+    rows.append(
+        (51, "\n".join([g.format(i=51) for g in good]
+                       + ["please enable javascript to continue here."]), "en")
+    )
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "curated")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(docs_dir)
+
+    stats = curate.main([
+        "--docs-dir", docs_dir,
+        "--out", out_dir,
+        "--line-dedup", "10",
+        "--line-filter",
+        "--budget", "32",
+        "--n-shards", "2",
+    ])
+    assert stats["rows_in"] == 14
+    assert stats["rows_after_line_dedup"] == 14  # rewrites, never drops
+    assert stats["rows_after_line_filter"] == 13  # doc 50 out
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert 50 not in got and 51 in got
+    for t in got.values():
+        assert boiler not in t and "javascript" not in t
+    assert got[51].count("\n") == 2  # exactly the 3 good lines remain
