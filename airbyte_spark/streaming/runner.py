@@ -120,6 +120,12 @@ class ReplayConfig:
     #: CLI hop (--tail-app-id) so switching modes resumes instead of
     #: restarting the edge from version 0
     tail_app_id: Optional[str] = None
+    #: columns to drift-profile per trigger (streaming/drift.py): their
+    #: per-batch mean/null-count aggregates ride the SAME "replay_feed"
+    #: observation as the O8 estimates — zero extra passes — and surface
+    #: in observedMetrics for a driver-side DriftDetector
+    #: (drift.alerts_from_listener) to score
+    drift_cols: Optional[Sequence[str]] = None
     feed_struct: T.StructType = field(default_factory=lambda: CHANGE_STRUCT)
     epoch: Optional[int] = None
     #: chunked resumable initial snapshot (sources/snapshot.py — the
@@ -663,6 +669,14 @@ def run_replay_stream(
         )
     if "_ab_cdc_lsn" in [f.name for f in cfg.feed_struct.fields]:
         obs_cols.append(F.max("_ab_cdc_lsn").alias("max_lsn_obs"))
+    if cfg.drift_cols:
+        from .drift import profile_cols
+
+        feed_cols = {f.name for f in cfg.feed_struct.fields}
+        missing = [c for c in cfg.drift_cols if c not in feed_cols]
+        if missing:
+            raise ValueError(f"drift_cols not in feed_struct: {missing}")
+        obs_cols.extend(profile_cols(cfg.drift_cols))
     stream = stream.observe("replay_feed", *obs_cols)
 
     if cfg.watermark_dedup:
