@@ -142,6 +142,11 @@ def main(argv: list[str] | None = None) -> None:
                    "(requires an 'embedding' array<float> column in "
                    "--feed-schema-ddl; candidate pairs land in "
                    "<path>_flags — ops/ann_index.py)")
+    p.add_argument("--drift-cols", default=None,
+                   help="comma-separated feed columns to drift-profile per "
+                   "micro-batch (zero extra passes — rides the replay "
+                   "observation); EW-baseline z-score alerts print as one "
+                   "JSON line after a bounded sync. Streaming mode only.")
     p.add_argument("--schema-tests", action="store_true",
                    help="after a bounded sync, run the dbt-style data-"
                    "quality battery (unique pk, not-null key cols; SCD "
@@ -198,6 +203,12 @@ def main(argv: list[str] | None = None) -> None:
                 "alternative bootstrap modes: --backfill replays the feed "
                 "in one batch; the snapshot flags chunk a SOURCE TABLE "
                 "alongside the streaming tail. Pick one."
+            )
+        if args.drift_cols:
+            raise SystemExit(
+                "--drift-cols needs the per-micro-batch observation stream "
+                "(a one-batch backfill has no baseline to drift from); "
+                "drop the flag or run the streaming mode"
             )
         # one-shot batch replay (S4 snapshot); the post-sync blocks below
         # (--tail-to / --compact / --schema-tests) apply to it like any
@@ -334,6 +345,9 @@ def main(argv: list[str] | None = None) -> None:
             snapshot_chunks_per_trigger=args.snapshot_chunks_per_trigger,
             dedup_index_path=args.dedup_index,
             embedding_index_path=args.embedding_index,
+            drift_cols=(
+                args.drift_cols.split(",") if args.drift_cols else None
+            ),
         )
         # honor --n-buckets on the streaming path too: the runner's
         # bootstrap is open-if-exists, so creating here pins the layout
@@ -347,9 +361,27 @@ def main(argv: list[str] | None = None) -> None:
             # modes resumes the edge instead of restarting it
             cfg.tail_to_path = args.tail_to
             cfg.tail_app_id = args.tail_app_id
+        drift_listener = None
+        if cfg.drift_cols:
+            from .streaming import metrics as _metrics
+
+            drift_listener = _metrics.attach(spark)
         # --continuous blocks here (the runner awaits); bounded runs
         # return once the feed is drained
         run_replay_stream(spark, cfg, available_now=not args.continuous)
+        if drift_listener is not None:
+            import json as _json
+
+            from .streaming import metrics as _metrics
+            from .streaming.drift import DriftDetector, alerts_from_listener
+
+            _metrics.detach(spark, drift_listener)
+            alerts = alerts_from_listener(
+                drift_listener,
+                DriftDetector(cols=list(cfg.drift_cols)),
+                name=cfg.app_id,
+            )
+            print(_json.dumps({"drift_alerts": alerts}, default=str))
     if args.tail_to and not args.continuous:
         # BEFORE the compact block: compaction folds the sync's delta
         # files and vacuum removes them — a tail running after would find

@@ -177,3 +177,47 @@ def test_drift_cols_must_exist_in_feed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="drift_cols not in feed_struct"):
         run_replay_stream(spark, cfg)
+
+
+def test_job_cli_drift_cols(spark, tmp_path, capsys):
+    """--drift-cols on a bounded sync prints one drift_alerts JSON line
+    (profiles observed per micro-batch through the CLI path)."""
+    import json
+
+    from airbyte_spark import job
+    from airbyte_spark.feedgen import FeedSpec, generate_feed
+
+    d = str(tmp_path / "feed")
+    generate_feed(
+        d,
+        FeedSpec(
+            n_convs=8, turns_per_conv=2, n_updates=20, n_deletes=0,
+            n_segments=2, seed=99,
+        ),
+    )
+    job.main([
+        "--feed-dir", d,
+        "--table", str(tmp_path / "tbl"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "4",
+        "--drift-cols", "turn_idx,text",
+    ])
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith('{"drift_alerts"')
+    ]
+    assert len(lines) == 1
+    assert isinstance(json.loads(lines[0])["drift_alerts"], list)
+
+
+def test_job_cli_drift_cols_rejected_on_backfill(spark, tmp_path):
+    from airbyte_spark import job
+
+    with pytest.raises(SystemExit, match="drift-cols"):
+        job.main([
+            "--feed-dir", str(tmp_path / "feed"),
+            "--table", str(tmp_path / "tbl"),
+            "--checkpoint", str(tmp_path / "ck"),
+            "--backfill",
+            "--drift-cols", "turn_idx",
+        ])
