@@ -267,6 +267,72 @@ def q_cdc_lake_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: key set probed by cdc_point_lookup — shared with its oracle SQL
+_LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 1_000_000_000]
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned exact-key read over the stored lake (lake/table.py
+    point_lookup, Iceberg puffin / Delta bloom-index analog): four
+    interleaved MOR merges pile one delta file per bucket per commit, and
+    the per-bucket-per-commit pk blooms prune the lookup to the files
+    actually containing each key — O(files containing the key), not
+    O(files in its bucket). Replay semantics are the reference's: latest
+    change per user_id wins, a delete-winner (value < threshold)
+    vanishes, so the oracle checks the resolved values while the
+    no-false-negatives pruning invariant is plan-asserted in
+    tests/test_bloom_lookup.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from airbyte_spark.catalog import TableSchema
+    from airbyte_spark.lake import LakeTable, merge_batch
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.when(
+            F.col("value") < F.lit(DELETE_THRESHOLD),
+            F.lit("2024-01-01").cast("timestamp"),
+        ).alias("_del"),
+    )
+    path = tempfile.mkdtemp(prefix="airbyte_spark_q_plookup_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    table = LakeTable.create(
+        spark,
+        path,
+        TableSchema.from_struct(
+            e.drop("event_id", "_del").schema
+        ),
+        primary_key=["user_id"],
+        n_buckets=8,
+        bloom_bits=4096,
+    )
+    # interleaved LSN slices: late data across batches, so the merge's
+    # lsn-wins rule (not arrival order) decides every key
+    for i in range(4):
+        merge_batch(
+            table,
+            e.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+            ["event_id"],
+            cursor="event_id",
+            deleted_col="_del",
+            app_id="oracle-plookup",
+            batch_id=i,
+            strategy="mor",
+        )
+    got = table.point_lookup(_LOOKUP_KEYS, include_meta=True)
+    return got.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("__lsn").cast("long").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+    )
+
+
 def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4/C5 as a CHUNKED RESUMABLE snapshot interleaved with the WAL tail
     (sources/snapshot.py — the DBLog/Debezium-incremental-snapshot upgrade
@@ -1691,9 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_mor_replay": q_cdc_scd2_mor_replay,
         "cdc_schema_tests": q_cdc_schema_tests,
         "cdc_lake_incremental_scan": q_cdc_lake_incremental_scan,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
         "cdc_changelog_feed": q_cdc_changelog_feed,
-        "cdc_time_window_scan": q_cdc_time_window_scan,
         "cdc_child_table_sync": q_cdc_child_table_sync,
         "cdc_table_tail": q_cdc_table_tail,
         "cdc_materialized_agg": q_cdc_materialized_agg,
@@ -1741,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,  # text_quality materializes n_tokens/n_chars via the same tokenizer
         "text_vocab_topk": q_text_vocab_topk,  # unigram_logprob gates the corpus token-count aggregate; topk is its order-by-limit view
         "cdc_scd2_asof_join": q_cdc_scd2_asof_join,  # SCD2 family read variant; history + mor_replay gate the writes, asof_state is its sibling below
+        "cdc_time_window_scan": q_cdc_time_window_scan,  # file-level skipping family; lake_incremental_scan gates it (time_window is the stats_cols range variant of the same pruning)
         "sample_per_stratum": q_sample_per_stratum,  # sampling family (stratified_split + domain_mixture gate)
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,  # lexical near-dup family; minhash_lsh gates, jaccard is its exact-verifier tier
         "cdc_cursor_tie_probe": q_cdc_cursor_tie_probe,  # cursor_scan's limit(n+1) probe
@@ -1995,6 +2062,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id AS BIGINT) AS lsn
             FROM events
             WHERE event_id > (2 * (SELECT MAX(event_id) FROM events)) // 3
+        """,
+        # the lookup keys' resolved latest state; a delete winner
+        # (value < threshold) removes the key
+        "cdc_point_lookup": f"""
+            WITH ranked AS (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(event_id AS BIGINT) AS last_lsn,
+                   value AS last_value
+            FROM ranked
+            WHERE rn = 1 AND value >= {DELETE_THRESHOLD}
+              AND user_id IN ({', '.join(str(k) for k in _LOOKUP_KEYS)})
         """,
         # snapshot rows carry the low-watermark stamp L0; WAL rows carry
         # their own lsn; newest wins; a delete winner removes the key —
