@@ -1251,7 +1251,7 @@ def _synth_lines(punct: bool) -> "F.Column":
     """array<string> of 5-token lines from the whitespace tokens of
     ``text``; with ``punct`` each line gains a terminal '.' when
     h60(doc_id:idx) % 4 != 0 (so ~75% pass C4's punctuation rule)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = text_analysis.tokens(F.col("text"))
     n_lines = F.greatest(
         F.ceil(F.size(toks) / F.lit(_LINE_WORDS)).cast("int"), F.lit(1)
     )

@@ -346,7 +346,12 @@ def main(argv: list[str] | None = None) -> None:
             dedup_index_path=args.dedup_index,
             embedding_index_path=args.embedding_index,
             drift_cols=(
-                args.drift_cols.split(",") if args.drift_cols else None
+                # tolerate "a, b" / trailing commas: strip each token and
+                # drop empties so the runner's membership check sees the
+                # column names the user meant
+                [c.strip() for c in args.drift_cols.split(",") if c.strip()]
+                if args.drift_cols
+                else None
             ),
         )
         # honor --n-buckets on the streaming path too: the runner's
@@ -375,6 +380,12 @@ def main(argv: list[str] | None = None) -> None:
             from .streaming import metrics as _metrics
             from .streaming.drift import DriftDetector, alerts_from_listener
 
+            # listener events are delivered async on the bus thread: wait
+            # for the terminated event (posted AFTER the last progress
+            # event, order-preserving per listener) so the final batch's
+            # profile — the one most likely to carry the drift — is in
+            # `progress` before we read it
+            drift_listener.wait_terminated(30.0)
             _metrics.detach(spark, drift_listener)
             alerts = alerts_from_listener(
                 drift_listener,

@@ -48,6 +48,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..catalog import TableSchema, FieldTransform, apply_transforms
 
@@ -166,8 +167,10 @@ class LakeTable:
         for c in (*(stats_cols or []), *(sort_cols or []), *(zorder_cols or [])):
             if c not in names:
                 raise ValueError(f"stats/sort/zorder column {c!r} not in schema")
-        if bloom_bits and (bloom_bits % 64 or bloom_bits < 64 or bloom_k < 1):
+        if bloom_bits and (bloom_bits % 64 or bloom_bits < 64):
             raise ValueError("bloom_bits must be a positive multiple of 64")
+        if bloom_bits and bloom_k < 1:
+            raise ValueError("bloom_k must be >= 1")
         if zorder_cols:
             if sort_cols:
                 raise ValueError(
@@ -176,6 +179,20 @@ class LakeTable:
                 )
             if not 2 <= len(zorder_cols) <= 3:
                 raise ValueError("zorder_cols takes 2-3 columns")
+            # fail at CREATE, not at the first compact(): zorder_key
+            # range-scales folded stat bounds with float arithmetic, so
+            # only numeric/timestamp columns are interleavable (a string
+            # column would crash float(lo) deep inside the rewrite)
+            by_name = schema.by_name()
+            for c in zorder_cols:
+                dt = by_name[c].dtype
+                if not isinstance(
+                    dt, (T.NumericType, T.TimestampType, T.TimestampNTZType)
+                ):
+                    raise ValueError(
+                        f"zorder column {c!r} has type {dt.simpleString()}; "
+                        "z-ordering needs numeric or timestamp columns"
+                    )
             # rank bounds fold from per-file stats, so z-ordered columns
             # must be stat'd — include them implicitly
             stats_cols = list(

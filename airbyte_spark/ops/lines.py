@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import h60
+from .text_analysis import tokens
 
 #: per-line quality rules (C4 §2.2, kept decidable + oracle-portable):
 #: a line is KEPT when it has >= MIN_LINE_WORDS words, ends in terminal
@@ -57,7 +58,10 @@ def split_lines(text: Column) -> Column:
 
 def _line_kept(line: Column) -> Column:
     """The C4 per-line predicate (pure column expression)."""
-    words = F.size(F.split(F.trim(line), r"\s+"))
+    # the one shared token definition (ops.text_analysis.tokens): the
+    # DuckDB oracle splits on the same regex, so any future change to
+    # tokenization has a single Spark-side divergence point
+    words = F.size(tokens(line))
     ok = (words >= F.lit(MIN_LINE_WORDS)) & line.rlike(TERMINAL_PUNCT_RE)
     low = F.lower(line)
     for m in BOILERPLATE_MARKERS:

@@ -25,6 +25,7 @@ class ReplayMetricsListener(StreamingQueryListener):
         self.progress: list[dict] = []
         self._lock = threading.Lock()
         self._path = jsonl_path
+        self._terminated = threading.Event()
 
     # -- StreamingQueryListener interface ---------------------------------
     def onQueryStarted(self, event):
@@ -63,7 +64,20 @@ class ReplayMetricsListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event):
-        pass
+        self._terminated.set()
+
+    def wait_terminated(self, timeout: float = 30.0) -> bool:
+        """Block until a QueryTerminated event reaches this listener (or
+        ``timeout`` elapses). The listener bus delivers events to a
+        listener IN ORDER, and the terminated event is posted after the
+        final progress event — so once this returns True, every
+        micro-batch's ``progress`` row (including the last one) is
+        visible. Callers that read ``progress`` right after
+        ``awaitTermination`` returns MUST wait here first: query
+        termination on the driver races the async listener delivery, and
+        the row most likely to be missing is the final batch's — exactly
+        the one a drift check cares about."""
+        return self._terminated.wait(timeout)
 
     # -- convenience ------------------------------------------------------
     def totals(self, name: Optional[str] = None) -> dict:

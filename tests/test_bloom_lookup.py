@@ -66,6 +66,23 @@ def _fill(spark, table, n_batches=6, per_batch=20):
     return n_batches * per_batch
 
 
+def test_bloom_validation_messages(spark, tmp_path):
+    """Each invalid parameter is named in its own error (a bloom_k
+    mistake used to report 'bloom_bits must be a positive multiple of
+    64', pointing the user at the wrong knob)."""
+    with pytest.raises(ValueError, match="bloom_bits"):
+        _mk_table(spark, str(tmp_path / "a"), bloom_bits=100)
+    with pytest.raises(ValueError, match="bloom_k"):
+        LakeTable.create(
+            spark,
+            str(tmp_path / "b"),
+            TableSchema.from_struct(TRANSCRIPT_STRUCT),
+            primary_key=list(PK),
+            bloom_bits=2048,
+            bloom_k=0,
+        )
+
+
 def test_blooms_recorded_on_every_add(spark, tmp_path):
     table = _mk_table(spark, str(tmp_path / "t"))
     _fill(spark, table, n_batches=3)

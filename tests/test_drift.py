@@ -136,6 +136,11 @@ def test_drift_cols_ride_the_replay_observation(spark, tmp_path):
     lst = m.attach(spark)
     try:
         run_replay_stream(spark, cfg)
+        # listener delivery is async: the terminated event is posted
+        # after the final progress event, so waiting here guarantees the
+        # last batch's profile is in lst.progress (the race the CLI path
+        # also has to close before reading alerts)
+        assert lst.wait_terminated(30.0)
     finally:
         m.detach(spark, lst)
     rows = [
@@ -200,7 +205,10 @@ def test_job_cli_drift_cols(spark, tmp_path, capsys):
         "--table", str(tmp_path / "tbl"),
         "--checkpoint", str(tmp_path / "ck"),
         "--n-buckets", "4",
-        "--drift-cols", "turn_idx,text",
+        # messy-but-natural spelling: spaces and a trailing comma must
+        # parse to ["turn_idx", "text"] (regression: ' text' / '' used
+        # to reach the runner's membership check and fail)
+        "--drift-cols", "turn_idx, text,",
     ])
     lines = [
         ln for ln in capsys.readouterr().out.splitlines()

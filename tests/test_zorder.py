@@ -77,6 +77,22 @@ def test_create_validation(spark, tmp_path):
         _mk(spark, str(tmp_path / "b"), zorder_cols=["x"])
     with pytest.raises(ValueError, match="not in schema"):
         _mk(spark, str(tmp_path / "c"), zorder_cols=["x", "nope"])
+    # non-numeric zorder column must fail at CREATE, not at the first
+    # compact() (zorder_key folds stat bounds through float())
+    str_schema = TableSchema.from_struct(
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("x", T.LongType(), True),
+            ]
+        )
+    )
+    with pytest.raises(ValueError, match="numeric or timestamp"):
+        LakeTable.create(
+            spark, str(tmp_path / "e"), str_schema, primary_key=["id"],
+            n_buckets=2, zorder_cols=["name", "x"],
+        )
     t = _mk(spark, str(tmp_path / "d"), zorder_cols=["x", "y"])
     snap = t.snapshot()
     # zorder columns are implicitly stat'd (bounds fold from file stats)
