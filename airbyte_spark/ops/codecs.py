@@ -10,7 +10,10 @@ simple enough to en/decode exactly with numpy alone:
 * **PNG** (RFC 2083, 8-bit truecolor non-interlaced) — CRC-checked
   chunk walk, stdlib-zlib inflate, and all five scanline unfilters
   (None/Sub/Up/Average/Paeth) in numpy. The ubiquitous lossless web
-  format, decoded for real; only the lossy/DCT formats (JPEG/MP3/H.264)
+  format, decoded for real.
+* **JPEG** (baseline sequential, sibling module ``jpeg.py``) — the lossy
+  DCT format, also decoded for real (Huffman entropy decode, dequant,
+  IDCT, chroma upsampling); only codec-library formats (WebP/MP3/H.264)
   remain behind the documented production hook.
 * **WAV** (RIFF/PCM, 16-bit little-endian) — the canonical uncompressed
   audio container.
@@ -346,6 +349,17 @@ def synth_image_png(doc_id: int) -> bytes:
     ``decode_png`` is exercised by real payloads, and the oracle's
     closed-form width/height stay format-independent."""
     return encode_png(_synth_rgb(doc_id), row_filters=[0, 1, 2, 3, 4])
+
+
+def synth_image_jpeg(doc_id: int) -> bytes:
+    """Same deterministic pixel grid, baseline-JPEG-encoded (ops.jpeg) —
+    subsampling alternates 4:4:4 / 4:2:0 on doc_id//9 so both chroma
+    geometries flow through the decode stage. Lossy, but the oracle's
+    width/height contract is exact regardless."""
+    from . import jpeg
+
+    sub = "420" if (doc_id // 9) % 2 else "444"
+    return jpeg.encode_jpeg(_synth_rgb(doc_id), quality=90, subsample=sub)
 
 
 def synth_audio_params(doc_id: int) -> tuple[int, int, int]:

@@ -6,14 +6,14 @@ run as Arrow-batched ``mapInPandas`` stages so each Python worker sees
 columnar batches, never single rows.
 
 The codec step is REAL for the formats parseable with numpy/stdlib alone —
-PNG (8-bit truecolor, zlib inflate + all five unfilters), 24-bit BMP
+PNG (8-bit truecolor, zlib inflate + all five unfilters), baseline JPEG
+(Huffman + dequant + IDCT + chroma upsample, ``jpeg.py``), 24-bit BMP
 images, RIFF/PCM-16 WAV audio, and a length-prefixed multi-frame container
 for frame sampling (``codecs.py``). ``decode_media_features`` walks actual
 bytes; ``resize_images`` is a real nearest-neighbor pixel transform;
-``sample_frames`` walks a real container. Only the lossy/DCT formats
-(JPEG/MP3/H.264) stay behind the ``decode_image`` hook's
-``NotImplementedError`` arm until a real imaging library is wired in
-production.
+``sample_frames`` walks a real container. Only formats needing external
+codec libraries (WebP/AVIF/MP3/H.264) stay behind the ``decode_image``
+hook's ``NotImplementedError`` arm until one is wired in production.
 
 Scale notes:
 * mapInPandas is the right vehicle: Arrow transfer amortizes
@@ -62,18 +62,24 @@ def attach_fake_payload(docs: DataFrame, kind: str = "image") -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """Image decode with signature dispatch: PNG (real — stdlib zlib +
-    numpy unfiltering, ``codecs.decode_png``) and uncompressed BMP
-    (``codecs.decode_bmp``) parse natively; only the DCT/lossy formats
-    (JPEG, WebP, …) still need an imaging library and stay behind this
-    NotImplementedError in the sandbox."""
+    """Image decode with signature dispatch — all three production image
+    formats parse natively: PNG (stdlib zlib + numpy unfiltering,
+    ``codecs.decode_png``), baseline JPEG (pure-numpy Huffman + IDCT,
+    ``jpeg.decode_jpeg``), and uncompressed BMP (``codecs.decode_bmp``).
+    Formats outside that set (WebP, AVIF, …) still need an imaging
+    library and stay behind this NotImplementedError in the sandbox."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return codecs.decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from . import jpeg
+
+        return jpeg.decode_jpeg(payload)
     if payload[:2] == b"BM":
         return codecs.decode_bmp(payload)
     raise NotImplementedError(
-        "JPEG/WebP decoding requires PIL/opencv; wire a real decoder in "
-        "production (PNG/BMP/WAV/FRMS decode natively via ops.codecs)"
+        "WebP/AVIF decoding requires PIL/opencv; wire a real decoder in "
+        "production (PNG/JPEG/BMP/WAV/FRMS decode natively via ops.codecs "
+        "and ops.jpeg)"
     )
 
 
@@ -93,20 +99,21 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 def attach_synthetic_media(docs: DataFrame) -> DataFrame:
     """Real encoded media payloads, deterministic in doc_id: image for
-    doc_id%3==0 (PNG when (doc_id//3)%2==1, else BMP — both formats flow
-    through the same decode path via signature dispatch), WAV for ==1,
-    FRMS multi-frame for ==2 (``codecs.synth_*``). mapInPandas so
-    encoding runs executor-side over Arrow batches."""
+    doc_id%3==0 (format cycles BMP / PNG / baseline-JPEG on (doc_id//3)%3
+    — all three flow through the same decode path via signature
+    dispatch), WAV for ==1, FRMS multi-frame for ==2 (``codecs.synth_*``).
+    mapInPandas so encoding runs executor-side over Arrow batches."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ("image", "audio", "video")
+        img_fmt = (
+            codecs.synth_image,       # BMP
+            codecs.synth_image_png,   # PNG
+            codecs.synth_image_jpeg,  # baseline JPEG
+        )
 
         def s_img(d: int) -> bytes:
-            return (
-                codecs.synth_image_png(d)
-                if (d // 3) % 2
-                else codecs.synth_image(d)
-            )
+            return img_fmt[(d // 3) % 3](d)
 
         synth = (s_img, codecs.synth_audio, codecs.synth_video)
         for pdf in it:
@@ -165,16 +172,18 @@ def decode_media_features(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode IN THE SAME FORMAT
-    (PNG stays PNG, BMP stays BMP), image rows only. A real pixel
-    transform (``codecs.resize_nearest``), not a stub."""
+    (PNG stays PNG, JPEG stays JPEG, BMP stays BMP), image rows only. A
+    real pixel transform (``codecs.resize_nearest``), not a stub."""
 
     def _resize(b: bytes) -> bytes:
         out = codecs.resize_nearest(decode_image(b), out_h, out_w)
-        return (
-            codecs.encode_png(out)
-            if b[:8] == b"\x89PNG\r\n\x1a\n"
-            else codecs.encode_bmp(out)
-        )
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return codecs.encode_png(out)
+        if b[:2] == b"\xff\xd8":
+            from . import jpeg
+
+            return jpeg.encode_jpeg(out, quality=90)
+        return codecs.encode_bmp(out)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

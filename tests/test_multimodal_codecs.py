@@ -86,13 +86,18 @@ def test_resize_images_stage(media):
     assert len(out) == 4  # image rows only (doc_id % 3 == 0)
     for r in out:
         payload = bytes(r.payload)
-        # format preserved: PNG rows stay PNG, BMP rows stay BMP
-        want_png = (r.doc_id // 3) % 2 == 1
-        assert payload.startswith(b"\x89PNG") == want_png
+        # format preserved: BMP/PNG/JPEG rows re-encode in kind
+        fmt = (r.doc_id // 3) % 3
+        sig = (b"BM", b"\x89PNG", b"\xff\xd8")[fmt]
+        assert payload.startswith(sig), (r.doc_id, fmt)
         rgb = decode_image(payload)
         assert rgb.shape == (4, 5, 3)
-        # nearest-neighbor of the known gradient: pixel (0,0) is preserved
-        assert (rgb[0, 0] == C._synth_rgb(r.doc_id)[0, 0]).all()
+        # nearest-neighbor of the known gradient: pixel (0,0) is
+        # preserved exactly for the lossless formats, within JPEG's
+        # quantization error for the lossy one
+        want = C._synth_rgb(r.doc_id)[0, 0].astype(int)
+        err = np.abs(rgb[0, 0].astype(int) - want).max()
+        assert err == 0 if fmt < 2 else err <= 40, (r.doc_id, err)
 
 
 def test_sample_frames_stage(media):
@@ -225,5 +230,11 @@ def test_decode_image_dispatch():
     rgb = C._synth_rgb(3)
     assert (decode_image(C.synth_image_png(3)) == rgb).all()
     assert (decode_image(C.synth_image(3)) == rgb).all()
+    # JPEG now decodes for real (lossy: bounded error, exact dims)
+    jr = decode_image(C.synth_image_jpeg(3))
+    assert jr.shape == rgb.shape
+    assert np.abs(jr.astype(int) - rgb.astype(int)).mean() < 32
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # truncated JPEG
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+        decode_image(b"RIFF0000WEBPVP8 " + b"\x00" * 16)  # WebP
