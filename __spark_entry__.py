@@ -1730,6 +1730,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(attach_synthetic_media(d))
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-SAMPLE-level audio verification: energy / abs-mass /
+    peak / zero-crossings over the PCM stream each WAV payload carries
+    (``ops.multimodal.audio_features``). The synthetic samples are
+    closed-form in doc_id (codecs.synth_audio: s[t] = ((t·k) mod 2048)
+    − 1024, k = 1 + doc_id%13), so the oracle recomputes the exact
+    integer aggregates from generate_series — agreement proves the RIFF
+    parse returns every sample byte-for-byte, not just the header."""
+    from airbyte_spark.ops.multimodal import audio_features
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_features(attach_synthetic_media(d))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1826,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_list_slice": q_cdc_list_slice,  # record_filter_slice family
         "cdc_substream_slice": q_cdc_substream_slice,  # record_filter_slice family
         "ann_ivf_train": q_ann_ivf_train,  # ivf family (assign/search gate it)
+        "multimodal_audio": q_multimodal_audio,  # multimodal family (decode gates); sample-level WAV verification
     }
 
 
@@ -3116,5 +3131,41 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(2 + doc_id % 5 AS BIGINT)
                         ELSE NULL END AS n_frames
             FROM documents
+        """,
+        # sample-level audio verification: the synthetic PCM stream is
+        # s[t] = ((t*k) % 2048) - 1024 with k = 1 + doc_id%13 over the
+        # interleaved index t (codecs.synth_audio), so every integer
+        # aggregate of the DECODED samples has a generate_series twin
+        "multimodal_audio": """
+            WITH audio AS (
+                SELECT doc_id,
+                       8000 * (1 + (doc_id // 3) % 3) AS sample_rate,
+                       1 + doc_id % 2 AS channels,
+                       400 + (doc_id * 37) % 800 AS n_samples,
+                       1 + doc_id % 13 AS k
+                FROM documents WHERE doc_id % 3 = 1
+            ), s AS (
+                SELECT doc_id, sample_rate, channels, n_samples, t,
+                       ((t * k) % 2048) - 1024 AS v
+                FROM (
+                    SELECT *,
+                           unnest(generate_series(0, n_samples * channels - 1)) AS t
+                    FROM audio
+                )
+            ), lagged AS (
+                SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(any_value(sample_rate) AS BIGINT) AS sample_rate,
+                   CAST(any_value(channels) AS BIGINT) AS channels,
+                   CAST(any_value(n_samples) AS BIGINT) AS n_samples,
+                   CAST(sum(v * v) AS BIGINT) AS sum_sq,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                   CAST(count(*) FILTER (WHERE v * pv < 0) AS BIGINT)
+                       AS n_zero_cross
+            FROM lagged
+            GROUP BY doc_id
         """,
     }

@@ -117,6 +117,25 @@ def test_sample_frames_stage(media):
             assert (r.height, r.width) == C.synth_image_dims(d + r.frame_idx)
 
 
+def test_audio_features_match_closed_form(media):
+    """audio_features' integer aggregates equal the closed-form model of
+    the synthetic PCM stream — sample-VALUE-level verification of the
+    RIFF decode (the oracle twin of multimodal_audio)."""
+    from airbyte_spark.ops.multimodal import audio_features
+
+    rows = {r.doc_id: r for r in audio_features(media).collect()}
+    assert set(rows) == {d for d in range(12) if d % 3 == 1}
+    for d, r in rows.items():
+        sr, n, ch = C.synth_audio_params(d)
+        t = np.arange(n * ch, dtype=np.int64)
+        s = ((t * (1 + d % 13)) % 2048) - 1024
+        assert (r.sample_rate, r.channels, r.n_samples) == (sr, ch, n)
+        assert r.sum_sq == int((s * s).sum())
+        assert r.sum_abs == int(np.abs(s).sum())
+        assert r.peak_abs == int(np.abs(s).max())
+        assert r.n_zero_cross == int(np.count_nonzero(s[1:] * s[:-1] < 0))
+
+
 def test_wav_decodes_data_chunk_before_fmt():
     """RIFF permits any chunk order — a spec-legal WAV with the data chunk
     before fmt (or LIST chunks interleaved) must decode, not return
