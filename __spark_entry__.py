@@ -1719,13 +1719,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode end-to-end: encode each doc_id into actual
-    PNG-or-BMP / PCM-WAV / multi-frame container bytes
-    (``ops.codecs.synth_*`` — image rows alternate PNG and BMP so both
-    decoders gate), then parse those bytes back (zlib inflate + unfilter,
-    pixel grid, RIFF chunks, container walk) in an Arrow-batched
-    mapInPandas stage. The oracle recomputes every decoded feature as a
-    closed-form function of doc_id — so a wrong byte layout, filter
-    reconstruction, row-padding error or chunk misparse hash-mismatches."""
+    BMP / PNG / baseline-JPEG / PCM-WAV / multi-frame container bytes
+    (``ops.codecs.synth_*`` — image rows cycle all three formats so all
+    three decoders gate, JPEG included), then parse those bytes back
+    (zlib inflate + unfilter, Huffman + IDCT, pixel grid, RIFF chunks,
+    container walk) in an Arrow-batched mapInPandas stage. The oracle
+    recomputes every decoded feature as a closed-form function of
+    doc_id — so a wrong byte layout, filter reconstruction, row-padding
+    error or chunk misparse hash-mismatches."""
     d = _t(spark, sf_dir, "documents")
     return decode_media_features(attach_synthetic_media(d))
 

@@ -465,11 +465,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, [(comp_id, sh, sv, tq)])
     dri = 0
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise ValueError("JPEG truncated before SOS")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         tag = payload[pos + 1]
+        if tag == 0x01 or 0xD0 <= tag <= 0xD8:
+            # standalone markers (TEM, stray RSTn, repeated SOI): no
+            # length field — skip and keep walking
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG truncated before SOS")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + seglen]
         if len(data) != seglen - 2:
@@ -504,6 +514,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"{nc}-component JPEG (CMYK/Adobe?) unsupported — "
+                    "1 (grayscale) or 3 (YCbCr) components only"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * i)
@@ -538,6 +553,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         cs, td_ta = struct.unpack_from(">BB", data, 1 + 2 * i)
         scan_tabs[cs] = (td_ta >> 4, td_ta & 15)
 
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one block rastered over the component's own block grid
+        # and the declared sampling factors do not shape the data units.
+        # Normalizing to (1,1) implements exactly that (a grayscale file
+        # declaring 2x2 factors is legal and decodes like 1x1).
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))

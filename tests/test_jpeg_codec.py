@@ -90,6 +90,42 @@ def test_rejects_unsupported_variants():
         J.encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsample="422")
 
 
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved, so a
+    grayscale file DECLARING 2x2 sampling factors (spec-legal, libjpeg
+    decodes it) must decode identically to the 1x1 declaration."""
+    g = ((np.mgrid[0:24, 0:16][0] * 7) % 256).astype(np.uint8)
+    payload = bytearray(J.encode_jpeg(g, quality=85))
+    i = payload.index(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) nc(1) cid(1) hv(1)
+    assert payload[i + 11] == 0x11
+    payload[i + 11] = 0x22
+    want = J.decode_jpeg(J.encode_jpeg(g, quality=85))
+    got = J.decode_jpeg(bytes(payload))
+    assert np.array_equal(want, got)
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker; TEM is a
+    standalone marker with no length field."""
+    g = _gradient(8, 8)
+    payload = J.encode_jpeg(g, quality=85)
+    i = payload.index(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + b"\xff\x01" + payload[i:]
+    assert np.array_equal(J.decode_jpeg(payload), J.decode_jpeg(padded))
+
+
+def test_four_component_frame_rejected_by_name():
+    sof = struct.pack(">BHHB", 8, 8, 8, 4) + b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(4)
+    )
+    payload = (
+        b"\xff\xd8" + struct.pack(">HH", 0xFFC0, len(sof) + 2) + sof
+    )
+    with pytest.raises(ValueError, match="component"):
+        J.decode_jpeg(payload)
+
+
 def test_quality_monotonicity():
     """Higher quality ⇒ no-worse reconstruction on smooth content (the
     IJG scaling is implemented in the right direction)."""

@@ -184,6 +184,24 @@ def main():
             N_DOCS,
         )
 
+    if _want("line_dedup"):
+        from airbyte_spark.ops.lines import line_corpus_dedup
+
+        # RefinedWeb line-level corpus dedup: one line-hash aggregate +
+        # count join + per-doc regroup — the hot "same boilerplate on
+        # every page" key collapses map-side, so this evidences the
+        # linear constant of the text-REWRITING dedup tier
+        timed("line_dedup", lambda: noop(line_corpus_dedup(corpus)), N_DOCS)
+    if _want("dsir"):
+        from airbyte_spark.ops.curation import dsir_scores
+
+        # DSIR importance scoring against a 10k-doc target sample: two
+        # 256-key hash aggregates + broadcast weight join + one per-doc
+        # aggregate — the map-dominated quality-scoring tier at the same
+        # corpus point as the dedup families
+        target = synth_corpus(spark, 10_000, id_offset=N_DOCS * 2)
+        timed("dsir", lambda: noop(dsir_scores(corpus, target)), N_DOCS)
+
     # --- incremental flag paths against the indexed corpus ------------------
     tmp = tempfile.mkdtemp(prefix="dedup_scale_bench_")
     run_mh = _want("minhash_index_build") or _want("minhash_index_flag")
@@ -232,33 +250,48 @@ def main():
 
 
 def _write_section(st: dict, key: str):
+    """Render EVERY persisted dedupscale:* scale point (largest corpus
+    first), not just the current run's — a 50k smoke run must never
+    silently replace the published 5M-doc evidence table."""
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     header = "## Dedup ladder at corpus scale (natural density, quiet window)"
-    entry = st.get(key, {})
-    secs = entry.get("sections", {})
-    if not secs:
+    keys = sorted(
+        (k for k in st if k.startswith("dedupscale:")
+         and st[k].get("sections")),
+        key=lambda k: st[k].get("n_docs", 0),
+        reverse=True,
+    )
+    if not keys:
         print("no quiet-window dedup-scale measurement yet; BASELINE.md unchanged")
         return
-    rows = "\n".join(
-        f"| {n} | {r['sec']} | {r['docs_per_sec']:,} | {r['cpu_calibration_sec']}s |"
-        for n, r in sorted(secs.items())
-    )
-    body = f"""{header}
-
-`python tools/dedup_scale_bench.py` — banding join constants on a
-{entry.get('n_docs', 0):,}-doc SYNTHETIC natural-density corpus
-({int(entry.get('neardup_fraction', 0) * 100)}% injected near-dups, the
-regime where key cardinality — not true-pair output — dominates) at
-local[{entry.get('cpus')}]; per-section best quiet-window measurement
-(bracketing calibrations < {QUIET}s), state key `{key}` in
-`BENCH/bench_state.json`. simhash_banded runs the round-5
-block-permutation construction (C(6,3)=20 tables x 30-bit keys); the
-flag sections time a {entry.get('increment_docs', 0):,}-doc increment
-against the fully-indexed corpus.
+    tables = []
+    for k in keys:
+        entry = st[k]
+        rows = "\n".join(
+            f"| {n} | {r['sec']} | {r['docs_per_sec']:,} | {r['cpu_calibration_sec']}s |"
+            for n, r in sorted(entry["sections"].items())
+        )
+        tables.append(
+            f"""### {entry.get('n_docs', 0):,} docs (state key `{k}`)
 
 | section | wall sec | docs/sec | cpu_calibration |
 |---|---|---|---|
-{rows}
+{rows}"""
+        )
+    all_tables = "\n\n".join(tables)
+    body = f"""{header}
+
+`python tools/dedup_scale_bench.py` — banding join constants on a
+SYNTHETIC natural-density corpus (1% injected near-dups, the regime
+where key cardinality — not true-pair output — dominates) at
+local[{st[keys[0]].get('cpus')}]; per-section best quiet-window
+measurement (bracketing calibrations < {QUIET}s). simhash_banded runs
+the round-5 block-permutation construction (C(6,3)=20 tables x 30-bit
+keys); the flag sections time a 1,000-doc increment against the
+fully-indexed corpus; line_dedup / dsir are the text-rewriting and
+scoring tiers at the same points.
+
+{all_tables}
 """
     old = ""
     if os.path.exists(md):
