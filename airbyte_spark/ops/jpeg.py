@@ -251,6 +251,16 @@ class _BitReader:
         self.pos += 2
 
 
+def _unpack(fmt: str, data, off: int):
+    """struct.unpack_from that reports malformed/truncated headers as
+    ValueError (the module's one corrupt-input exception type) instead
+    of leaking struct.error to the mapInPandas worker."""
+    try:
+        return struct.unpack_from(fmt, data, off)
+    except struct.error as e:
+        raise ValueError(f"JPEG header truncated/malformed: {e}") from None
+
+
 def _extend(v: int, size: int) -> int:
     """T.81 §F.2.1.1 EXTEND: map a ``size``-bit amplitude to its signed
     value (negative when the leading bit is 0)."""
@@ -480,7 +490,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             continue
         if pos + 4 > len(payload):
             raise ValueError("JPEG truncated before SOS")
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        (seglen,) = _unpack(">H", payload, pos + 2)
         data = payload[pos + 4 : pos + 2 + seglen]
         if len(data) != seglen - 2:
             raise ValueError("JPEG segment truncated")
@@ -511,7 +521,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 }
                 p += 17 + n
         elif tag == 0xC0 or tag == 0xC1:  # SOF0/1 (baseline + ext. sequential)
-            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            prec, h, w, nc = _unpack(">BHHB", data, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG samples supported")
             if nc not in (1, 3):
@@ -521,7 +531,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 )
             comps = []
             for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * i)
+                cid, hv, tq = _unpack(">BBB", data, 6 + 3 * i)
                 sh, sv = hv >> 4, hv & 15
                 if sh not in (1, 2) or sv not in (1, 2):
                     raise ValueError(
@@ -534,7 +544,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "only baseline sequential JPEG (SOF0/SOF1) is supported"
             )
         elif tag == 0xDD:  # DRI
-            (dri,) = struct.unpack_from(">H", data, 0)
+            (dri,) = _unpack(">H", data, 0)
         elif tag == 0xDA:  # SOS — entropy data follows
             break
         elif tag == 0xD9:
@@ -550,7 +560,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("SOS component count != SOF component count")
     scan_tabs = {}
     for i in range(ns):
-        cs, td_ta = struct.unpack_from(">BB", data, 1 + 2 * i)
+        cs, td_ta = _unpack(">BB", data, 1 + 2 * i)
         scan_tabs[cs] = (td_ta >> 4, td_ta & 15)
 
     if len(comps) == 1:
@@ -594,6 +604,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for bx in range(sh):
                         zz = np.zeros(64, np.int64)
                         s = rd.read_symbol(dc_tab)
+                        if s > 15:
+                            # a corrupted/crossed Huffman table can hand
+                            # back an AC-style composite symbol here; a
+                            # 250-bit receive() would overflow the int64
+                            # coefficient store (fuzz-found)
+                            raise ValueError("invalid DC size category")
                         diff = _extend(rd.receive(s), s)
                         preds[ci] += diff
                         zz[0] = preds[ci]

@@ -137,6 +137,38 @@ def test_quality_monotonicity():
     assert errs == sorted(errs, reverse=True), errs
 
 
+def test_corrupt_payload_fuzz_raises_only_valueerror():
+    """Seeded mutation fuzz: truncations, bit flips and garbage tails
+    must surface as ValueError — never struct.error / OverflowError /
+    IndexError leaking out of a mapInPandas worker (both leak classes
+    below were fuzz-found and fixed: header unpacks past a shortened
+    segment, and a crossed Huffman table handing a 250-bit DC size)."""
+    import random
+
+    g = (np.mgrid[0:12, 0:10][0] * 13 % 256).astype(np.uint8)
+    base = J.encode_jpeg(np.stack([g, g, g], 2), quality=85)
+    rng = random.Random(42)
+    for trial in range(1200):
+        b = bytearray(base)
+        mode = trial % 4
+        if mode == 0:
+            b = b[: rng.randrange(2, len(b))]
+        elif mode == 1:
+            i = rng.randrange(len(b))
+            b[i] ^= rng.randrange(1, 256)
+        elif mode == 2:
+            i = rng.randrange(2, len(b))
+            b = b[:i] + bytes(rng.randrange(256) for _ in range(8))
+        else:
+            for _ in range(5):
+                i = rng.randrange(len(b))
+                b[i] ^= rng.randrange(1, 256)
+        try:
+            J.decode_jpeg(bytes(b))
+        except ValueError:
+            pass  # the one documented corrupt-input exception
+
+
 # ------------------------------------------------------------------
 # independent spec transcription (grayscale: isolates entropy decode +
 # dequant + IDCT from upsampling/color conversion)
