@@ -38,6 +38,19 @@ import zlib
 
 import numpy as np
 
+
+def _unpack(st, data, off: int = 0):
+    """unpack_from (Struct instance or format string) that reports
+    truncated/malformed payloads as ValueError — the one corrupt-input
+    exception type a mapInPandas decode stage lets through — instead of
+    leaking struct.error (fuzz-found on all four container walks)."""
+    try:
+        if isinstance(st, struct.Struct):
+            return st.unpack_from(data, off)
+        return struct.unpack_from(st, data, off)
+    except struct.error as e:
+        raise ValueError(f"payload truncated/malformed: {e}") from None
+
 # ----------------------------------------------------------------- BMP
 
 _BMP_HDR = struct.Struct("<2sIHHI")  # magic, file size, res, res, px offset
@@ -61,11 +74,11 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BMP back to (h, w, 3) uint8 RGB."""
-    magic, _, _, _, offset = _BMP_HDR.unpack_from(payload, 0)
+    magic, _, _, _, offset = _unpack(_BMP_HDR, payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
-    (hdr_size, w, h, _, bpp, comp, *_rest) = _BMP_INFO.unpack_from(
-        payload, _BMP_HDR.size
+    (hdr_size, w, h, _, bpp, comp, *_rest) = _unpack(
+        _BMP_INFO, payload, _BMP_HDR.size
     )
     if hdr_size < 40 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
@@ -166,14 +179,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos, dims, idat = 8, None, []
     while pos + 12 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
+        (ln,) = _unpack(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        (crc,) = _unpack(">I", payload, pos + 8 + ln)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = _IHDR.unpack(data)
+            w, h, depth, color, comp, filt, interlace = _unpack(_IHDR, data)
             if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
                 raise ValueError(
                     "unsupported PNG variant (8-bit truecolor, "
@@ -189,7 +202,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     h, w = dims
     bpp, stride = 3, w * 3
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from None
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload has the wrong length")
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -258,7 +274,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int, channels: int = 1) -> byte
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode PCM-16 WAV → (sample_rate, channels, int16 samples)."""
-    magic, _, wave = _RIFF.unpack_from(payload, 0)
+    magic, _, wave = _unpack(_RIFF, payload, 0)
     if magic != b"RIFF" or wave != b"WAVE":
         raise ValueError("not a WAV payload")
     # walk ALL chunks before returning: RIFF permits any chunk order
@@ -266,9 +282,9 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
     # data chunk could yield sample_rate/channels = None
     pos, sample_rate, channels, samples = _RIFF.size, None, None, None
     while pos + 8 <= len(payload):
-        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        cid, clen = _unpack("<4sI", payload, pos)
         if cid == b"fmt ":
-            fmt_tag, channels, sample_rate, _byte_rate, bits = struct.unpack_from(
+            fmt_tag, channels, sample_rate, _byte_rate, bits = _unpack(
                 "<HHIIxxH", payload, pos + 8
             )
             if fmt_tag != 1 or bits != 16:
@@ -299,7 +315,7 @@ def encode_frames(frames: list[bytes]) -> bytes:
 def frame_count(payload: bytes) -> int:
     if payload[:4] != b"FRMS":
         raise ValueError("not a FRMS payload")
-    return struct.unpack_from("<I", payload, 4)[0]
+    return _unpack("<I", payload, 4)[0]
 
 
 def iter_frames(payload: bytes, stride: int = 1):
@@ -309,7 +325,7 @@ def iter_frames(payload: bytes, stride: int = 1):
     n = frame_count(payload)
     pos = 8
     for i in range(n):
-        (ln,) = struct.unpack_from("<I", payload, pos)
+        (ln,) = _unpack("<I", payload, pos)
         if i % stride == 0:
             yield i, payload[pos + 4 : pos + 4 + ln]
         pos += 4 + ln

@@ -243,6 +243,48 @@ def test_png_rejects_corruption_and_variants():
         C.decode_png(bytes(bad))
 
 
+def test_codec_fuzz_raises_only_valueerror():
+    """Seeded mutation fuzz over all four container walks: corrupt
+    payloads must surface as ValueError, never struct.error/zlib.error
+    leaking out of a mapInPandas worker (fuzz-found on every decoder:
+    header unpacks past truncation points)."""
+    import random
+
+    rng = random.Random(7)
+    payloads = {
+        "bmp": C.synth_image(4),
+        "png": C.synth_image_png(7),
+        "wav": C.synth_audio(4),
+        "frms": C.synth_video(5),
+    }
+    dec = {
+        "bmp": C.decode_bmp,
+        "png": C.decode_png,
+        "wav": C.decode_wav,
+        "frms": lambda p: [C.frame_count(p), list(C.iter_frames(p))],
+    }
+    for name, base in payloads.items():
+        for trial in range(400):
+            b = bytearray(base)
+            mode = trial % 4
+            if mode == 0:
+                b = b[: rng.randrange(2, len(b))]
+            elif mode == 1:
+                i = rng.randrange(len(b))
+                b[i] ^= rng.randrange(1, 256)
+            elif mode == 2:
+                i = rng.randrange(2, len(b))
+                b = b[:i] + bytes(rng.randrange(256) for _ in range(8))
+            else:
+                for _ in range(5):
+                    i = rng.randrange(len(b))
+                    b[i] ^= rng.randrange(1, 256)
+            try:
+                dec[name](bytes(b))
+            except ValueError:
+                pass  # the one documented corrupt-input exception
+
+
 def test_decode_image_dispatch():
     from airbyte_spark.ops.multimodal import decode_image
 
