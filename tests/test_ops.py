@@ -269,8 +269,13 @@ def test_multimodal_plumbing(docs):
     assert meta[1].n_bytes == 22
     assert meta[1].content_md5 == hashlib.md5(b"the cat sat on the mat").hexdigest()
     assert meta[1].media_kind == "image"
+    # JPEG now decodes for real (ops.jpeg): a junk payload with a JPEG
+    # signature is a corrupt-input ValueError, while formats with no
+    # native decoder stay behind NotImplementedError
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG stays stubbed
+        decode_image(b"RIFF0000WEBPVP8 " + b"\x00" * 16)
 
 
 def test_connected_components_chain_and_isolates(spark):
