@@ -1731,6 +1731,67 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_features(attach_synthetic_media(d))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, verified at PIXEL
+    level on the lossless rows: for BMP/PNG images the resized payload's
+    (0,0) pixel is exactly the synthetic gradient's (0,0) (nearest-
+    neighbor maps output (0,0) to input (0,0)), so the oracle recomputes
+    (r, g, b) closed-form from doc_id. JPEG rows are excluded from the
+    pixel assert (lossy) but still flow through the stage — a crash
+    there fails the query outright."""
+    from airbyte_spark.ops.multimodal import decode_image, resize_images
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = _t(spark, sf_dir, "documents")
+    resized = resize_images(attach_synthetic_media(d), 4, 5)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("out_h", LongType()),
+            StructField("out_w", LongType()),
+            StructField("px_r", LongType()),
+            StructField("px_g", LongType()),
+            StructField("px_b", LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                payload = bytes(payload)
+                rgb = decode_image(payload)
+                r = {
+                    "doc_id": doc_id,
+                    "out_h": rgb.shape[0],
+                    "out_w": rgb.shape[1],
+                }
+                if payload[:2] != b"\xff\xd8":  # lossless rows: exact px
+                    r["px_r"], r["px_g"], r["px_b"] = (
+                        int(v) for v in rgb[0, 0]
+                    )
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return resized.mapInPandas(batches, schema)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-in-2 frame sampling over the FRMS video payloads: the sampled
+    frame indices (stride walk over the closed-form frame count) and
+    each sampled frame's DECODED dimensions (frame k of doc d is the
+    synthetic image of doc d+k) are all closed-form in (doc_id,
+    frame_idx) — the oracle rebuilds the whole sampled set with
+    generate_series."""
+    from airbyte_spark.ops.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    out = sample_frames(attach_synthetic_media(d), stride=2)
+    return out.select("doc_id", "frame_idx", "width", "height")
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decoded-SAMPLE-level audio verification: energy / abs-mass /
     peak / zero-crossings over the PCM stream each WAV payload carries
@@ -1842,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_substream_slice": q_cdc_substream_slice,  # record_filter_slice family
         "ann_ivf_train": q_ann_ivf_train,  # ivf family (assign/search gate it)
         "multimodal_audio": q_multimodal_audio,  # multimodal family (decode gates); sample-level WAV verification
+        "multimodal_resize": q_multimodal_resize,  # multimodal family; pixel-exact resize on lossless rows
+        "multimodal_frames": q_multimodal_frames,  # multimodal family; stride walk + per-frame decoded dims
     }
 
 
@@ -3168,5 +3231,36 @@ def oracle_sql() -> dict[str, str]:
                        AS n_zero_cross
             FROM lagged
             GROUP BY doc_id
+        """,
+        # nearest-neighbor resize maps output (0,0) to input (0,0), so on
+        # the lossless formats the resized payload's first pixel is the
+        # synthetic gradient's closed-form (d%256, 3d%256, 5d%256);
+        # JPEG rows ((doc_id//3)%3 = 2) decode but are pixel-NULL (lossy)
+        "multimodal_resize": """
+            SELECT doc_id,
+                   CAST(4 AS BIGINT) AS out_h,
+                   CAST(5 AS BIGINT) AS out_w,
+                   CASE WHEN (doc_id // 3) % 3 = 2 THEN NULL
+                        ELSE CAST(doc_id % 256 AS BIGINT) END AS px_r,
+                   CASE WHEN (doc_id // 3) % 3 = 2 THEN NULL
+                        ELSE CAST((doc_id * 3) % 256 AS BIGINT) END AS px_g,
+                   CASE WHEN (doc_id // 3) % 3 = 2 THEN NULL
+                        ELSE CAST((doc_id * 5) % 256 AS BIGINT) END AS px_b
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        # frame k of video doc d is the synthetic image of doc d+k, so the
+        # 1-in-2 stride walk and every sampled frame's decoded dims are
+        # closed-form in (doc_id, frame_idx)
+        "multimodal_frames": """
+            SELECT doc_id,
+                   CAST(t AS BIGINT) AS frame_idx,
+                   CAST(8 + (doc_id + t) % 9 AS BIGINT) AS width,
+                   CAST(6 + (doc_id + t) % 7 AS BIGINT) AS height
+            FROM (
+                SELECT doc_id,
+                       unnest(generate_series(0, 2 + doc_id % 5 - 1)) AS t
+                FROM documents WHERE doc_id % 3 = 2
+            )
+            WHERE t % 2 = 0
         """,
     }
