@@ -289,6 +289,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             )
             if fmt_tag != 1 or bits != 16:
                 raise ValueError("unsupported WAV variant (PCM-16 only)")
+            if channels < 1 or sample_rate < 1:
+                # a corrupt fmt chunk with channels=0 would otherwise
+                # return "successfully" and divide-by-zero downstream in
+                # the audio feature stages (fuzz-review-found)
+                raise ValueError("WAV fmt chunk has invalid channels/rate")
         elif cid == b"data":
             samples = np.frombuffer(payload, np.int16, clen // 2, pos + 8)
         pos += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned

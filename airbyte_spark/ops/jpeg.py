@@ -482,6 +482,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
         while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= len(payload):
+            # the payload ended inside a fill-byte run (fuzz-found: the
+            # skip loop can park pos on the final byte)
+            raise ValueError("JPEG truncated before SOS")
         tag = payload[pos + 1]
         if tag == 0x01 or 0xD0 <= tag <= 0xD8:
             # standalone markers (TEM, stray RSTn, repeated SOI): no
@@ -555,6 +559,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("empty JPEG frame")
+    if len(data) < 1 or len(data) < 1 + 2 * data[0] + 3:
+        # empty/short SOS body passes the seglen check but would index
+        # past the scan header (fuzz-found)
+        raise ValueError("JPEG SOS header truncated")
     ns = data[0]
     if ns != len(comps):
         raise ValueError("SOS component count != SOF component count")

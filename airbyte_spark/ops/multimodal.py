@@ -83,6 +83,21 @@ def decode_image(payload: bytes):
     )
 
 
+def _decode_frame(frame: bytes):
+    """Frame decode inside a container walk: same signature dispatch as
+    ``decode_image``, but an unrecognized signature here means the FRAME
+    BYTES are corrupt (or the container carries a codec-library format),
+    so it surfaces as the decode stages' documented ValueError rather
+    than the top-level hook's NotImplementedError (review-found leak)."""
+    try:
+        return decode_image(frame)
+    except NotImplementedError:
+        raise ValueError(
+            "frame has no decodable signature (corrupt frame bytes, or a "
+            "format needing an external codec library)"
+        ) from None
+
+
 MEDIA_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -161,12 +176,16 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     )
                 else:
                     r["n_frames"] = codecs.frame_count(payload)
-                    _, first = next(codecs.iter_frames(payload))
-                    # frames dispatch on signature like top-level images
-                    # (the synthetic container carries BMP frames, but a
-                    # real MJPEG-style source would carry JPEG ones)
-                    rgb = decode_image(first)
-                    r["height"], r["width"] = rgb.shape[0], rgb.shape[1]
+                    first = next(codecs.iter_frames(payload), None)
+                    # zero-frame containers decode to null dims (a bare
+                    # next() would raise StopIteration → PEP-479
+                    # RuntimeError inside this generator); frames
+                    # dispatch on signature like top-level images (the
+                    # synthetic container carries BMP frames, but a real
+                    # MJPEG-style source would carry JPEG ones)
+                    if first is not None:
+                        rgb = _decode_frame(first[1])
+                        r["height"], r["width"] = rgb.shape[0], rgb.shape[1]
                 rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
 
@@ -223,7 +242,7 @@ def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
             sub = pdf[pdf["media_kind"] == "video"]
             for doc_id, payload in zip(sub["doc_id"], sub["payload"]):
                 for idx, fr in codecs.iter_frames(bytes(payload), stride):
-                    rgb = decode_image(fr)
+                    rgb = _decode_frame(fr)
                     rows.append(
                         {
                             "doc_id": doc_id, "frame_idx": idx, "frame": fr,

@@ -145,28 +145,23 @@ def test_corrupt_payload_fuzz_raises_only_valueerror():
     segment, and a crossed Huffman table handing a 250-bit DC size)."""
     import random
 
+    from util import mutate_payload
+
     g = (np.mgrid[0:12, 0:10][0] * 13 % 256).astype(np.uint8)
     base = J.encode_jpeg(np.stack([g, g, g], 2), quality=85)
     rng = random.Random(42)
     for trial in range(1200):
-        b = bytearray(base)
-        mode = trial % 4
-        if mode == 0:
-            b = b[: rng.randrange(2, len(b))]
-        elif mode == 1:
-            i = rng.randrange(len(b))
-            b[i] ^= rng.randrange(1, 256)
-        elif mode == 2:
-            i = rng.randrange(2, len(b))
-            b = b[:i] + bytes(rng.randrange(256) for _ in range(8))
-        else:
-            for _ in range(5):
-                i = rng.randrange(len(b))
-                b[i] ^= rng.randrange(1, 256)
         try:
-            J.decode_jpeg(bytes(b))
+            J.decode_jpeg(mutate_payload(base, rng, trial))
         except ValueError:
             pass  # the one documented corrupt-input exception
+    # review-found edge shapes outside the mutation vocabulary
+    for crafted in (
+        b"\xff\xd8\xff\xff",          # payload ends inside a fill-byte run
+        b"\xff\xd8\xff\xda\x00\x02",  # empty SOS body
+    ):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(crafted)
 
 
 # ------------------------------------------------------------------

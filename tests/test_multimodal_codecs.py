@@ -250,6 +250,8 @@ def test_codec_fuzz_raises_only_valueerror():
     header unpacks past truncation points)."""
     import random
 
+    from util import mutate_payload
+
     rng = random.Random(7)
     payloads = {
         "bmp": C.synth_image(4),
@@ -265,24 +267,36 @@ def test_codec_fuzz_raises_only_valueerror():
     }
     for name, base in payloads.items():
         for trial in range(400):
-            b = bytearray(base)
-            mode = trial % 4
-            if mode == 0:
-                b = b[: rng.randrange(2, len(b))]
-            elif mode == 1:
-                i = rng.randrange(len(b))
-                b[i] ^= rng.randrange(1, 256)
-            elif mode == 2:
-                i = rng.randrange(2, len(b))
-                b = b[:i] + bytes(rng.randrange(256) for _ in range(8))
-            else:
-                for _ in range(5):
-                    i = rng.randrange(len(b))
-                    b[i] ^= rng.randrange(1, 256)
             try:
-                dec[name](bytes(b))
+                dec[name](mutate_payload(base, rng, trial))
             except ValueError:
                 pass  # the one documented corrupt-input exception
+
+
+def test_corrupt_media_edge_shapes_stay_valueerror():
+    """Review-found corrupt shapes past the mutation vocabulary: a WAV
+    claiming channels=0 must not divide-by-zero downstream; a frame
+    whose magic is corrupted must not surface the top-level hook's
+    NotImplementedError; a zero-frame container decodes to null dims."""
+    import struct
+
+    from airbyte_spark.ops.multimodal import _decode_frame
+
+    samples = np.arange(8, dtype=np.int16)
+    fmt = C._FMT.pack(b"fmt ", 16, 1, 0, 8000, 16000, 2, 16)  # channels=0
+    data = C._DATA.pack(b"data", len(samples.tobytes())) + samples.tobytes()
+    body = fmt + data
+    wav = C._RIFF.pack(b"RIFF", 4 + len(body), b"WAVE") + body
+    with pytest.raises(ValueError, match="channels"):
+        C.decode_wav(wav)
+
+    bad_frame = b"XX" + C.synth_image(3)[2:]  # corrupt BMP magic
+    with pytest.raises(ValueError, match="signature"):
+        _decode_frame(bad_frame)
+
+    empty = b"FRMS" + struct.pack("<I", 0)
+    assert C.frame_count(empty) == 0
+    assert list(C.iter_frames(empty)) == []
 
 
 def test_decode_image_dispatch():

@@ -244,15 +244,17 @@ def main():
 
     with open(STATE_FILE, "w") as f:
         json.dump(st, f, indent=1, sort_keys=True)
-    _write_section(st, key)
+    _write_section(st)
     shutil.rmtree(tmp, ignore_errors=True)
     spark.stop()
 
 
-def _write_section(st: dict, key: str):
+def _write_section(st: dict):
     """Render EVERY persisted dedupscale:* scale point (largest corpus
     first), not just the current run's — a 50k smoke run must never
-    silently replace the published 5M-doc evidence table."""
+    silently replace the published 5M-doc evidence table. Each point
+    renders its own persisted cpus / near-dup fraction / increment size
+    (they are per-entry state, not global constants)."""
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     header = "## Dedup ladder at corpus scale (natural density, quiet window)"
     keys = sorted(
@@ -272,7 +274,9 @@ def _write_section(st: dict, key: str):
             for n, r in sorted(entry["sections"].items())
         )
         tables.append(
-            f"""### {entry.get('n_docs', 0):,} docs (state key `{k}`)
+            f"""### {entry.get('n_docs', 0):,} docs — local[{entry.get('cpus')}], \
+{entry.get('neardup_fraction', 0):.0%} injected near-dups, \
+{entry.get('increment_docs', 0):,}-doc flag increments (state key `{k}`)
 
 | section | wall sec | docs/sec | cpu_calibration |
 |---|---|---|---|
@@ -282,14 +286,14 @@ def _write_section(st: dict, key: str):
     body = f"""{header}
 
 `python tools/dedup_scale_bench.py` — banding join constants on a
-SYNTHETIC natural-density corpus (1% injected near-dups, the regime
-where key cardinality — not true-pair output — dominates) at
-local[{st[keys[0]].get('cpus')}]; per-section best quiet-window
-measurement (bracketing calibrations < {QUIET}s). simhash_banded runs
-the round-5 block-permutation construction (C(6,3)=20 tables x 30-bit
-keys); the flag sections time a 1,000-doc increment against the
-fully-indexed corpus; line_dedup / dsir are the text-rewriting and
-scoring tiers at the same points.
+SYNTHETIC natural-density corpus (the regime where key cardinality —
+not true-pair output — dominates); per-section best quiet-window
+measurement (bracketing calibrations < {QUIET}s), per-point corpus
+parameters in each heading. simhash_banded runs the round-5
+block-permutation construction (C(6,3)=20 tables x 30-bit keys); the
+flag sections time one flag increment against the fully-indexed
+corpus; line_dedup / dsir are the text-rewriting and scoring tiers at
+the same points.
 
 {all_tables}
 """
